@@ -1,0 +1,38 @@
+"""algp_tpu — TPU-native active-learning Gaussian-process framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of the reference
+research codebase ``sumitsk/algp`` (active learning of GP field models with
+informative path planning, AAMAS 2019; see SURVEY.md for the structural
+blueprint).  The numerical core — Gram-matrix construction, Cholesky-based
+posterior inference, marginal-likelihood fitting, and the greedy
+entropy / mutual-information acquisition loops — runs on device as jitted
+XLA programs and tiled Pallas kernels.  Host-side Python orchestrates the
+field simulator, path planning, and episode loop, calling only jitted
+device functions (BASELINE.json:5).
+
+Layer map (mirrors SURVEY.md §1):
+  L0  ops.linalg      — blocked Cholesky/solves, log-det, rank-1 up/downdates
+  L1  ops.kernels     — RBF / Matérn / composite spatial×feature kernels
+      ops.gram        — tiled Pallas Gram kernels (HBM-resident output)
+  L1b models.gp       — ExactGP state, MLL fitting (Adam / L-BFGS, vmap restarts)
+  L2  acquisition     — entropy & Krause-MI greedy selection, on-device loops
+  L3  planning        — row-graph construction + budgeted path enumeration (host)
+  L4  episode         — active-sampling episode orchestration (host)
+  env field           — row-structured field environment, noise modalities
+  L5  config          — typed dataclass configs, presets for the 5 baseline configs
+  L6  cli             — command-line experiment driver
+"""
+
+__version__ = "0.1.0"
+
+import jax as _jax
+
+# TPU default lowers f32 matmuls to a single bf16 MXU pass (~8 relative
+# decimal digits lost).  The GP stack's selection-fidelity contract
+# (BASELINE.json:5 — bitwise-consistent greedy selections vs a f64 CPU
+# oracle) needs true f32 accumulation everywhere, so the library forces
+# HIGHEST as the default; individual kernels may locally opt back into
+# bf16 where precision is provably irrelevant.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
+from algp_tpu import config as config  # noqa: F401

@@ -1,0 +1,128 @@
+"""Typed configuration for the framework (L5).
+
+The reference threads a single argparse namespace through every constructor
+(SURVEY.md §2 C13).  Here configuration is split into small frozen
+dataclasses — one per subsystem — plus named presets covering the five
+acceptance configs of BASELINE.json:6-12.  The CLI (`algp_tpu.cli`) is a
+thin argparse layer that only fills these dataclasses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from algp_tpu.ops.kernels import KernelSpec
+
+
+@dataclasses.dataclass(frozen=True)
+class FitConfig:
+    """Hyperparameter fitting (C4): optimizer on the negative MLL."""
+
+    optimizer: str = "adam"  # "adam" | "lbfgs"
+    learning_rate: float = 0.05
+    iters: int = 150
+    restarts: int = 4  # multi-restart, vmapped across devices if sharded
+    perturb: float = 0.5  # log-space init spread across restarts
+    init_ls_spatial: float = 1.0
+    init_ls_feature: float = 1.0
+    init_outputscale: float = 1.0
+    init_noise: float = 0.1
+    learn_noise: bool = True
+    min_noise: float = 1e-3  # floor on noise std for f32 conditioning
+    jitter: float = 1e-6
+
+
+@dataclasses.dataclass(frozen=True)
+class AcquisitionConfig:
+    """Greedy active-sampling (C6-C8)."""
+
+    strategy: str = "mi"  # "mi" | "entropy" | "uniform" | "naive"
+    rounds: int = 50  # BASELINE.json:9 — 50 greedy rounds
+    # Krause-MI complement precision is refreshed by full re-inversion
+    # every `refresh_every` rounds to bound f32 rank-1-downdate drift
+    # (0 = never refresh).
+    refresh_every: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class FieldConfig:
+    """Row-structured field environment (C10)."""
+
+    num_rows: int = 25  # crop rows
+    num_cols: int = 40  # ranges along each row
+    num_features: int = 0  # per-point feature dims (genotype-like)
+    row_spacing: float = 1.0
+    col_spacing: float = 1.0
+    # synthetic ground-truth GP sample parameters
+    true_ls_spatial: float = 4.0
+    true_ls_feature: float = 1.0
+    true_outputscale: float = 1.0
+    noise_std: float = 0.1  # precise-sensor noise std
+    cheap_noise_mult: float = 5.0  # cheap/noisy modality multiplier (C5)
+    data_path: Optional[str] = None  # real phenotype table (CSV) if given
+    seed: int = 0
+
+    @property
+    def num_points(self) -> int:
+        return self.num_rows * self.num_cols
+
+
+@dataclasses.dataclass(frozen=True)
+class EpisodeConfig:
+    """Informative-path episode orchestration (C12)."""
+
+    num_pilot: int = 32  # pilot-survey samples
+    budget: float = 200.0  # total path budget (config 5)
+    num_waypoints: int = 8  # planning horizon: paths per replan
+    samples_per_step: int = 10
+    refit_every: int = 1  # refit hyperparams every k model updates
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    kernel: KernelSpec = KernelSpec()
+    fit: FitConfig = FitConfig()
+    acquisition: AcquisitionConfig = AcquisitionConfig()
+    field: FieldConfig = FieldConfig()
+    episode: EpisodeConfig = EpisodeConfig()
+
+
+# ---------------------------------------------------------------------------
+# Presets — the five acceptance configs (BASELINE.json:6-12)
+# ---------------------------------------------------------------------------
+
+PRESETS: dict[str, ExperimentConfig] = {
+    # 1. Exact GP, RBF, synthetic 2-D field (~1k pts): MLL fit + posterior.
+    "c1_rbf_fit": ExperimentConfig(
+        kernel=KernelSpec(spatial_kind="rbf", ds=2, df=0),
+        field=FieldConfig(num_rows=25, num_cols=40),
+        fit=FitConfig(restarts=1),
+    ),
+    # 2. Matérn + composite spatial×feature, multi-restart Adam/L-BFGS.
+    "c2_composite_restarts": ExperimentConfig(
+        kernel=KernelSpec(spatial_kind="matern52", feature_kind="rbf", ds=2, df=3),
+        field=FieldConfig(num_rows=25, num_cols=40, num_features=3),
+        fit=FitConfig(restarts=4, optimizer="adam"),
+    ),
+    # 3. Greedy entropy-based active sampling, 50 rounds, rank-1 updates.
+    "c3_entropy": ExperimentConfig(
+        kernel=KernelSpec(spatial_kind="rbf", ds=2, df=0),
+        field=FieldConfig(num_rows=25, num_cols=40),
+        acquisition=AcquisitionConfig(strategy="entropy", rounds=50),
+    ),
+    # 4. Krause-MI acquisition with incremental up/downdates.
+    "c4_mi": ExperimentConfig(
+        kernel=KernelSpec(spatial_kind="rbf", ds=2, df=0),
+        field=FieldConfig(num_rows=25, num_cols=40),
+        acquisition=AcquisitionConfig(strategy="mi", rounds=50),
+    ),
+    # 5. Full informative-path episode with heteroscedastic noise.
+    "c5_episode": ExperimentConfig(
+        kernel=KernelSpec(spatial_kind="matern32", ds=2, df=0),
+        field=FieldConfig(num_rows=25, num_cols=40),
+        acquisition=AcquisitionConfig(strategy="mi"),
+        episode=EpisodeConfig(num_pilot=32, budget=200.0),
+    ),
+}

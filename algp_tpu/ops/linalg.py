@@ -1,0 +1,336 @@
+"""L0 dense linear algebra for the GP stack, designed TPU-first.
+
+Capability parity target: the reference (`sumitsk/algp`, SURVEY.md §2 C9)
+leans on LAPACK via ``torch.cholesky`` / ``cholesky_solve`` / log-det and
+refactorizes the Gram matrix from scratch every acquisition round.  The
+TPU-native mandate (BASELINE.json:5) replaces that with:
+
+  * on-device Cholesky (XLA's blocked `lax.linalg.cholesky`, f32, with
+    adaptive diagonal jitter for f32 stability at N≈10k),
+  * *blocked* triangular solves — a full 10k×10k RHS trisolve OOMs HBM on a
+    v5e (SURVEY.md §7.6), so RHS is processed in column panels,
+  * a recursive-bisection blocked triangular **inverse** whose work is almost
+    entirely MXU matmuls (XLA's triangular_solve is row-sequential and slow
+    for large RHS; the bisection form runs at matmul speed),
+  * O(n²) incremental rank-1 Cholesky **up/downdates** and row-append /
+    row-delete updates so the acquisition loop never refactorizes,
+  * an O(N²) rank-1 **precision downdate** for the Krause-MI complement set.
+
+All functions are pure, jit-safe (static shapes only), and f32 by default.
+Padded variants take an explicit active-size scalar `m` so they can live
+inside `lax.fori_loop` acquisition loops with preallocated buffers.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+# ---------------------------------------------------------------------------
+# Cholesky with adaptive jitter
+# ---------------------------------------------------------------------------
+
+
+def cholesky(K: jax.Array, jitter: float = 0.0) -> jax.Array:
+    """Lower Cholesky factor of SPD ``K`` (+ optional fixed jitter·I)."""
+    n = K.shape[-1]
+    if jitter:
+        K = K + jitter * jnp.eye(n, dtype=K.dtype)
+    return jnp.linalg.cholesky(K)
+
+
+def safe_cholesky(
+    K: jax.Array,
+    initial_jitter: float = 1e-6,
+    max_tries: int = 5,
+    growth: float = 10.0,
+) -> tuple[jax.Array, jax.Array]:
+    """Cholesky with adaptive diagonal jitter, jit-safe.
+
+    f32 Gram matrices at N≈10k routinely need a jitter of ~1e-6·mean(diag)
+    to factor (SURVEY.md §7.5 hard part 1).  Escalates jitter ×`growth` up
+    to `max_tries` times until the factor is finite.
+
+    Returns ``(L, jitter_used)``; ``jitter_used`` is the absolute jitter
+    added to the diagonal (0 if the first try at `initial_jitter` scale
+    succeeded with zero initial jitter).
+    """
+    n = K.shape[-1]
+    eye = jnp.eye(n, dtype=K.dtype)
+    scale = jnp.mean(jnp.diagonal(K))
+
+    def try_factor(jit_abs):
+        L = jnp.linalg.cholesky(K + jit_abs * eye)
+        ok = jnp.all(jnp.isfinite(L))
+        return L, ok
+
+    def cond(state):
+        i, _, ok, _ = state
+        return jnp.logical_and(~ok, i < max_tries)
+
+    def body(state):
+        i, jit_abs, _, _ = state
+        jit_next = jnp.where(i == 0, scale * initial_jitter, jit_abs * growth)
+        L, ok = try_factor(jit_next)
+        return i + 1, jit_next, ok, L
+
+    L0, ok0 = try_factor(jnp.zeros((), K.dtype))
+    init = (jnp.zeros((), jnp.int32), jnp.zeros((), K.dtype), ok0, L0)
+    _, jit_used, _, L = lax.while_loop(cond, body, init)
+    return L, jit_used
+
+
+# ---------------------------------------------------------------------------
+# Triangular solves (blocked for large RHS) and SPD solves
+# ---------------------------------------------------------------------------
+
+
+def solve_triangular(
+    L: jax.Array, b: jax.Array, *, lower: bool = True, trans: bool = False
+) -> jax.Array:
+    """Solve ``op(L) x = b`` where op is identity or transpose."""
+    vec = b.ndim == 1
+    if vec:
+        b = b[:, None]
+    x = lax.linalg.triangular_solve(
+        L, b, left_side=True, lower=lower, transpose_a=trans
+    )
+    return x[:, 0] if vec else x
+
+
+def blocked_solve_triangular(
+    L: jax.Array,
+    B: jax.Array,
+    *,
+    lower: bool = True,
+    trans: bool = False,
+    block: int = 512,
+) -> jax.Array:
+    """Triangular solve with the RHS processed in column panels.
+
+    XLA stages ~O(n·m) of dynamic-update-slice temporaries for an n×m
+    trisolve; at n=m=10k that OOMs a v5e's 16 GB HBM (SURVEY.md §7.6).
+    Solving ≤`block`-column panels keeps the footprint bounded while each
+    panel still saturates the device.
+    """
+    if B.ndim == 1 or B.shape[1] <= block:
+        return solve_triangular(L, B, lower=lower, trans=trans)
+    n, m = B.shape
+    pad = (-m) % block
+    if pad:
+        B = jnp.pad(B, ((0, 0), (0, pad)))
+    panels = B.reshape(n, -1, block).transpose(1, 0, 2)  # (k, n, block)
+    solve = partial(solve_triangular, L, lower=lower, trans=trans)
+    out = lax.map(solve, panels)  # sequential over panels, bounded temps
+    out = out.transpose(1, 0, 2).reshape(n, -1)
+    return out[:, :m] if pad else out
+
+
+def cho_solve(L: jax.Array, b: jax.Array, *, block: int = 512) -> jax.Array:
+    """Solve ``K x = b`` given lower Cholesky factor ``L`` of K."""
+    y = blocked_solve_triangular(L, b, lower=True, trans=False, block=block)
+    return blocked_solve_triangular(L, y, lower=True, trans=True, block=block)
+
+
+def logdet_from_chol(L: jax.Array) -> jax.Array:
+    """log|K| from its lower Cholesky factor."""
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+
+
+# ---------------------------------------------------------------------------
+# Blocked triangular inverse + SPD inverse (MXU-friendly)
+# ---------------------------------------------------------------------------
+
+
+def tri_inv(L: jax.Array, *, leaf: int = 256) -> jax.Array:
+    """Inverse of a lower-triangular matrix by recursive bisection.
+
+    For L = [[A, 0], [B, C]]:  L⁻¹ = [[A⁻¹, 0], [−C⁻¹ B A⁻¹, C⁻¹]].
+
+    The recursion bottoms out in small `leaf`-sized XLA trisolves; all other
+    work is dense matmuls that run on the MXU, which is why this beats a
+    single huge row-sequential triangular_solve(L, I) by a wide margin at
+    N≈10k and avoids its OOM-ing scratch (SURVEY.md §7.6).
+    Shapes are static: the recursion unrolls at trace time.
+    """
+    n = L.shape[-1]
+    if n <= leaf:
+        return solve_triangular(L, jnp.eye(n, dtype=L.dtype), lower=True)
+    # Split at a 128-aligned midpoint to keep MXU tiles happy.
+    m = ((n // 2) + 127) // 128 * 128
+    if m >= n:
+        m = n // 2
+    A, B, C = L[:m, :m], L[m:, :m], L[m:, m:]
+    Wa = tri_inv(A, leaf=leaf)
+    Wc = tri_inv(C, leaf=leaf)
+    # HIGHEST precision: the TPU default lowers f32 matmuls to bf16 MXU
+    # passes, which destroys the selection-fidelity contract downstream.
+    Wb = -jnp.dot(
+        Wc, jnp.dot(B, Wa, precision=lax.Precision.HIGHEST),
+        precision=lax.Precision.HIGHEST,
+    )
+    top = jnp.concatenate([Wa, jnp.zeros((m, n - m), L.dtype)], axis=1)
+    bot = jnp.concatenate([Wb, Wc], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def spd_inverse_from_chol(L: jax.Array, *, leaf: int = 256) -> jax.Array:
+    """K⁻¹ = L⁻ᵀ L⁻¹ from the lower Cholesky factor, via blocked tri_inv.
+
+    One big MXU matmul dominates; used to seed the Krause-MI complement
+    precision matrix (acquisition.py) which is then maintained by O(N²)
+    rank-1 downdates instead of re-inversion.
+    """
+    W = tri_inv(L, leaf=leaf)
+    return jnp.dot(W.T, W, precision=lax.Precision.HIGHEST)
+
+
+def spd_inverse(K: jax.Array, *, leaf: int = 256) -> jax.Array:
+    """Dense SPD inverse via Cholesky + blocked triangular inverse."""
+    return spd_inverse_from_chol(cholesky(K), leaf=leaf)
+
+
+# ---------------------------------------------------------------------------
+# Rank-1 Cholesky update / downdate  (O(n²), no refactorization)
+# ---------------------------------------------------------------------------
+
+
+def _rank1_sweep(L: jax.Array, x: jax.Array, sign: float, m=None):
+    """Shared LINPACK-style rotation sweep for up/downdates.
+
+    Row k of the factor and the tail of the work vector are rotated per
+    step; the sweep is a `lax.scan` over rows with full-length masked
+    vector ops, so each step is one VPU pass (O(n) work, O(n²) total).
+
+    `m` (optional scalar) limits the sweep to the leading m×m active block
+    of a padded factor; rows ≥ m pass through untouched.
+    """
+    n = L.shape[-1]
+    idx = jnp.arange(n)
+    if m is None:
+        m = n
+
+    def step(x, args):
+        k, row = args  # row = L[k, :]
+        active = k < m
+        Lkk = row[k]
+        xk = x[k]
+        if sign > 0:
+            r = jnp.sqrt(Lkk * Lkk + xk * xk)
+        else:
+            r = jnp.sqrt(Lkk * Lkk - xk * xk)
+        c = r / Lkk
+        s = xk / Lkk
+        tail = idx > k
+        # new L[k, j] for j>k is 0 (lower-tri); only column k below row k
+        # changes — but we scan over *rows*, so instead express the classic
+        # column update row-wise: maintain the factor row-by-row is awkward;
+        # we carry columns instead (see rank1_update wrapper which passes
+        # L.T rows = L columns).
+        col = row  # here `row` is actually column k of L (length n)
+        new_col = jnp.where(
+            tail, (col + sign * s * x) / c, jnp.where(idx == k, r, col)
+        )
+        new_x = jnp.where(tail, c * x - s * new_col, x)
+        new_col = jnp.where(active, new_col, col)
+        new_x = jnp.where(active, new_x, x)
+        return new_x, new_col
+
+    ks = jnp.arange(n)
+    _, cols = lax.scan(step, x, (ks, L.T))  # L.T rows are L's columns
+    return cols.T  # back to columns-of-L layout
+
+
+def cholupdate(L: jax.Array, x: jax.Array, m=None) -> jax.Array:
+    """Return the Cholesky factor of ``K + x xᵀ`` given ``L`` of K, O(n²).
+
+    Replaces the reference's per-round refactorization (SURVEY.md §3.4).
+    `m` optionally restricts to the active leading block of a padded factor.
+    """
+    return _rank1_sweep(L, x, sign=1.0, m=m)
+
+
+def choldowndate(L: jax.Array, x: jax.Array, m=None) -> jax.Array:
+    """Return the Cholesky factor of ``K − x xᵀ`` (must remain SPD), O(n²).
+
+    Numerically delicate near singularity (SURVEY.md §7.5 hard part 2);
+    callers should refresh by refactorization every O(10) downdates if the
+    factor drifts.  NaNs in the result signal a failed (non-SPD) downdate.
+    """
+    return _rank1_sweep(L, x, sign=-1.0, m=m)
+
+
+# ---------------------------------------------------------------------------
+# Incremental factor growth (append a row) — padded, loop-safe
+# ---------------------------------------------------------------------------
+
+
+def chol_append_row(
+    L_pad: jax.Array, m: jax.Array, k_vec: jax.Array, k_ss: jax.Array
+) -> jax.Array:
+    """Grow a padded Cholesky factor by one point, in place, O(n_max²).
+
+    Given ``L_pad`` whose leading m×m block factors K_AA, the cross-
+    covariances ``k_vec`` (entries ≥ m must be 0) and self-covariance
+    ``k_ss`` of a new point s, writes row m:
+
+        c = L⁻¹ k_vec (leading block),   d = sqrt(k_ss − cᵀc)
+
+    Padding convention: rows/cols ≥ m of ``L_pad`` are identity, which
+    makes the full-size trisolve act like the leading-block solve.
+    Jit/fori_loop-safe: all shapes static, `m` is a traced scalar.
+    """
+    n_max = L_pad.shape[-1]
+    c = solve_triangular(L_pad, k_vec, lower=True)
+    idx = jnp.arange(n_max)
+    c = jnp.where(idx < m, c, 0.0)
+    d = jnp.sqrt(jnp.maximum(k_ss - jnp.dot(c, c), 1e-12))
+    new_row = jnp.where(idx == m, d, c)
+    # replace identity padding row m with the new factor row
+    L_pad = lax.dynamic_update_slice(L_pad, new_row[None, :], (m, 0))
+    return L_pad
+
+
+def identity_padded_factor(n_max: int, dtype=jnp.float32) -> jax.Array:
+    """Fresh padded factor: identity, ready for `chol_append_row` growth."""
+    return jnp.eye(n_max, dtype=dtype)
+
+
+def pad_factor(L: jax.Array, n_max: int) -> jax.Array:
+    """Embed an m×m factor into the identity-padded n_max×n_max layout."""
+    m = L.shape[-1]
+    out = jnp.eye(n_max, dtype=L.dtype)
+    return lax.dynamic_update_slice(out, L.astype(out.dtype), (0, 0))
+
+
+# ---------------------------------------------------------------------------
+# Precision-matrix rank-1 downdate (Krause-MI complement maintenance)
+# ---------------------------------------------------------------------------
+
+
+def precision_delete(P: jax.Array, j: jax.Array) -> jax.Array:
+    """Remove point ``j`` from the set underlying precision matrix ``P``.
+
+    If P = K_VV⁻¹, then the precision of V∖{j} (embedded back at the same
+    indices, with row/col j zeroed and P[j,j] set to 1 as an inert marker) is
+
+        P' = P − P[:,j] P[j,:] / P[j,j]        (Schur complement identity)
+
+    O(N²), bandwidth-bound — one fused outer-product pass over P.  This is
+    the \"incremental Cholesky downdate\" of the complement set demanded by
+    BASELINE.json:10, expressed on the precision side where the per-round
+    cost is a single VPU sweep rather than a sequential rotation cascade.
+    """
+    n = P.shape[-1]
+    pj = lax.dynamic_slice_in_dim(P, j, 1, axis=1)[:, 0]  # column j
+    pjj = pj[j]
+    P = P - jnp.outer(pj, pj) / pjj
+    idx = jnp.arange(n)
+    mask_j = idx == j
+    P = jnp.where(mask_j[:, None] | mask_j[None, :], 0.0, P)
+    P = P.at[j, j].set(1.0)
+    return P

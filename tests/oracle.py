@@ -1,0 +1,159 @@
+"""Float64 CPU oracle: textbook GP + greedy selection, NumPy/SciPy only.
+
+Every device path in algp_tpu is validated against this module
+(SURVEY.md §4).  It is deliberately simple and slow — straightforward
+closed forms, dense refactorization where the device path uses incremental
+updates — so that agreement between the two is strong evidence of
+correctness.  The acceptance contract (BASELINE.json:5) requires the device
+path's *selected-sample index sequences* to match this oracle exactly and
+posterior fields to match within tolerance.
+
+Tie-breaking contract (shared with the device path): argmax returns the
+LOWEST index among maxima (np.argmax / jnp.argmax both do this).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.linalg as sla
+
+SQRT3 = np.sqrt(3.0)
+SQRT5 = np.sqrt(5.0)
+
+
+# ------------------------------ kernels ------------------------------------
+
+
+def sqdist(x1, x2, ls):
+    a = x1 / ls
+    b = x2 / ls
+    d = a[:, None, :] - b[None, :, :]
+    return np.sum(d * d, axis=-1)
+
+
+def stationary_form(kind, r2):
+    if kind == "rbf":
+        return np.exp(-0.5 * r2)
+    r = np.sqrt(np.maximum(r2, 0.0))
+    if kind == "matern32":
+        return (1 + SQRT3 * r) * np.exp(-SQRT3 * r)
+    if kind == "matern52":
+        a = SQRT5 * r
+        return (1 + a + a * a / 3.0) * np.exp(-a)
+    raise ValueError(kind)
+
+
+def gram(x1, x2, *, spatial_kind="rbf", feature_kind="rbf", ds=2,
+         ls_spatial=1.0, ls_feature=1.0, outputscale=1.0):
+    ls_s = np.broadcast_to(np.asarray(ls_spatial, np.float64), (ds,))
+    K = stationary_form(spatial_kind, sqdist(x1[:, :ds], x2[:, :ds], ls_s))
+    df = x1.shape[1] - ds
+    if df > 0:
+        ls_f = np.broadcast_to(np.asarray(ls_feature, np.float64), (df,))
+        K = K * stationary_form(
+            feature_kind, sqdist(x1[:, ds:], x2[:, ds:], ls_f)
+        )
+    return outputscale * K
+
+
+# ------------------------------ exact GP -----------------------------------
+
+
+def nll(K, y):
+    """Negative log marginal likelihood, ½yᵀK⁻¹y + ½log|K| + (n/2)log2π."""
+    n = len(y)
+    L = np.linalg.cholesky(K)
+    alpha = sla.cho_solve((L, True), y)
+    return 0.5 * y @ alpha + np.sum(np.log(np.diag(L))) + 0.5 * n * np.log(2 * np.pi)
+
+
+def posterior(K_train, K_cross, k_diag, y):
+    """(mean, var) at test points.  K_train includes noise; k_diag doesn't."""
+    L = np.linalg.cholesky(K_train)
+    alpha = sla.cho_solve((L, True), y)
+    mean = K_cross.T @ alpha
+    V = sla.solve_triangular(L, K_cross, lower=True)
+    var = k_diag - np.sum(V * V, axis=0)
+    return mean, var
+
+
+# ----------------------- greedy selection oracles --------------------------
+
+
+def greedy_variance_selection(K, noise_var, rounds, pilot_idx=()):
+    """Greedy max-posterior-variance (entropy) selection, dense f64.
+
+    K: (N, N) prior covariance over all candidates (no noise on diag).
+    noise_var: scalar or (N,) observation-noise variance used when
+        conditioning on a selected point (heteroscedastic-aware).
+    Selection conditions on *noisy* observations at selected points.
+    Returns (selected_indices, final posterior variance diag).
+    """
+    N = K.shape[0]
+    nv = np.broadcast_to(np.asarray(noise_var, np.float64), (N,))
+    C = K.astype(np.float64).copy()
+    taken = np.zeros(N, bool)
+    for j in pilot_idx:
+        c = C[:, j] / np.sqrt(C[j, j] + nv[j])
+        C -= np.outer(c, c)
+        taken[j] = True
+    sel = []
+    for _ in range(rounds):
+        d = np.diag(C).copy()
+        d[taken] = -np.inf
+        j = int(np.argmax(d))
+        sel.append(j)
+        c = C[:, j] / np.sqrt(C[j, j] + nv[j])
+        C -= np.outer(c, c)
+        taken[j] = True
+    return np.array(sel), np.diag(C).copy()
+
+
+def greedy_mi_selection(K, noise_var, rounds, pilot_idx=()):
+    """Krause-style greedy mutual-information selection, dense f64.
+
+    Score(y) = σ²(y | A) / σ²(y | V∖A∖y)   (ratio form, JMLR 2008),
+    where A = pilot ∪ already-selected, both conditionings on noisy
+    observations (noise variance added consistently, matching the device
+    path).  The denominator uses the precision-matrix identity
+    σ²(y | rest) = 1 / [(K_complement + Σ)⁻¹]_yy, and selected points are
+    removed from the complement by Schur-complement downdates — the same
+    algorithm as the device path but recomputed densely here for safety.
+    Returns (selected_indices, scores_trace list of (N,) arrays).
+    """
+    N = K.shape[0]
+    nv = np.broadcast_to(np.asarray(noise_var, np.float64), (N,))
+    C = K.astype(np.float64).copy()  # posterior cov given A (numerator)
+    taken = np.zeros(N, bool)
+    for j in pilot_idx:
+        c = C[:, j] / np.sqrt(C[j, j] + nv[j])
+        C -= np.outer(c, c)
+        taken[j] = True
+    # complement precision over V \ A
+    P = np.linalg.inv(K + np.diag(nv))
+    for j in pilot_idx:
+        P = _precision_delete(P, j)
+    sel, traces = [], []
+    for _ in range(rounds):
+        num = np.diag(C) + nv  # variance of noisy measurement given A
+        # 1/P_yy is Var(z_y | z_rest) for the noisy joint K+Σ — it already
+        # includes y's own measurement noise, so nothing is added here.
+        den = 1.0 / np.diag(P)
+        score = num / den
+        score[taken] = -np.inf
+        traces.append(score.copy())
+        j = int(np.argmax(score))
+        sel.append(j)
+        c = C[:, j] / np.sqrt(C[j, j] + nv[j])
+        C -= np.outer(c, c)
+        P = _precision_delete(P, j)
+        taken[j] = True
+    return np.array(sel), traces
+
+
+def _precision_delete(P, j):
+    P = P - np.outer(P[:, j], P[j, :]) / P[j, j]
+    P[j, :] = 0.0
+    P[:, j] = 0.0
+    P[j, j] = 1.0
+    return P

@@ -1,0 +1,151 @@
+"""Unit tests for algp_tpu.ops.linalg against scipy/numpy f64 (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+import scipy.linalg as sla
+
+import jax
+import jax.numpy as jnp
+
+from algp_tpu.ops import linalg as la
+
+
+def random_spd(rng, n, cond=100.0):
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    eigs = np.geomspace(1.0, 1.0 / cond, n)
+    return (Q * eigs) @ Q.T
+
+
+def test_cholesky_matches_scipy(rng):
+    K = random_spd(rng, 64)
+    L = np.array(la.cholesky(jnp.asarray(K, jnp.float32)))
+    L_ref = np.linalg.cholesky(K)
+    np.testing.assert_allclose(L, L_ref, rtol=2e-3, atol=2e-4)
+
+
+def test_safe_cholesky_recovers_near_singular(rng):
+    # rank-deficient + tiny diagonal: plain f32 cholesky fails, safe succeeds
+    A = rng.standard_normal((32, 8))
+    K = A @ A.T  # rank 8 of 32
+    L, jit_used = la.safe_cholesky(jnp.asarray(K, jnp.float32))
+    assert np.all(np.isfinite(np.array(L)))
+    assert float(jit_used) > 0
+
+
+def test_blocked_trisolve_matches_full(rng):
+    n, m = 96, 700  # m forces 2 panels at block=512
+    K = random_spd(rng, n)
+    L = np.linalg.cholesky(K)
+    B = rng.standard_normal((n, m))
+    x = np.array(
+        la.blocked_solve_triangular(
+            jnp.asarray(L, jnp.float32), jnp.asarray(B, jnp.float32), block=512
+        )
+    )
+    x_ref = sla.solve_triangular(L, B, lower=True)
+    np.testing.assert_allclose(x, x_ref, rtol=2e-3, atol=2e-3)
+
+
+def test_cho_solve_and_logdet(rng):
+    n = 48
+    K = random_spd(rng, n)
+    y = rng.standard_normal(n)
+    L = jnp.asarray(np.linalg.cholesky(K), jnp.float32)
+    x = np.array(la.cho_solve(L, jnp.asarray(y, jnp.float32)))
+    np.testing.assert_allclose(x, np.linalg.solve(K, y), rtol=5e-3, atol=5e-3)
+    ld = float(la.logdet_from_chol(L))
+    assert np.isclose(ld, np.linalg.slogdet(K)[1], rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("n", [32, 100, 600])
+def test_tri_inv_blocked(rng, n):
+    K = random_spd(rng, n)
+    L = np.linalg.cholesky(K)
+    W = np.array(la.tri_inv(jnp.asarray(L, jnp.float32), leaf=64))
+    np.testing.assert_allclose(
+        W @ L, np.eye(n), atol=5e-4 * np.sqrt(n)
+    )
+
+
+def test_spd_inverse_from_chol(rng):
+    n = 128
+    K = random_spd(rng, n, cond=50.0)
+    L = jnp.asarray(np.linalg.cholesky(K), jnp.float32)
+    P = np.array(la.spd_inverse_from_chol(L, leaf=64))
+    P_ref = np.linalg.inv(K)
+    # f32 inverse error scales with cond(K); compare relative to ‖K⁻¹‖
+    err = np.abs(P - P_ref).max() / np.abs(P_ref).max()
+    assert err < 1e-3
+
+
+def test_cholupdate_matches_refactorization(rng):
+    n = 40
+    K = random_spd(rng, n)
+    x = rng.standard_normal(n) * 0.3
+    L = jnp.asarray(np.linalg.cholesky(K), jnp.float32)
+    L_up = np.array(la.cholupdate(L, jnp.asarray(x, jnp.float32)))
+    L_ref = np.linalg.cholesky(K + np.outer(x, x))
+    np.testing.assert_allclose(np.tril(L_up), L_ref, rtol=3e-3, atol=3e-4)
+
+
+def test_choldowndate_matches_refactorization(rng):
+    n = 40
+    K = random_spd(rng, n)
+    x = rng.standard_normal(n)
+    x = 0.1 * x / np.linalg.norm(x)  # keep K - xxT safely SPD
+    L = jnp.asarray(np.linalg.cholesky(K), jnp.float32)
+    L_dn = np.array(la.choldowndate(L, jnp.asarray(x, jnp.float32)))
+    L_ref = np.linalg.cholesky(K - np.outer(x, x))
+    np.testing.assert_allclose(np.tril(L_dn), L_ref, rtol=3e-3, atol=3e-4)
+
+
+def test_cholupdate_then_downdate_roundtrip(rng):
+    n = 24
+    K = random_spd(rng, n)
+    x = rng.standard_normal(n) * 0.2
+    L = jnp.asarray(np.linalg.cholesky(K), jnp.float32)
+    x32 = jnp.asarray(x, jnp.float32)
+    L2 = la.choldowndate(la.cholupdate(L, x32), x32)
+    np.testing.assert_allclose(np.tril(np.array(L2)), np.tril(np.array(L)),
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_cholupdate_padded_active_block(rng):
+    n_max, m = 32, 20
+    K = random_spd(rng, m)
+    x = rng.standard_normal(m) * 0.3
+    L_pad = la.pad_factor(jnp.asarray(np.linalg.cholesky(K), jnp.float32), n_max)
+    x_pad = jnp.zeros(n_max).at[:m].set(jnp.asarray(x, jnp.float32))
+    L_up = np.array(la.cholupdate(L_pad, x_pad, m=m))
+    L_ref = np.linalg.cholesky(K + np.outer(x, x))
+    np.testing.assert_allclose(np.tril(L_up[:m, :m]), L_ref, rtol=3e-3, atol=3e-4)
+    # padding untouched
+    np.testing.assert_array_equal(L_up[m:, m:], np.eye(n_max - m))
+
+
+def test_chol_append_row_grows_factor(rng):
+    n = 30
+    K = random_spd(rng, n, cond=20.0)
+    n_max = 40
+    m = n - 1
+    L_lead = np.linalg.cholesky(K[:m, :m])
+    L_pad = la.pad_factor(jnp.asarray(L_lead, jnp.float32), n_max)
+    k_vec = jnp.zeros(n_max).at[:m].set(jnp.asarray(K[:m, m], jnp.float32))
+    L_new = np.array(
+        la.chol_append_row(L_pad, jnp.asarray(m), k_vec, jnp.asarray(K[m, m], jnp.float32))
+    )
+    L_ref = np.linalg.cholesky(K)
+    np.testing.assert_allclose(np.tril(L_new[:n, :n]), L_ref, rtol=3e-3, atol=3e-4)
+
+
+def test_precision_delete_matches_subblock_inverse(rng):
+    n = 30
+    K = random_spd(rng, n, cond=20.0)
+    P = np.linalg.inv(K)
+    j = 7
+    P2 = np.array(la.precision_delete(jnp.asarray(P, jnp.float32), jnp.asarray(j)))
+    keep = [i for i in range(n) if i != j]
+    P_ref = np.linalg.inv(K[np.ix_(keep, keep)])
+    np.testing.assert_allclose(P2[np.ix_(keep, keep)], P_ref, rtol=5e-3, atol=5e-3)
+    assert P2[j, j] == 1.0
+    assert np.all(P2[j, keep] == 0) and np.all(P2[keep, j] == 0)
