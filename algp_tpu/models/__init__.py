@@ -1,0 +1,2 @@
+from algp_tpu.models import gp as gp  # noqa: F401
+from algp_tpu.models.gp import ExactGP, Posterior, neg_mll  # noqa: F401

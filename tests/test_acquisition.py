@@ -1,0 +1,201 @@
+"""Acquisition tests: device greedy selection must match the f64 oracle
+index-for-index (the BASELINE.json:5 fidelity contract), plus property
+tests (monotone variance reduction, padding invariance) — SURVEY.md §4."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from algp_tpu import acquisition as acq
+from algp_tpu.ops.kernels import KernelParams, KernelSpec
+
+import oracle
+
+
+def setup_field(rng, n=300, ls=2.0, os_=1.5, noise=0.15, dim=2):
+    x = rng.uniform(0, 12, (n, dim))
+    spec = KernelSpec("rbf", ds=dim)
+    params = KernelParams(
+        log_ls_spatial=jnp.full((dim,), np.log(ls), jnp.float32),
+        log_ls_feature=jnp.zeros((0,), jnp.float32),
+        log_outputscale=jnp.asarray(np.log(os_), jnp.float32),
+        log_noise=jnp.asarray(np.log(noise), jnp.float32),
+    )
+    K = oracle.gram(x, x, ls_spatial=ls, outputscale=os_, ds=dim)
+    return spec, params, x, K, noise**2
+
+
+@pytest.mark.parametrize("num_pilot", [0, 5])
+def test_entropy_selection_matches_oracle(rng, num_pilot):
+    spec, params, x, K, nv = setup_field(rng)
+    rounds = 25
+    pilot = rng.choice(len(x), size=num_pilot, replace=False).astype(np.int32)
+    res = acq.greedy_select(
+        spec, params, jnp.asarray(x, jnp.float32),
+        jnp.full((len(x),), nv, jnp.float32),
+        jnp.asarray(pilot), rounds=rounds, num_pilot=num_pilot,
+        strategy="entropy",
+    )
+    sel_ref, d_ref = oracle.greedy_variance_selection(K, nv, rounds, pilot)
+    np.testing.assert_array_equal(np.array(res.selected), sel_ref)
+    np.testing.assert_allclose(np.array(res.post_var), d_ref, atol=2e-3)
+
+
+@pytest.mark.parametrize("num_pilot", [0, 5])
+def test_mi_selection_matches_oracle(rng, num_pilot):
+    spec, params, x, K, nv = setup_field(rng, n=250)
+    rounds = 20
+    pilot = rng.choice(len(x), size=num_pilot, replace=False).astype(np.int32)
+    res = acq.greedy_select(
+        spec, params, jnp.asarray(x, jnp.float32),
+        jnp.full((len(x),), nv, jnp.float32),
+        jnp.asarray(pilot), rounds=rounds, num_pilot=num_pilot,
+        strategy="mi", return_scores=True,
+    )
+    sel_ref, traces = oracle.greedy_mi_selection(K, nv, rounds, pilot)
+    sel_dev = np.array(res.selected)
+    # scores must agree numerically round-by-round …
+    dev_scores = np.array(res.scores)
+    for r in range(rounds):
+        finite = np.isfinite(traces[r])
+        np.testing.assert_allclose(
+            dev_scores[r][finite], traces[r][finite], rtol=5e-3, atol=5e-3
+        )
+    # … and the selected index sequence must match exactly
+    np.testing.assert_array_equal(sel_dev, sel_ref)
+
+
+def test_heteroscedastic_mi_prefers_low_noise_region(rng):
+    # two copies of the same grid; one with 100x noisier sensing —
+    # MI-greedy should overwhelmingly sample the precise half
+    spec, params, x, K, nv = setup_field(rng, n=200)
+    nvec = np.full(200, nv)
+    nvec[:100] *= 100.0
+    res = acq.greedy_select(
+        spec, params, jnp.asarray(x, jnp.float32),
+        jnp.asarray(nvec, jnp.float32),
+        jnp.zeros((0,), jnp.int32), rounds=20, num_pilot=0, strategy="mi",
+    )
+    sel_ref, _ = oracle.greedy_mi_selection(K, nvec, 20)
+    np.testing.assert_array_equal(np.array(res.selected), sel_ref)
+
+
+def test_variance_monotonically_decreases(rng):
+    spec, params, x, K, nv = setup_field(rng, n=150)
+    prior_var = 1.5
+    res = acq.greedy_select(
+        spec, params, jnp.asarray(x, jnp.float32),
+        jnp.full((150,), nv, jnp.float32),
+        jnp.zeros((0,), jnp.int32), rounds=30, num_pilot=0, strategy="entropy",
+    )
+    pv = np.array(res.post_var)
+    assert np.all(pv <= prior_var + 1e-5)
+    assert np.all(pv >= -1e-4)
+    # selected points' own posterior variance should be strongly reduced
+    assert pv[np.array(res.selected)].max() < 0.5 * prior_var
+
+
+def test_selection_has_no_duplicates(rng):
+    spec, params, x, K, nv = setup_field(rng, n=120)
+    pilot = np.array([3, 77], np.int32)
+    res = acq.greedy_select(
+        spec, params, jnp.asarray(x, jnp.float32),
+        jnp.full((120,), nv, jnp.float32),
+        jnp.asarray(pilot), rounds=40, num_pilot=2, strategy="entropy",
+    )
+    sel = np.array(res.selected)
+    assert len(np.unique(sel)) == 40
+    assert not np.isin(sel, pilot).any()
+
+
+def test_matern_composite_selection_runs(rng):
+    n = 150
+    x = np.concatenate(
+        [rng.uniform(0, 12, (n, 2)), rng.standard_normal((n, 2))], axis=1
+    )
+    spec = KernelSpec("matern32", "rbf", ds=2, df=2)
+    params = KernelParams(
+        log_ls_spatial=jnp.full((2,), np.log(2.0), jnp.float32),
+        log_ls_feature=jnp.full((2,), np.log(1.0), jnp.float32),
+        log_outputscale=jnp.asarray(0.0, jnp.float32),
+        log_noise=jnp.asarray(np.log(0.1), jnp.float32),
+    )
+    res = acq.greedy_select(
+        spec, params, jnp.asarray(x, jnp.float32),
+        jnp.full((n,), 0.01, jnp.float32),
+        jnp.zeros((0,), jnp.int32), rounds=10, num_pilot=0, strategy="mi",
+    )
+    sel = np.array(res.selected)
+    assert len(np.unique(sel)) == 10
+
+
+def test_score_candidate_sets_entropy_matches_dense(rng):
+    spec, params, x, K, nv = setup_field(rng, n=100)
+    x32 = jnp.asarray(x, jnp.float32)
+    nvec = jnp.full((100,), nv, jnp.float32)
+    # condition on a few pilots first
+    pilot = np.array([4, 50, 80], np.int32)
+    res = acq.greedy_select(
+        spec, params, x32, nvec, jnp.asarray(pilot),
+        rounds=1, num_pilot=3, strategy="entropy",
+    )
+    # build basis WITHOUT the greedy round for clean comparison
+    B = np.array(res.basis)[:3]
+    # oracle posterior covariance given pilots
+    C = K.copy()
+    for j in pilot:
+        c = C[:, j] / np.sqrt(C[j, j] + nv)
+        C -= np.outer(c, c)
+    sets = np.array([[10, 20, 30, 0], [60, 61, 62, 63]], np.int32)
+    sizes = np.array([3, 4], np.int32)
+    basis_pad = np.zeros((4, 100), np.float32)
+    basis_pad[:3] = B
+    scores = np.array(
+        acq.score_candidate_sets(
+            spec, params, x32, nvec,
+            jnp.asarray(basis_pad), res.post_var,
+            jnp.asarray(sets), jnp.asarray(sizes), strategy="entropy",
+        )
+    )
+    for si, (s, k) in enumerate(zip(sets, sizes)):
+        idx = s[:k]
+        M = C[np.ix_(idx, idx)] + nv * np.eye(k)
+        ref = 0.5 * np.linalg.slogdet(M)[1]
+        assert scores[si] * 1.0 == pytest.approx(ref, rel=1e-2, abs=1e-2), si
+
+
+def test_score_candidate_sets_mi_matches_dense(rng):
+    spec, params, x, K, nv = setup_field(rng, n=80)
+    x32 = jnp.asarray(x, jnp.float32)
+    nvec = jnp.full((80,), nv, jnp.float32)
+    P = acq.complement_precision(spec, params, x32, nvec)
+    basis = jnp.zeros((4, 80), jnp.float32)
+    d0 = jnp.full((80,), 1.5, jnp.float32)
+    sets = np.array([[5, 6, 7], [40, 50, 60]], np.int32)
+    sizes = np.array([3, 3], np.int32)
+    scores = np.array(
+        acq.score_candidate_sets(
+            spec, params, x32, nvec, basis, d0,
+            jnp.asarray(sets), jnp.asarray(sizes),
+            P=P, strategy="mi",
+        )
+    )
+    Kn = K + nv * np.eye(80)
+    P_ref = np.linalg.inv(Kn)
+    for si, s in enumerate(sets):
+        M1 = Kn[np.ix_(s, s)]
+        h1 = 0.5 * np.linalg.slogdet(M1)[1]
+        h2 = 0.5 * np.linalg.slogdet(P_ref[np.ix_(s, s)])[1]
+        assert scores[si] == pytest.approx(h1 + h2, rel=1e-2, abs=1e-2)
+
+
+def test_delete_from_precision_batch(rng):
+    spec, params, x, K, nv = setup_field(rng, n=50)
+    nvec = jnp.full((50,), nv, jnp.float32)
+    P = acq.complement_precision(spec, params, jnp.asarray(x, jnp.float32), nvec)
+    P2 = np.array(acq.delete_from_precision(P, jnp.asarray([3, 10], jnp.int32)))
+    keep = [i for i in range(50) if i not in (3, 10)]
+    Kn = K + nv * np.eye(50)
+    P_ref = np.linalg.inv(Kn[np.ix_(keep, keep)])
+    np.testing.assert_allclose(P2[np.ix_(keep, keep)], P_ref, rtol=2e-2, atol=2e-3)

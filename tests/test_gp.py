@@ -1,0 +1,174 @@
+"""GP model tests: MLL value/gradient vs f64 oracle + finite differences,
+posterior vs oracle, multi-restart fitting, Adam and L-BFGS (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from algp_tpu.config import FitConfig
+from algp_tpu.models import gp as gp_mod
+from algp_tpu.ops.kernels import KernelParams, KernelSpec
+
+import oracle
+
+
+def sample_field(rng, n=120, ls=2.0, outputscale=1.5, noise=0.1, dim=2):
+    x = rng.uniform(0, 10, (n, dim))
+    K = oracle.gram(x, x, ls_spatial=ls, outputscale=outputscale, ds=dim)
+    f = np.linalg.cholesky(K + 1e-10 * np.eye(n)) @ rng.standard_normal(n)
+    y = f + noise * rng.standard_normal(n)
+    return x, y, f
+
+
+def make_params(spec, ls=1.5, os_=2.0, noise=0.2):
+    return KernelParams(
+        log_ls_spatial=jnp.full((spec.ds,), np.log(ls), jnp.float32),
+        log_ls_feature=jnp.full((spec.df,), np.log(1.0), jnp.float32),
+        log_outputscale=jnp.asarray(np.log(os_), jnp.float32),
+        log_noise=jnp.asarray(np.log(noise), jnp.float32),
+    )
+
+
+def test_neg_mll_matches_oracle(rng):
+    spec = KernelSpec("rbf", ds=2)
+    x, y, _ = sample_field(rng, n=80)
+    p = make_params(spec)
+    dev = float(
+        gp_mod.neg_mll(
+            spec, p, jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
+            jitter=0.0,
+        )
+    )
+    K = oracle.gram(x, x, ls_spatial=1.5, outputscale=2.0) + 0.04 * np.eye(80)
+    ref = oracle.nll(K, y)
+    assert dev == pytest.approx(ref, rel=1e-4)
+
+
+def test_neg_mll_gradient_finite_difference(rng):
+    spec = KernelSpec("matern52", ds=2)
+    x, y, _ = sample_field(rng, n=60)
+    x32, y32 = jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)
+    p = make_params(spec)
+
+    f = lambda p: gp_mod.neg_mll(spec, p, x32, y32, jitter=0.0)
+    g = jax.grad(f)(p)
+
+    # central differences on each scalar leaf, f64 oracle for the values
+    def oracle_nll(ls, os_, noise):
+        K = oracle.gram(
+            x, x, spatial_kind="matern52", ls_spatial=ls, outputscale=os_
+        ) + noise**2 * np.eye(len(y))
+        return oracle.nll(K, y)
+
+    eps = 1e-4
+    # d/d log_outputscale:  os = exp(t) ⇒ df/dt = df/dos · os
+    t0 = float(p.log_outputscale)
+    fd = (
+        oracle_nll(1.5, np.exp(t0 + eps), 0.2)
+        - oracle_nll(1.5, np.exp(t0 - eps), 0.2)
+    ) / (2 * eps)
+    assert float(g.log_outputscale) == pytest.approx(fd, rel=2e-2, abs=1e-2)
+    t0 = float(p.log_noise)
+    fd = (
+        oracle_nll(1.5, 2.0, np.exp(t0 + eps))
+        - oracle_nll(1.5, 2.0, np.exp(t0 - eps))
+    ) / (2 * eps)
+    assert float(g.log_noise) == pytest.approx(fd, rel=2e-2, abs=1e-2)
+    t0 = np.log(1.5)
+    fd = (
+        oracle_nll(np.exp(t0 + eps), 2.0, 0.2)
+        - oracle_nll(np.exp(t0 - eps), 2.0, 0.2)
+    ) / (2 * eps)
+    # ARD: total over both spatial dims
+    assert float(g.log_ls_spatial.sum()) == pytest.approx(fd, rel=2e-2, abs=1e-2)
+
+
+def test_predict_matches_oracle_posterior(rng):
+    spec = KernelSpec("rbf", ds=2)
+    x, y, _ = sample_field(rng, n=90)
+    xt = rng.uniform(0, 10, (200, 2))
+    p = make_params(spec, ls=1.5, os_=2.0, noise=0.2)
+    post = gp_mod.posterior(
+        spec, p, jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
+        jitter=0.0,
+    )
+    mean, var = gp_mod.predict(spec, p, post, jnp.asarray(xt, jnp.float32))
+    K = oracle.gram(x, x, ls_spatial=1.5, outputscale=2.0) + 0.04 * np.eye(90)
+    Kc = oracle.gram(x, xt, ls_spatial=1.5, outputscale=2.0)
+    m_ref, v_ref = oracle.posterior(K, Kc, 2.0 * np.ones(200), y)
+    np.testing.assert_allclose(np.array(mean), m_ref, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.array(var), v_ref, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("optimizer", ["adam", "lbfgs"])
+def test_fit_improves_nll_and_recovers_scales(rng, optimizer):
+    spec = KernelSpec("rbf", ds=2)
+    x, y, _ = sample_field(rng, n=150, ls=2.0, outputscale=1.5, noise=0.1)
+    cfg = FitConfig(optimizer=optimizer, iters=120, restarts=1,
+                    learning_rate=0.08)
+    res = gp_mod.fit(spec, cfg, jnp.asarray(x, jnp.float32),
+                     jnp.asarray(y, jnp.float32))
+    trace = np.array(res.nll_trace)[0]
+    assert float(res.nll) < trace[0] - 1.0  # substantial improvement
+    # fitted NLL should be at least as good as the truth's NLL
+    K_true = oracle.gram(x, x, ls_spatial=2.0, outputscale=1.5) + 0.01 * np.eye(150)
+    assert float(res.nll) < oracle.nll(K_true, y) + 2.0
+    ls = np.exp(np.array(res.params.log_ls_spatial))
+    assert np.all(ls > 0.5) and np.all(ls < 8.0)  # right ballpark
+    noise = float(np.exp(res.params.log_noise))
+    assert 0.02 < noise < 0.5
+
+
+def test_multi_restart_picks_best(rng):
+    spec = KernelSpec("matern32", ds=2)
+    x, y, _ = sample_field(rng, n=100)
+    cfg = FitConfig(restarts=4, iters=60, perturb=1.0)
+    res = gp_mod.fit(spec, cfg, jnp.asarray(x, jnp.float32),
+                     jnp.asarray(y, jnp.float32), key=jax.random.PRNGKey(3))
+    nlls = np.array(res.all_nlls)
+    assert nlls.shape == (4,)
+    assert float(res.nll) == nlls.min()
+    assert int(res.best_restart) == int(np.argmin(nlls))
+
+
+def test_heteroscedastic_noise_changes_posterior(rng):
+    spec = KernelSpec("rbf", ds=2)
+    x, y, _ = sample_field(rng, n=60)
+    p = make_params(spec)
+    x32, y32 = jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)
+    # huge noise on half the samples → posterior variance increases there
+    scale = jnp.ones(60).at[:30].set(100.0)
+    post_hom = gp_mod.posterior(spec, p, x32, y32)
+    post_het = gp_mod.posterior(spec, p, x32, y32, scale)
+    xt = jnp.asarray(x[:30], jnp.float32)
+    _, v_hom = gp_mod.predict(spec, p, post_hom, xt)
+    _, v_het = gp_mod.predict(spec, p, post_het, xt)
+    assert np.all(np.array(v_het) > np.array(v_hom))
+
+
+def test_composite_kernel_fit_runs(rng):
+    spec = KernelSpec("matern52", "rbf", ds=2, df=3)
+    n = 80
+    x = np.concatenate(
+        [rng.uniform(0, 10, (n, 2)), rng.standard_normal((n, 3))], axis=1
+    )
+    y = rng.standard_normal(n)
+    cfg = FitConfig(restarts=2, iters=40)
+    res = gp_mod.fit(spec, cfg, jnp.asarray(x, jnp.float32),
+                     jnp.asarray(y, jnp.float32))
+    assert np.isfinite(float(res.nll))
+    assert res.params.log_ls_feature.shape == (3,)
+
+
+def test_exactgp_facade(rng):
+    spec = KernelSpec("rbf", ds=2)
+    x, y, f = sample_field(rng, n=200, noise=0.05)
+    m = gp_mod.ExactGP(spec, FitConfig(iters=100, restarts=2))
+    m.fit(x[:150], y[:150])
+    mean, var = m.predict(x[150:])
+    rmse = float(np.sqrt(np.mean((np.array(mean) - f[150:]) ** 2)))
+    prior_rmse = float(np.sqrt(np.mean(f[150:] ** 2)))
+    assert rmse < 0.7 * prior_rmse  # posterior beats the prior
+    assert np.all(np.array(var) >= 0)
