@@ -93,10 +93,6 @@ def _mi_den(P):
     return 1.0 / jnp.diagonal(P)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("spec", "rounds", "num_pilot", "strategy", "return_scores"),
-)
 def greedy_select(
     spec: KernelSpec,
     params: KernelParams,
@@ -108,13 +104,19 @@ def greedy_select(
     num_pilot: int,
     strategy: str = "entropy",
     return_scores: bool = False,
+    pilot_count: Optional[jax.Array] = None,
 ) -> SelectionResult:
     """Greedy active sampling over N candidates, one jitted device loop.
 
     x         : (N, dim) all candidate locations (+features)
-    nv        : (N,) effective observation-noise variance per candidate
+    nv        : (N,) effective observation-noise variance per candidate —
+                for pilot entries this must already reflect the *observed*
+                modality (heteroscedastic conditioning)
     pilot_idx : (num_pilot,) indices already sampled (conditioned first,
                 never re-selected); pass shape-(0,) for none
+    pilot_count: optional traced scalar ≤ num_pilot — only the first
+                pilot_count pilot slots are real (static-shape padding for
+                the episode loop; padded slots are skipped exactly)
     strategy  : "entropy" — score = d + nv (measurement entropy, monotone
                 in ½log 2πe σ²); "mi" — Krause ratio (d+nv)/(1/P_yy)
 
@@ -122,6 +124,32 @@ def greedy_select(
     """
     if strategy not in ("entropy", "mi"):
         raise ValueError(f"unknown strategy {strategy!r}")
+    if pilot_count is None:
+        pilot_count = jnp.asarray(num_pilot, jnp.int32)
+    return _greedy_select_jit(
+        spec, params, x, nv, pilot_idx, pilot_count,
+        rounds=rounds, num_pilot=num_pilot, strategy=strategy,
+        return_scores=return_scores,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "rounds", "num_pilot", "strategy", "return_scores"),
+)
+def _greedy_select_jit(
+    spec: KernelSpec,
+    params: KernelParams,
+    x: jax.Array,
+    nv: jax.Array,
+    pilot_idx: jax.Array,
+    pilot_count: jax.Array,
+    *,
+    rounds: int,
+    num_pilot: int,
+    strategy: str,
+    return_scores: bool,
+) -> SelectionResult:
     N = x.shape[0]
     T = num_pilot + rounds
     d0 = gram_diag(spec, params, x)
@@ -143,6 +171,8 @@ def greedy_select(
     def body(t, state):
         B, d, P, taken, sel, scores = state
         is_pilot = t < num_pilot
+        # padded pilot slots (pilot_count ≤ t < num_pilot) are exact no-ops
+        active = jnp.logical_or(jnp.logical_not(is_pilot), t < pilot_count)
 
         def pick_greedy():
             num = d + nv
@@ -154,37 +184,45 @@ def greedy_select(
             r = t - num_pilot
             return s, r
 
-        if num_pilot:
-            j = lax.cond(
-                is_pilot,
-                lambda: pilot_idx[jnp.clip(t, 0, num_pilot - 1)],
-                lambda: pick_greedy()[0].argmax().astype(jnp.int32),
-            )
-        else:
-            j = pick_greedy()[0].argmax().astype(jnp.int32)
+        def apply(args):
+            B, d, P, taken, sel, scores = args
+            if num_pilot:
+                j = lax.cond(
+                    is_pilot,
+                    lambda: pilot_idx[jnp.clip(t, 0, num_pilot - 1)],
+                    lambda: pick_greedy()[0].argmax().astype(jnp.int32),
+                )
+            else:
+                j = pick_greedy()[0].argmax().astype(jnp.int32)
 
-        if return_scores:
-            s, r = pick_greedy()
-            scores = lax.cond(
-                is_pilot,
-                lambda sc: sc,
-                lambda sc: lax.dynamic_update_slice(sc, s[None, :], (r, 0)),
-                scores,
-            )
+            if return_scores:
+                s, r = pick_greedy()
+                scores = lax.cond(
+                    is_pilot,
+                    lambda sc: sc,
+                    lambda sc: lax.dynamic_update_slice(sc, s[None, :], (r, 0)),
+                    scores,
+                )
 
-        col = _posterior_col(spec, params, x, j, B, d, t)
-        B, d = _condition(B, d, col, j, nv[j], t)
-        if strategy == "mi":
-            P = la.precision_delete(P, j)
-        taken = taken.at[j].set(True)
-        r = jnp.clip(t - num_pilot, 0, rounds - 1)
-        sel = lax.cond(
-            is_pilot,
-            lambda s: s,
-            lambda s: lax.dynamic_update_slice(s, j[None].astype(jnp.int32), (r,)),
-            sel,
-        )
-        return B, d, P, taken, sel, scores
+            col = _posterior_col(spec, params, x, j, B, d, t)
+            B, d = _condition(B, d, col, j, nv[j], t)
+            if strategy == "mi":
+                P = la.precision_delete(P, j)
+            taken = taken.at[j].set(True)
+            if rounds:  # rounds=0 → conditioning-only pass, no sel buffer
+                r = jnp.clip(t - num_pilot, 0, rounds - 1)
+                sel = lax.cond(
+                    is_pilot,
+                    lambda s: s,
+                    lambda s: lax.dynamic_update_slice(
+                        s, j[None].astype(jnp.int32), (r,)
+                    ),
+                    sel,
+                )
+            return B, d, P, taken, sel, scores
+
+        return lax.cond(active, apply, lambda a: a,
+                        (B, d, P, taken, sel, scores))
 
     state = (B0, d0, P0, taken0, sel0, scores0)
     B, d, P, taken, sel, scores = lax.fori_loop(0, T, body, state)
@@ -264,10 +302,16 @@ def complement_precision(
 
 @jax.jit
 def delete_from_precision(P: jax.Array, idx: jax.Array) -> jax.Array:
-    """Remove a batch of points from the complement precision, in order."""
+    """Remove a batch of points from the complement precision, in order.
+
+    Entries of `idx` that are negative are skipped exactly — callers pad
+    to a FIXED length with -1 so this compiles once per (N, pad) shape
+    instead of once per batch size (the episode loop's step cadence).
+    """
 
     def body(P, j):
-        return la.precision_delete(P, j), None
+        return lax.cond(j >= 0, lambda p: la.precision_delete(p, j),
+                        lambda p: p, P), None
 
     P, _ = lax.scan(body, P, idx)
     return P

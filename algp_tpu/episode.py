@@ -1,0 +1,297 @@
+"""L4 — the active-learning episode orchestrator (the reference's Agent).
+
+Capability parity (SURVEY.md §2 C12, §3.5; BASELINE.json:11): pilot survey
+→ initial MLL fit → repeat { enumerate budgeted paths from the pose, score
+each path's candidate sample set by joint entropy / Krause MI per unit
+cost, traverse the winner, collect (heteroscedastically) noisy samples,
+update the model } until the travel budget is exhausted; per-round RMSE /
+variance metrics throughout.  Strategy dispatch covers the reference's
+baselines: "mi" / "entropy" (informative), "uniform" (random sampling),
+"naive" (boustrophedon sweep).
+
+Host/device split (BASELINE.json:5): this module is plain host Python and
+calls ONLY jitted device functions — `models.gp.fit/posterior/predict`,
+`acquisition.greedy_select/score_candidate_sets/complement_precision/
+delete_from_precision`.  All shapes the device sees are padded/static so
+each (strategy, grid, path-batch-shape) compiles once and is reused every
+replan step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from algp_tpu import acquisition as acq
+from algp_tpu import planning
+from algp_tpu.config import ExperimentConfig
+from algp_tpu.field import FieldEnv
+from algp_tpu.models import gp as gp_mod
+from algp_tpu.utils.checkpoint import EpisodeState
+from algp_tpu.utils.metrics import MetricsLogger
+
+STRATEGIES = ("mi", "entropy", "uniform", "naive")
+
+
+@dataclasses.dataclass
+class EpisodeResult:
+    state: EpisodeState
+    history: list[dict]
+    mean: np.ndarray  # final posterior mean over the grid
+    var: np.ndarray  # final posterior variance over the grid
+    rmse: float
+
+
+class Agent:
+    """Episode orchestrator (reference `Agent(env, args)`; SURVEY.md §2 C12)."""
+
+    def __init__(self, env: FieldEnv, cfg: ExperimentConfig,
+                 logger: Optional[MetricsLogger] = None):
+        self.env = env
+        self.cfg = cfg
+        self.spec = cfg.kernel
+        self.logger = logger or MetricsLogger()
+        self.rng = np.random.default_rng(cfg.episode.seed)
+        self._pad_paths = 256  # static path-batch size (compile once)
+        self._k_max = cfg.episode.samples_per_step
+        # static training-buffer capacity: every jitted fn sees ONE shape
+        # for the whole episode (identity-padded; SURVEY.md §7.5 #4)
+        cap = cfg.episode.num_pilot + (2 * cfg.episode.num_waypoints + 6) * self._k_max
+        self._max_samples = (cap + 7) // 8 * 8
+        self._P_cache = None
+        if cfg.acquisition.strategy not in STRATEGIES:
+            raise ValueError(
+                f"unknown strategy {cfg.acquisition.strategy!r}; use {STRATEGIES}"
+            )
+
+    def _padded_train(self, st: EpisodeState):
+        """(x, y, noise_scale, num_valid) padded to the static capacity."""
+        m = len(st.sampled_idx)
+        cap = self._max_samples
+        if m > cap:  # safety: grow capacity (recompiles once)
+            self._max_samples = cap = (m + 63) // 64 * 64
+        idx = np.zeros(cap, np.int64)
+        idx[:m] = st.sampled_idx
+        y = np.zeros(cap, np.float32)
+        y[:m] = st.y
+        ns = np.ones(cap, np.float32)
+        ns[:m] = st.noise_scale
+        x = self.env.X[jnp.asarray(idx)]
+        return (
+            x, jnp.asarray(y), jnp.asarray(ns),
+            jnp.asarray(m, jnp.int32), jnp.asarray(idx, jnp.int32),
+        )
+
+    # ------------------------------------------------------------ pilot
+
+    def pilot_survey(self) -> EpisodeState:
+        """Uniformly spread pilot samples (precise modality), as the
+        reference's initial survey pass."""
+        n_pilot = self.cfg.episode.num_pilot
+        idx = np.unique(
+            np.linspace(0, self.env.n - 1, n_pilot).round().astype(np.int64)
+        )
+        s = self.env.collect(idx, "precise")
+        return EpisodeState(
+            sampled_idx=s.indices,
+            y=s.y,
+            noise_scale=s.noise_scale,
+            pose=int(s.indices[-1]),
+            budget_left=self.cfg.episode.budget,
+            step=0,
+        )
+
+    # ------------------------------------------------------------ model
+
+    def fit_model(self, st: EpisodeState, key=None) -> gp_mod.FitResult:
+        x, y, ns, m, _ = self._padded_train(st)
+        res = gp_mod.fit(self.spec, self.cfg.fit, x, y, ns, key=key, num_valid=m)
+        st.params = res.params
+        return res
+
+    def _noise_vec(self, st: EpisodeState) -> jnp.ndarray:
+        """Effective per-candidate noise variance for future (precise)
+        measurements, from the fitted base noise.
+
+        Built host-side: eager jnp ops whose shapes/values change per step
+        would each trigger a fresh XLA mini-compile (seconds under this
+        environment's remote-compile TPU plugin)."""
+        base = float(
+            np.maximum(
+                np.exp(2.0 * np.asarray(st.params.log_noise)),
+                self.cfg.fit.min_noise**2,
+            )
+        )
+        return jnp.asarray(np.full(self.env.n, base, np.float32))
+
+    def predict_field(self, st: EpisodeState):
+        x, y, ns, m, _ = self._padded_train(st)
+        post = gp_mod.posterior(
+            self.spec, st.params, x, y, ns,
+            min_noise=self.cfg.fit.min_noise, jitter=self.cfg.fit.jitter,
+            num_valid=m,
+        )
+        mean, var = gp_mod.predict(
+            self.spec, st.params, post, self.env.X,
+            use_pallas=self.env.n >= 4096,
+        )
+        return np.asarray(mean), np.asarray(var)
+
+    # ------------------------------------------------------- planning step
+
+    def _conditioning_state(self, st: EpisodeState, nv):
+        """Basis/post-var over all candidates given everything sampled —
+        one jitted conditioning pass (rounds=0 greedy loop over a padded
+        static pilot buffer; compiles once per episode)."""
+        _, _, _, m, idx_pad = self._padded_train(st)
+        # observed noise for conditioning uses the *recorded* modality
+        # scales; assembled host-side — an eager device scatter would
+        # recompile at every new sampled-set size (see _noise_vec)
+        nv_np = np.asarray(nv).copy()
+        nv_np[st.sampled_idx] *= st.noise_scale
+        nv_obs = jnp.asarray(nv_np, jnp.float32)
+        res = acq.greedy_select(
+            self.spec, st.params, self.env.X, nv_obs,
+            idx_pad,
+            rounds=0, num_pilot=self._max_samples, strategy="entropy",
+            pilot_count=m,
+        )
+        return res.basis, res.post_var
+
+    def plan_step(self, st: EpisodeState, nv) -> tuple[list[int], float]:
+        """Choose the next path.  Returns (node sequence, cost)."""
+        strat = self.cfg.acquisition.strategy
+        slice_budget = min(
+            st.budget_left,
+            self.cfg.episode.budget / max(1, self.cfg.episode.num_waypoints),
+        )
+        if strat == "naive":
+            order = planning.boustrophedon_order(self.env)
+            unsampled = order[~np.isin(order, st.sampled_idx)]
+            take = unsampled[: self._k_max]
+            return list(take), float(len(take) * self.env.cfg.col_spacing)
+        if strat == "uniform":
+            unsampled = np.setdiff1d(np.arange(self.env.n), st.sampled_idx)
+            take = self.rng.choice(
+                unsampled, min(self._k_max, len(unsampled)), replace=False
+            )
+            return list(np.sort(take)), float(slice_budget)
+
+        paths = planning.enumerate_paths(
+            self.env, st.pose, slice_budget, max_paths=self._pad_paths
+        )
+        if not paths:
+            return [], 0.0
+        batch = planning.paths_to_batch(self.env, paths, k_max=self._k_max)
+        # pad the batch to the static compile shape
+        P = self._pad_paths
+        sets = np.zeros((P, self._k_max), np.int32)
+        sizes = np.zeros((P,), np.int32)
+        sets[: len(batch)] = batch.sets
+        sizes[: len(batch)] = batch.sizes
+
+        basis, post_var = self._conditioning_state(st, nv)
+        Pmat = None
+        if strat == "mi":
+            Pmat = self._precision(st, nv)
+        scores = np.asarray(
+            acq.score_candidate_sets(
+                self.spec, st.params, self.env.X, nv,
+                basis, post_var,
+                jnp.asarray(sets), jnp.asarray(sizes),
+                P=Pmat, strategy=strat,
+            )
+        )[: len(batch)]
+        # utility per unit cost; deterministic min-index tie-break
+        eps = 1e-6
+        util = scores.astype(np.float32) / (batch.costs + eps)
+        util[batch.sizes == 0] = -np.inf
+        best = int(np.argmax(util))
+        return batch.node_seqs[best], float(batch.costs[best])
+
+    def _pad_idx(self, idx) -> jnp.ndarray:
+        """Pad an index batch to the static capacity with -1 sentinels so
+        the jitted precision deletes compile once."""
+        out = np.full(self._max_samples, -1, np.int32)
+        out[: len(idx)] = idx
+        return jnp.asarray(out)
+
+    def _precision(self, st: EpisodeState, nv):
+        """Complement precision over unsampled candidates, maintained
+        incrementally across replans (seeded once, then deletions only)."""
+        cached = self._P_cache
+        if cached is None or cached[0] is not st.params:
+            P = acq.complement_precision(self.spec, st.params, self.env.X, nv)
+            P = acq.delete_from_precision(P, self._pad_idx(st.sampled_idx))
+            self._P_cache = (st.params, P, len(st.sampled_idx))
+            return P
+        params, P, n_deleted = cached
+        if n_deleted < len(st.sampled_idx):
+            new = st.sampled_idx[n_deleted:]
+            P = acq.delete_from_precision(P, self._pad_idx(new))
+            self._P_cache = (params, P, len(st.sampled_idx))
+        return P
+
+    # ------------------------------------------------------------ episode
+
+    def run(self, max_steps: int = 1000) -> EpisodeResult:
+        ep = self.cfg.episode
+        st = self.pilot_survey()
+        key = jax.random.PRNGKey(ep.seed)
+        t0 = time.perf_counter()
+        self.fit_model(st, key)
+        mean, var = self.predict_field(st)
+        self.logger.log(
+            step=0, phase="pilot", n_sampled=len(st.sampled_idx),
+            rmse=self.env.rmse(mean), mean_var=float(var.mean()),
+            budget_left=st.budget_left,
+            fit_s=round(time.perf_counter() - t0, 4),
+        )
+
+        while st.budget_left > 0 and st.step < max_steps:
+            st.step += 1
+            nv = self._noise_vec(st)
+            t0 = time.perf_counter()
+            nodes, cost = self.plan_step(st, nv)
+            t_plan = time.perf_counter() - t0
+            if not nodes or cost <= 0:
+                break
+            # traverse + sense: sample sites are the thinned node set
+            sample_nodes = [n for n in nodes if n != st.pose][: self._k_max]
+            if not sample_nodes:
+                break
+            modality = "precise"
+            s = self.env.collect(sample_nodes, modality)
+            st.sampled_idx = np.concatenate([st.sampled_idx, s.indices])
+            st.y = np.concatenate([st.y, s.y])
+            st.noise_scale = np.concatenate([st.noise_scale, s.noise_scale])
+            st.pose = int(nodes[-1])
+            st.budget_left -= cost
+
+            t0 = time.perf_counter()
+            if st.step % self.cfg.episode.refit_every == 0:
+                key, sub = jax.random.split(key)
+                self.fit_model(st, sub)
+                self._P_cache = None  # params changed → re-seed precision
+            t_fit = time.perf_counter() - t0
+            mean, var = self.predict_field(st)
+            self.logger.log(
+                step=st.step, phase="plan",
+                n_sampled=len(st.sampled_idx),
+                n_new=len(sample_nodes), path_cost=round(cost, 3),
+                rmse=self.env.rmse(mean), mean_var=float(var.mean()),
+                budget_left=round(st.budget_left, 3),
+                plan_s=round(t_plan, 4), fit_s=round(t_fit, 4),
+            )
+
+        mean, var = self.predict_field(st)
+        return EpisodeResult(
+            state=st, history=self.logger.history,
+            mean=mean, var=var, rmse=self.env.rmse(mean),
+        )

@@ -1,0 +1,178 @@
+"""Field environment — row-structured agricultural grid with noisy sensing.
+
+Capability parity (SURVEY.md §2 C10; BASELINE.json:7,11): the reference's
+`FieldEnv` loads a sorghum phenotype table (plant height per (row, range)
+plus genotype features) or synthesizes a field, maps grid indices ↔ map
+poses, simulates noisy sample collection with two sensing modalities
+(cheap/noisy vs precise/expensive), and provides a train/test split for
+RMSE evaluation.
+
+TPU-first notes: the ground-truth synthetic field is *sampled on device*
+(Pallas Gram + Cholesky of the full grid covariance — a 1k-10k factor is
+milliseconds on a v5e, SURVEY.md §7.6); everything else here is cheap host
+orchestration by design (BASELINE.json:5 keeps the simulator host-side).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from algp_tpu.config import FieldConfig
+from algp_tpu.ops import linalg as la
+from algp_tpu.ops.gram import gram_pallas
+from algp_tpu.ops.kernels import KernelSpec
+
+MODALITIES = ("precise", "cheap")
+
+
+@dataclasses.dataclass
+class Sample:
+    """A batch of collected measurements."""
+
+    indices: np.ndarray  # (k,) grid indices
+    y: np.ndarray  # (k,) noisy measurements
+    noise_scale: np.ndarray  # (k,) variance multipliers vs base noise
+
+
+class FieldEnv:
+    """Row-structured field grid with synthetic or table-backed ground truth.
+
+    Geometry: `num_rows` crop rows (y axis), each with `num_cols` ranges
+    (x axis).  Grid index i ↔ (row, col) = divmod(i, num_cols); map pose of
+    a point is (col·col_spacing, row·row_spacing).  The robot travels along
+    rows and switches rows at the two headlands (planning.py builds the
+    graph over this geometry).
+    """
+
+    def __init__(self, cfg: FieldConfig, spec: Optional[KernelSpec] = None):
+        self.cfg = cfg
+        self.num_rows = cfg.num_rows
+        self.num_cols = cfg.num_cols
+        self.n = cfg.num_rows * cfg.num_cols
+        self._rng = np.random.default_rng(cfg.seed)
+
+        rows, cols = np.divmod(np.arange(self.n), cfg.num_cols)
+        xy = np.stack(
+            [cols * cfg.col_spacing, rows * cfg.row_spacing], axis=1
+        ).astype(np.float32)
+
+        if cfg.data_path is not None:
+            feats, f = self._load_table(cfg.data_path)
+        else:
+            feats, f = self._synthesize(xy, spec)
+
+        self.features = feats  # (n, num_features) or (n, 0)
+        self.X = jnp.asarray(
+            np.concatenate([xy, feats], axis=1) if feats.shape[1] else xy,
+            jnp.float32,
+        )
+        self.f = f  # (n,) latent ground truth, f64 host array
+        # train/test split for RMSE eval on table-backed fields; synthetic
+        # fields evaluate against the full latent truth
+        test = self._rng.permutation(self.n)[: max(1, self.n // 5)]
+        self.test_mask = np.zeros(self.n, bool)
+        self.test_mask[test] = True
+
+    # ------------------------------------------------------------------ init
+
+    def _synthesize(self, xy: np.ndarray, spec: Optional[KernelSpec]):
+        """Draw the latent field from a GP with the config's true kernel —
+        sampled on device via the Pallas Gram + Cholesky path."""
+        cfg = self.cfg
+        df = cfg.num_features
+        feats = (
+            self._rng.standard_normal((self.n, df)).astype(np.float32)
+            if df
+            else np.zeros((self.n, 0), np.float32)
+        )
+        if spec is None:
+            spec = KernelSpec("rbf", "rbf", ds=2, df=df)
+        params = spec.init_params(
+            ls_spatial=cfg.true_ls_spatial,
+            ls_feature=cfg.true_ls_feature,
+            outputscale=cfg.true_outputscale,
+            noise=1.0,  # unused for sampling
+        )
+        x_all = jnp.asarray(
+            np.concatenate([xy, feats], axis=1) if df else xy, jnp.float32
+        )
+        K = gram_pallas(spec, params, x_all, x_all)
+        L, _ = la.safe_cholesky(K, initial_jitter=1e-5)
+        z = jax.random.normal(jax.random.PRNGKey(cfg.seed), (self.n,))
+        f = np.asarray(L @ z, dtype=np.float64)
+        return feats, f
+
+    def _load_table(self, path: str):
+        """Load a phenotype table: CSV with `row`, `range`, a value column
+        (default `height`), and optional feature columns (`feat_*`)."""
+        import pandas as pd
+
+        df = pd.read_csv(path)
+        need = {"row", "range"}
+        if not need.issubset(df.columns):
+            raise ValueError(f"table must have columns {need}, got {list(df.columns)}")
+        value_col = "height" if "height" in df.columns else df.columns[2]
+        feat_cols = [c for c in df.columns if c.startswith("feat_")]
+        f = np.full(self.n, np.nan)
+        feats = np.zeros((self.n, len(feat_cols)), np.float32)
+        idx = df["row"].to_numpy() * self.num_cols + df["range"].to_numpy()
+        valid = (idx >= 0) & (idx < self.n)
+        f[idx[valid]] = df[value_col].to_numpy()[valid]
+        if feat_cols:
+            feats[idx[valid]] = df[feat_cols].to_numpy(np.float32)[valid]
+        # fill gaps with the column mean so the grid stays complete
+        mu = np.nanmean(f)
+        f = np.where(np.isnan(f), mu, f)
+        # standardize values (the GP assumes zero-mean-ish fields)
+        self._y_mean, self._y_std = float(f.mean()), float(f.std() + 1e-12)
+        f = (f - self._y_mean) / self._y_std
+        return feats, f
+
+    # ------------------------------------------------------- index geometry
+
+    def index_to_rowcol(self, i: int) -> tuple[int, int]:
+        return divmod(int(i), self.num_cols)
+
+    def rowcol_to_index(self, row: int, col: int) -> int:
+        return int(row) * self.num_cols + int(col)
+
+    def pose_of(self, i: int) -> tuple[float, float]:
+        r, c = self.index_to_rowcol(i)
+        return c * self.cfg.col_spacing, r * self.cfg.row_spacing
+
+    # ------------------------------------------------------------- sensing
+
+    def noise_std(self, modality: str = "precise") -> float:
+        if modality not in MODALITIES:
+            raise ValueError(f"unknown modality {modality!r}; use {MODALITIES}")
+        mult = 1.0 if modality == "precise" else self.cfg.cheap_noise_mult
+        return self.cfg.noise_std * mult
+
+    def collect(self, indices, modality: str = "precise") -> Sample:
+        """Simulate noisy measurements at grid indices (C10's
+        collect_samples).  `noise_scale` is the *variance* multiplier vs
+        the precise modality — threaded into the GP's heteroscedastic diag."""
+        idx = np.asarray(indices, np.int64).ravel()
+        std = self.noise_std(modality)
+        y = self.f[idx] + std * self._rng.standard_normal(idx.shape)
+        scale = np.full(
+            idx.shape,
+            1.0 if modality == "precise" else self.cfg.cheap_noise_mult**2,
+            np.float64,
+        )
+        return Sample(indices=idx, y=y, noise_scale=scale)
+
+    # ------------------------------------------------------------- metrics
+
+    def rmse(self, mean, test_only: bool = False) -> float:
+        """RMSE of a posterior mean field vs the latent truth."""
+        m = np.asarray(mean, np.float64)
+        if test_only:
+            return float(np.sqrt(np.mean((m[self.test_mask] - self.f[self.test_mask]) ** 2)))
+        return float(np.sqrt(np.mean((m - self.f) ** 2)))

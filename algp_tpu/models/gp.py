@@ -62,6 +62,23 @@ def effective_noise_var(
     return nv
 
 
+def _masked_gram_with_noise(spec, params, x, nv, jitter, num_valid):
+    """K + diag(noise) with identity padding beyond `num_valid`.
+
+    Padded rows/cols are exactly e_i: together with y=0 padding they
+    contribute 0 to the quadratic form AND 0 to the log-det, so the padded
+    NLL equals the unpadded one exactly.  This is what lets the episode
+    loop keep ONE static training-buffer shape while the sampled set grows
+    (SURVEY.md §7.5 hard part 4 — no per-step recompilation)."""
+    n = x.shape[0]
+    K = gram(spec, params, x, x) + jnp.eye(n, dtype=jnp.float32) * (nv + jitter)
+    if num_valid is None:
+        return K
+    mask = jnp.arange(n) < num_valid
+    pair = mask[:, None] & mask[None, :]
+    return jnp.where(pair, K, jnp.eye(n, dtype=jnp.float32))
+
+
 def neg_mll(
     spec: KernelSpec,
     params: KernelParams,
@@ -71,23 +88,29 @@ def neg_mll(
     *,
     min_noise: float = 1e-3,
     jitter: float = 1e-6,
+    num_valid: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Negative log marginal likelihood  ½yᵀK⁻¹y + ½log|K| + (n/2)log 2π.
 
     K = K_kernel(X, X) + diag(noise).  Differentiable in all params; the
     Cholesky path gives both the quadratic form and the log-det in one
-    factorization (SURVEY.md §3.2).
+    factorization (SURVEY.md §3.2).  With `num_valid`, entries ≥ num_valid
+    are identity-padded and contribute exactly zero (y must be 0 there).
     """
     n = x.shape[0]
     nv = effective_noise_var(params, min_noise, noise_scale)
-    K = gram(spec, params, x, x)
-    K = K + jnp.eye(n, dtype=K.dtype) * (nv + jitter)
+    if num_valid is not None:
+        y = y * (jnp.arange(n) < num_valid)
+        count = num_valid
+    else:
+        count = n
+    K = _masked_gram_with_noise(spec, params, x, nv, jitter, num_valid)
     L = jnp.linalg.cholesky(K)
     alpha = la.cho_solve(L, y)
     return (
         0.5 * jnp.dot(y, alpha)
         + jnp.sum(jnp.log(jnp.diagonal(L)))
-        + 0.5 * n * _LOG2PI
+        + 0.5 * count * _LOG2PI
     )
 
 
@@ -113,6 +136,7 @@ def _fit_single(
     y: jax.Array,
     noise_scale: Optional[jax.Array],
     params0: KernelParams,
+    num_valid: Optional[jax.Array] = None,
 ):
     """One restart: scan `cfg.iters` optimizer steps, track the best-ever."""
 
@@ -120,7 +144,8 @@ def _fit_single(
         if not cfg.learn_noise:
             p = dataclasses.replace(p, log_noise=lax.stop_gradient(p.log_noise))
         return neg_mll(
-            spec, p, x, y, noise_scale, min_noise=cfg.min_noise, jitter=cfg.jitter
+            spec, p, x, y, noise_scale, min_noise=cfg.min_noise,
+            jitter=cfg.jitter, num_valid=num_valid,
         )
 
     if cfg.optimizer == "adam":
@@ -179,10 +204,12 @@ def _fit_single(
     return best_p, best_nll, trace
 
 
-@partial(jax.jit, static_argnames=("spec", "cfg", "has_noise_scale"))
-def _fit_jit(spec, cfg, x, y, noise_scale, inits, has_noise_scale):
+@partial(jax.jit, static_argnames=("spec", "cfg", "has_noise_scale", "has_num_valid"))
+def _fit_jit(spec, cfg, x, y, noise_scale, inits, has_noise_scale,
+             num_valid=None, has_num_valid=False):
     ns = noise_scale if has_noise_scale else None
-    run = lambda p0: _fit_single(spec, cfg, x, y, ns, p0)
+    nvalid = num_valid if has_num_valid else None
+    run = lambda p0: _fit_single(spec, cfg, x, y, ns, p0, nvalid)
     best_p, best_nll, trace = jax.vmap(run)(inits)
     k = jnp.argmin(best_nll)  # lowest index wins ties (oracle contract)
     params = jax.tree_util.tree_map(lambda a: a[k], best_p)
@@ -202,9 +229,14 @@ def fit(
     y: jax.Array,
     noise_scale: Optional[jax.Array] = None,
     key: Optional[jax.Array] = None,
+    num_valid: Optional[jax.Array] = None,
 ) -> FitResult:
     """Multi-restart MLL fit (BASELINE.json:8).  One jitted program:
-    vmap over `cfg.restarts` perturbed inits × scan over `cfg.iters` steps."""
+    vmap over `cfg.restarts` perturbed inits × scan over `cfg.iters` steps.
+
+    `num_valid` enables identity-padded training buffers: x/y/noise_scale
+    may be padded to a static size with only the first num_valid entries
+    real (y must be 0 in the padding)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     keys = jax.random.split(key, cfg.restarts)
@@ -219,7 +251,10 @@ def fit(
         for k in keys[1:]
     ]
     inits = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *inits)
-    return _fit_jit(spec, cfg, x, y, noise_scale, inits, noise_scale is not None)
+    return _fit_jit(
+        spec, cfg, x, y, noise_scale, inits, noise_scale is not None,
+        num_valid, num_valid is not None,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -231,26 +266,35 @@ def fit(
 class Posterior:
     """Cached GP posterior: factor + weights over the training set.
 
-    L     : (n, n) lower Cholesky of K(X,X) + diag(noise)
-    alpha : (n,)   K⁻¹ y
+    L     : (n, n) lower Cholesky of K(X,X) + diag(noise), identity-padded
+    alpha : (n,)   K⁻¹ y  (0 in the padding)
     x     : (n, d) training inputs
+    mask  : (n,)   1.0 for real training points, 0.0 for padding
     """
 
     L: jax.Array
     alpha: jax.Array
     x: jax.Array
+    mask: jax.Array
 
 
-@partial(jax.jit, static_argnames=("spec", "min_noise", "jitter", "has_noise_scale"))
+@partial(jax.jit, static_argnames=("spec", "min_noise", "jitter",
+                                   "has_noise_scale", "has_num_valid"))
 def _posterior_jit(spec, params, x, y, noise_scale, min_noise, jitter,
-                   has_noise_scale):
+                   has_noise_scale, num_valid=None, has_num_valid=False):
     ns = noise_scale if has_noise_scale else None
+    nvalid = num_valid if has_num_valid else None
     n = x.shape[0]
     nv = effective_noise_var(params, min_noise, ns)
-    K = gram(spec, params, x, x) + jnp.eye(n, dtype=jnp.float32) * (nv + jitter)
+    K = _masked_gram_with_noise(spec, params, x, nv, jitter, nvalid)
+    if nvalid is not None:
+        mask = (jnp.arange(n) < nvalid).astype(jnp.float32)
+        y = y * mask
+    else:
+        mask = jnp.ones((n,), jnp.float32)
     L = jnp.linalg.cholesky(K)
     alpha = la.cho_solve(L, y)
-    return Posterior(L=L, alpha=alpha, x=x)
+    return Posterior(L=L, alpha=alpha, x=x, mask=mask)
 
 
 def posterior(
@@ -262,9 +306,11 @@ def posterior(
     *,
     min_noise: float = 1e-3,
     jitter: float = 1e-6,
+    num_valid: Optional[jax.Array] = None,
 ) -> Posterior:
     return _posterior_jit(
-        spec, params, x, y, noise_scale, min_noise, jitter, noise_scale is not None
+        spec, params, x, y, noise_scale, min_noise, jitter,
+        noise_scale is not None, num_valid, num_valid is not None,
     )
 
 
@@ -288,6 +334,7 @@ def predict(
         Ks = gram_pallas(spec, params, post.x, x_test)
     else:
         Ks = gram(spec, params, post.x, x_test)
+    Ks = Ks * post.mask[:, None]  # zero rows for identity-padded slots
     mean = Ks.T @ post.alpha
     V = la.blocked_solve_triangular(post.L, Ks, block=block)
     var = gram_diag(spec, params, x_test) - jnp.sum(V * V, axis=0)

@@ -1,0 +1,82 @@
+"""Checkpoint / resume for episodes (SURVEY.md §5).
+
+Episode state is tiny — sampled indices, measurements, noise scales,
+hyperparameters, pose, remaining budget, RNG state — so a single .npz
+round-trips it.  Selection is a pure function of this state (the greedy
+loops are deterministic given state), so resume is exact.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from algp_tpu.ops.kernels import KernelParams
+
+
+@dataclasses.dataclass
+class EpisodeState:
+    sampled_idx: np.ndarray  # (n,) int64 grid indices sampled so far
+    y: np.ndarray  # (n,) measurements
+    noise_scale: np.ndarray  # (n,) heteroscedastic variance multipliers
+    pose: int  # current grid index of the robot
+    budget_left: float
+    step: int
+    params: Optional[KernelParams] = None  # fitted hyperparameters
+    rng_state: Optional[dict] = None  # np.random.Generator bit state
+
+
+def save(path: str, state: EpisodeState) -> None:
+    blobs = {
+        "sampled_idx": state.sampled_idx,
+        "y": state.y,
+        "noise_scale": state.noise_scale,
+        "pose": np.asarray(state.pose),
+        "budget_left": np.asarray(state.budget_left),
+        "step": np.asarray(state.step),
+    }
+    if state.params is not None:
+        blobs.update(
+            p_ls_spatial=np.asarray(state.params.log_ls_spatial),
+            p_ls_feature=np.asarray(state.params.log_ls_feature),
+            p_outputscale=np.asarray(state.params.log_outputscale),
+            p_noise=np.asarray(state.params.log_noise),
+        )
+    if state.rng_state is not None:
+        import json
+
+        blobs["rng_state_json"] = np.frombuffer(
+            json.dumps(state.rng_state).encode(), dtype=np.uint8
+        )
+    np.savez(path, **blobs)
+
+
+def load(path: str) -> EpisodeState:
+    import jax.numpy as jnp
+
+    z = np.load(path)
+    params = None
+    if "p_ls_spatial" in z:
+        params = KernelParams(
+            log_ls_spatial=jnp.asarray(z["p_ls_spatial"]),
+            log_ls_feature=jnp.asarray(z["p_ls_feature"]),
+            log_outputscale=jnp.asarray(z["p_outputscale"]),
+            log_noise=jnp.asarray(z["p_noise"]),
+        )
+    rng_state = None
+    if "rng_state_json" in z:
+        import json
+
+        rng_state = json.loads(z["rng_state_json"].tobytes().decode())
+    return EpisodeState(
+        sampled_idx=z["sampled_idx"],
+        y=z["y"],
+        noise_scale=z["noise_scale"],
+        pose=int(z["pose"]),
+        budget_left=float(z["budget_left"]),
+        step=int(z["step"]),
+        params=params,
+        rng_state=rng_state,
+    )

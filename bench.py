@@ -1,0 +1,80 @@
+"""North-star benchmark (BASELINE.json): full active-sampling episode —
+multi-restart MLL hyperparameter fit + 50 greedy Krause-MI selections over
+a 10k-point field grid — wall-clock on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <ms>, "unit": "ms", "vs_baseline": <x>}
+vs_baseline = (1000 ms north-star budget) / measured  (>1 beats the target).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from algp_tpu import acquisition as acq
+    from algp_tpu.config import FieldConfig, FitConfig
+    from algp_tpu.field import FieldEnv
+    from algp_tpu.models import gp as gp_mod
+    from algp_tpu.ops.kernels import KernelSpec
+
+    # 100×100 = 10k-point field grid (BASELINE.json:5), RBF GP
+    spec = KernelSpec("rbf", ds=2)
+    env = FieldEnv(
+        FieldConfig(num_rows=100, num_cols=100, true_ls_spatial=8.0, seed=0),
+        spec,
+    )
+    n = env.n
+    fitcfg = FitConfig(iters=100, restarts=4)
+    rounds, num_pilot = 50, 32
+
+    pilot = np.linspace(0, n - 1, num_pilot).round().astype(np.int32)
+    s = env.collect(pilot, "precise")
+    x_pilot = env.X[jnp.asarray(s.indices)]
+    y_pilot = jnp.asarray(s.y, jnp.float32)
+    pilot_j = jnp.asarray(s.indices, jnp.int32)
+
+    def episode(key):
+        fit_res = gp_mod.fit(spec, fitcfg, x_pilot, y_pilot, key=key)
+        nv_base = jnp.maximum(
+            jnp.exp(2.0 * fit_res.params.log_noise), fitcfg.min_noise**2
+        )
+        nv = jnp.full((n,), nv_base, jnp.float32)
+        sel = acq.greedy_select(
+            spec, fit_res.params, env.X, nv, pilot_j,
+            rounds=rounds, num_pilot=num_pilot, strategy="mi",
+        )
+        return fit_res.nll, sel.selected
+
+    # warm-up: compile both programs (first XLA compile is ~seconds)
+    keys = jax.random.split(jax.random.PRNGKey(0), 8)
+    nll, sel = episode(keys[0])
+    jax.block_until_ready((nll, sel))
+
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        nll, sel = episode(keys[i + 1])
+        jax.block_until_ready((nll, sel))
+        times.append(time.perf_counter() - t0)
+
+    ms = float(np.median(times) * 1e3)
+    sel_np = np.asarray(sel)
+    assert len(np.unique(sel_np)) == rounds, "selection degeneracy"
+    print(json.dumps({
+        "metric": "episode_fit_plus_50_MI_selections_N10000",
+        "value": round(ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(1000.0 / ms, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -159,6 +159,42 @@ def greedy_mi_selection(K, noise_var, rounds, pilot_idx=()):
     return np.array(sel), traces
 
 
+def follow_selection(K, noise_var, selections, pilot_idx=(), strategy="mi"):
+    """Replay a device-chosen selection sequence through the f64 oracle.
+
+    For each round, conditions on the device's choice and returns
+    (score_of_choice, max_score) pairs.  Used where the field has exact
+    symmetries (regular grids): mirror-image candidates have *identical*
+    scores in exact arithmetic, so sequence equality is ill-posed and the
+    fidelity criterion becomes per-round ε-optimality of the device's pick
+    under the f64 oracle.
+    """
+    N = K.shape[0]
+    nv = np.broadcast_to(np.asarray(noise_var, np.float64), (N,))
+    C = K.astype(np.float64).copy()
+    taken = np.zeros(N, bool)
+    P = np.linalg.inv(K + np.diag(nv)) if strategy == "mi" else None
+    for j in pilot_idx:
+        c = C[:, j] / np.sqrt(C[j, j] + nv[j])
+        C -= np.outer(c, c)
+        taken[j] = True
+        if P is not None:
+            P = _precision_delete(P, j)
+    out = []
+    for j in selections:
+        j = int(j)
+        num = np.diag(C) + nv
+        score = num / (1.0 / np.diag(P)) if strategy == "mi" else num
+        score[taken] = -np.inf
+        out.append((float(score[j]), float(score.max())))
+        c = C[:, j] / np.sqrt(C[j, j] + nv[j])
+        C -= np.outer(c, c)
+        taken[j] = True
+        if P is not None:
+            P = _precision_delete(P, j)
+    return out
+
+
 def _precision_delete(P, j):
     P = P - np.outer(P[:, j], P[j, :]) / P[j, j]
     P[j, :] = 0.0

@@ -1,0 +1,237 @@
+"""Golden acceptance tests — one per BASELINE.json config (judge-facing,
+SURVEY.md §4 item 4), downsized to CPU-mesh scale but structurally
+identical to the v5e benchmark workloads."""
+
+import dataclasses
+import json
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from algp_tpu import acquisition as acq
+from algp_tpu import cli
+from algp_tpu.config import (
+    AcquisitionConfig, EpisodeConfig, ExperimentConfig, FieldConfig, FitConfig,
+)
+from algp_tpu.episode import Agent
+from algp_tpu.field import FieldEnv
+from algp_tpu.models import gp as gp_mod
+from algp_tpu.ops.kernels import KernelSpec
+from algp_tpu.utils import checkpoint as ckpt
+from algp_tpu.utils.metrics import MetricsLogger
+
+import oracle
+
+
+def small_field(rows=8, cols=12, seed=0, **kw):
+    return FieldEnv(FieldConfig(num_rows=rows, num_cols=cols, seed=seed, **kw))
+
+
+# ------------------------------- config 1 ----------------------------------
+
+
+def test_c1_rbf_fit_and_posterior():
+    """Exact GP, RBF, synthetic 2-D grid: MLL fit + posterior mean/var
+    (BASELINE.json:7)."""
+    env = small_field(rows=10, cols=20, seed=2)  # 200 pts
+    spec = KernelSpec("rbf", ds=2)
+    rng = np.random.default_rng(0)
+    train = rng.choice(env.n, 80, replace=False)
+    s = env.collect(train, "precise")
+    m = gp_mod.ExactGP(spec, FitConfig(iters=150, restarts=2))
+    res = m.fit(np.asarray(env.X)[s.indices], s.y)
+    assert np.isfinite(float(res.nll))
+    mean, var = m.predict(env.X)
+    assert env.rmse(np.asarray(mean)) < 0.6 * env.rmse(np.zeros(env.n))
+    # device posterior must match the f64 oracle at the fitted hyperparams
+    ls = float(np.exp(np.asarray(res.params.log_ls_spatial))[0])
+    os_ = float(np.exp(res.params.log_outputscale))
+    nv = max(float(np.exp(2 * res.params.log_noise)), 1e-6) + 1e-6
+    x_np = np.asarray(env.X, np.float64)[s.indices]
+    K = oracle.gram(x_np, x_np, ls_spatial=np.exp(np.asarray(res.params.log_ls_spatial)),
+                    outputscale=os_) + nv * np.eye(80)
+    Kc = oracle.gram(x_np, np.asarray(env.X, np.float64),
+                     ls_spatial=np.exp(np.asarray(res.params.log_ls_spatial)),
+                     outputscale=os_)
+    m_ref, v_ref = oracle.posterior(K, Kc, os_ * np.ones(env.n), s.y)
+    np.testing.assert_allclose(np.asarray(mean), m_ref, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(var), v_ref, atol=5e-3)
+
+
+# ------------------------------- config 2 ----------------------------------
+
+
+@pytest.mark.parametrize("optimizer", ["adam", "lbfgs"])
+def test_c2_composite_multirestart(optimizer):
+    """Matérn + composite spatial×feature kernel, multi-restart Adam/L-BFGS
+    (BASELINE.json:8)."""
+    spec = KernelSpec("matern52", "rbf", ds=2, df=3)
+    env = FieldEnv(FieldConfig(num_rows=8, num_cols=12, num_features=3, seed=5),
+                   spec)
+    rng = np.random.default_rng(1)
+    train = rng.choice(env.n, 60, replace=False)
+    s = env.collect(train, "precise")
+    cfg = FitConfig(optimizer=optimizer, iters=80, restarts=3, perturb=0.7)
+    res = gp_mod.fit(
+        spec, cfg, env.X[jnp.asarray(s.indices)], jnp.asarray(s.y, jnp.float32)
+    )
+    assert res.all_nlls.shape == (3,)
+    assert np.isfinite(np.array(res.all_nlls)).all()
+    assert float(res.nll) == np.array(res.all_nlls).min()
+
+
+# ----------------------------- configs 3 & 4 -------------------------------
+
+
+@pytest.mark.parametrize("strategy", ["entropy", "mi"])
+def test_c3_c4_greedy_50_rounds_grid_eps_optimal(strategy):
+    """50-round greedy entropy/MI on the REGULAR row grid (BASELINE.json:9-10).
+
+    A regular grid has exact mirror symmetries: symmetric candidates carry
+    *identical* scores in exact arithmetic, so index-sequence equality is
+    ill-posed there (any f32 device falls on either side of a true tie).
+    The fidelity criterion on symmetric fields is per-round ε-optimality
+    of each device pick under the f64 oracle; exact sequence equality is
+    asserted on symmetry-free (jittered) fields below and in
+    test_acquisition.py.
+    """
+    env = small_field(rows=10, cols=15, seed=7)  # 150 pts
+    spec = KernelSpec("rbf", ds=2)
+    params = spec.init_params(ls_spatial=3.0, outputscale=1.0, noise=0.15)
+    pilot = np.linspace(0, env.n - 1, 8).round().astype(np.int32)
+    nv = 0.15**2
+    res = acq.greedy_select(
+        spec, params, env.X, jnp.full((env.n,), nv, jnp.float32),
+        jnp.asarray(pilot), rounds=50, num_pilot=8, strategy=strategy,
+    )
+    K = oracle.gram(np.asarray(env.X, np.float64), np.asarray(env.X, np.float64),
+                    ls_spatial=3.0, outputscale=1.0)
+    pairs = oracle.follow_selection(K, nv, np.array(res.selected), pilot,
+                                    strategy=strategy)
+    for r, (chosen, best) in enumerate(pairs):
+        assert chosen >= best - 1e-4 * abs(best), (r, chosen, best)
+
+
+@pytest.mark.parametrize("strategy", ["entropy", "mi"])
+def test_c3_c4_greedy_50_rounds_jittered_exact(strategy):
+    """Same workload on a symmetry-free (jittered) grid: the device's
+    50-round index sequence must equal the f64 oracle's exactly."""
+    rng = np.random.default_rng(17)
+    rows, cols = 10, 15
+    r, c = np.divmod(np.arange(rows * cols), cols)
+    x = np.stack([c + 0.1 * rng.standard_normal(rows * cols),
+                  r + 0.1 * rng.standard_normal(rows * cols)], 1)
+    spec = KernelSpec("rbf", ds=2)
+    params = spec.init_params(ls_spatial=3.0, outputscale=1.0, noise=0.15)
+    pilot = np.linspace(0, len(x) - 1, 8).round().astype(np.int32)
+    nv = 0.15**2
+    res = acq.greedy_select(
+        spec, params, jnp.asarray(x, jnp.float32),
+        jnp.full((len(x),), nv, jnp.float32),
+        jnp.asarray(pilot), rounds=50, num_pilot=8, strategy=strategy,
+    )
+    K = oracle.gram(x, x, ls_spatial=3.0, outputscale=1.0)
+    if strategy == "entropy":
+        sel_ref, _ = oracle.greedy_variance_selection(K, nv, 50, pilot)
+    else:
+        sel_ref, _ = oracle.greedy_mi_selection(K, nv, 50, pilot)
+    np.testing.assert_array_equal(np.array(res.selected), sel_ref)
+
+
+# ------------------------------- config 5 ----------------------------------
+
+
+@pytest.mark.parametrize("strategy", ["mi", "entropy", "uniform", "naive"])
+def test_c5_episode_all_strategies(strategy):
+    """Full informative-path episode: pilot → plan → sense → update loop
+    with budget bookkeeping (BASELINE.json:11)."""
+    env = small_field(rows=6, cols=10, seed=3)
+    cfg = ExperimentConfig(
+        kernel=KernelSpec("rbf", ds=2),
+        fit=FitConfig(iters=40, restarts=1),
+        acquisition=AcquisitionConfig(strategy=strategy),
+        field=env.cfg,
+        episode=EpisodeConfig(num_pilot=8, budget=30.0, num_waypoints=4,
+                              samples_per_step=5, seed=0),
+    )
+    agent = Agent(env, cfg)
+    result = agent.run(max_steps=20)
+    hist = result.history
+    assert hist[0]["phase"] == "pilot"
+    assert len(hist) > 1, f"{strategy}: no planning steps ran"
+    # budget strictly decreases and is respected
+    budgets = [h["budget_left"] for h in hist]
+    assert all(b2 < b1 + 1e-9 for b1, b2 in zip(budgets, budgets[1:]))
+    # learning happened: final RMSE below pilot RMSE
+    assert result.rmse < hist[0]["rmse"]
+    assert len(result.state.sampled_idx) > cfg.episode.num_pilot
+
+
+def test_c5_episode_heteroscedastic_modality():
+    env = small_field(rows=6, cols=10, seed=9)
+    s_cheap = env.collect([1, 2, 3], "cheap")
+    s_precise = env.collect([4, 5, 6], "precise")
+    spec = KernelSpec("rbf", ds=2)
+    y = np.concatenate([s_cheap.y, s_precise.y])
+    idx = np.concatenate([s_cheap.indices, s_precise.indices])
+    scale = np.concatenate([s_cheap.noise_scale, s_precise.noise_scale])
+    res = gp_mod.fit(
+        spec, FitConfig(iters=30, restarts=1),
+        env.X[jnp.asarray(idx)], jnp.asarray(y, jnp.float32),
+        jnp.asarray(scale, jnp.float32),
+    )
+    assert np.isfinite(float(res.nll))
+
+
+def test_c5_episode_deterministic_and_resumable(tmp_path):
+    env1 = small_field(rows=6, cols=10, seed=11)
+    env2 = small_field(rows=6, cols=10, seed=11)
+    cfg = ExperimentConfig(
+        fit=FitConfig(iters=30, restarts=1),
+        acquisition=AcquisitionConfig(strategy="entropy"),
+        episode=EpisodeConfig(num_pilot=6, budget=20.0, num_waypoints=4,
+                              samples_per_step=4, seed=1),
+    )
+    r1 = Agent(env1, cfg).run(max_steps=10)
+    r2 = Agent(env2, cfg).run(max_steps=10)
+    np.testing.assert_array_equal(r1.state.sampled_idx, r2.state.sampled_idx)
+    assert r1.rmse == pytest.approx(r2.rmse, abs=1e-6)
+    # checkpoint round-trip
+    path = str(tmp_path / "ep.npz")
+    ckpt.save(path, r1.state)
+    st = ckpt.load(path)
+    np.testing.assert_array_equal(st.sampled_idx, r1.state.sampled_idx)
+    np.testing.assert_allclose(st.y, r1.state.y)
+    assert st.budget_left == pytest.approx(r1.state.budget_left)
+    np.testing.assert_allclose(
+        np.asarray(st.params.log_ls_spatial),
+        np.asarray(r1.state.params.log_ls_spatial),
+    )
+
+
+# --------------------------------- CLI -------------------------------------
+
+
+def test_cli_smoke(tmp_path, capsys):
+    metrics = tmp_path / "m.jsonl"
+    rc = cli.main([
+        "--strategy", "entropy", "--rows", "5", "--cols", "8",
+        "--budget", "12", "--num-pilot", "5", "--samples-per-step", "4",
+        "--iters", "20", "--restarts", "1",
+        "--metrics-jsonl", str(metrics),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    summary = json.loads(out[-1])
+    assert "final_rmse" in summary and np.isfinite(summary["final_rmse"])
+    lines = [json.loads(l) for l in metrics.read_text().splitlines()]
+    assert lines and lines[0]["phase"] == "pilot"
+
+
+def test_cli_preset_round_trip():
+    args = cli.build_parser().parse_args(["--preset", "c4_mi"])
+    cfg = cli.config_from_args(args)
+    assert cfg.acquisition.strategy == "mi"
+    assert cfg.acquisition.rounds == 50

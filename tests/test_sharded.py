@@ -1,0 +1,88 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md §4 item 5; real-chip validation is the driver's dry run)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from algp_tpu.config import FitConfig
+from algp_tpu.models import gp as gp_mod
+from algp_tpu.ops.kernels import KernelSpec
+from algp_tpu.parallel import make_mesh, sharded_fit, sharded_training_step
+from algp_tpu.parallel.sharded import sharded_greedy_select
+from algp_tpu import acquisition as acq
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multi-device mesh"
+)
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(8)
+    assert mesh.shape["restarts"] * mesh.shape["grid"] == 8
+    mesh1 = make_mesh(1)
+    assert mesh1.shape["restarts"] == 1
+
+
+def test_sharded_fit_matches_single_device(rng):
+    spec = KernelSpec("rbf", ds=2)
+    x = jnp.asarray(rng.uniform(0, 10, (64, 2)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal(64), jnp.float32)
+    cfg = FitConfig(iters=30, restarts=4)
+    key = jax.random.PRNGKey(0)
+    res_s = sharded_fit(make_mesh(8), spec, cfg, x, y, key=key)
+    res_1 = gp_mod.fit(spec, cfg, x, y, key=key)
+    np.testing.assert_allclose(
+        np.asarray(res_s.all_nlls), np.asarray(res_1.all_nlls),
+        rtol=1e-4, atol=1e-4,
+    )
+    assert int(res_s.best_restart) == int(res_1.best_restart)
+
+
+def test_sharded_greedy_matches_single_device(rng):
+    spec = KernelSpec("rbf", ds=2)
+    params = spec.init_params(ls_spatial=2.0, noise=0.1)
+    x = jnp.asarray(rng.uniform(0, 10, (256, 2)), jnp.float32)
+    nv = jnp.full((256,), 0.01, jnp.float32)
+    pilot = jnp.asarray([0, 100], jnp.int32)
+    mesh = make_mesh(8)
+    r_s = sharded_greedy_select(
+        mesh, spec, params, x, nv, pilot, rounds=10, num_pilot=2,
+        strategy="entropy",
+    )
+    r_1 = acq.greedy_select(
+        spec, params, x, nv, pilot, rounds=10, num_pilot=2, strategy="entropy",
+    )
+    np.testing.assert_array_equal(np.asarray(r_s.selected), np.asarray(r_1.selected))
+
+
+def test_sharded_training_step_executes(rng):
+    mesh = make_mesh(8)
+    spec = KernelSpec("rbf", ds=2)
+    cfg = FitConfig(iters=10, restarts=4)
+    x_train = jnp.asarray(rng.uniform(0, 10, (24, 2)), jnp.float32)
+    y_train = jnp.asarray(rng.standard_normal(24), jnp.float32)
+    x_grid = jnp.asarray(rng.uniform(0, 10, (256, 2)), jnp.float32)
+    nv = jnp.full((256,), 0.01, jnp.float32)
+    pilot = jnp.asarray([0, 7], jnp.int32)
+    params, nlls, selected, post_var = sharded_training_step(
+        mesh, spec, cfg, x_train, y_train, x_grid, nv, pilot, rounds=4
+    )
+    sel = np.asarray(selected)
+    assert np.isfinite(np.asarray(nlls)).all()
+    assert len(np.unique(sel)) == 4
+    assert np.asarray(post_var).shape == (256,)
+
+
+def test_graft_entry_single_and_multichip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    mean, var = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(mean)).all()
+    assert np.asarray(var).min() >= 0
+    ge.dryrun_multichip(8)
