@@ -1,0 +1,122 @@
+"""Fused Pallas update kernels vs their XLA reference forms."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from algp_tpu import acquisition as acq
+from algp_tpu.ops import linalg as la
+from algp_tpu.ops.updates import precision_delete_fused
+
+
+def random_precision(rng, n):
+    A = rng.standard_normal((n, n + 8))
+    K = A @ A.T / n + 0.1 * np.eye(n)
+    return np.linalg.inv(K).astype(np.float32)
+
+
+def test_precision_delete_fused_matches_reference(rng):
+    n = 300  # exercises partial tiles at tile=256
+    P = random_precision(rng, n)
+    j = 137
+    Pj = jnp.asarray(P)
+    ref = np.array(la.precision_delete(Pj, jnp.asarray(j)))
+    out = np.array(
+        precision_delete_fused(
+            jnp.asarray(P), jnp.asarray(j), jnp.asarray(P[j, j]),
+            jnp.asarray(P[:, j]), tile=256,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+    assert out[j, j] == 1.0
+    assert np.all(out[j, :j] == 0) and np.all(out[:j, j] == 0)
+
+
+def test_precision_delete_fused_sequence(rng):
+    n = 128
+    P = random_precision(rng, n)
+    Pf = jnp.asarray(P)
+    Pr = jnp.asarray(P)
+    for j in [5, 77, 31]:
+        pjj = Pf[j, j]
+        u = Pf[:, j]
+        Pf = precision_delete_fused(Pf, jnp.asarray(j), pjj, u, tile=128)
+        Pr = la.precision_delete(Pr, jnp.asarray(j))
+    np.testing.assert_allclose(np.array(Pf), np.array(Pr), rtol=1e-4, atol=1e-5)
+
+
+def test_batch_pilot_condition_matches_sequential(rng):
+    from algp_tpu.ops.kernels import KernelSpec
+
+    spec = KernelSpec("rbf", ds=2)
+    params = spec.init_params(ls_spatial=2.0, noise=0.1)
+    x = jnp.asarray(rng.uniform(0, 10, (120, 2)), jnp.float32)
+    nv = jnp.full((120,), 0.01, jnp.float32)
+    d0 = jnp.full((120,), 1.0, jnp.float32)
+    pilot = jnp.asarray([3, 50, 90, 7], jnp.int32)
+    C, d, taken = acq._batch_pilot_condition(
+        spec, params, x, nv, pilot, jnp.asarray(4), d0
+    )
+    # sequential reference in f64
+    import oracle
+
+    K = oracle.gram(np.asarray(x, np.float64), np.asarray(x, np.float64),
+                    ls_spatial=2.0, outputscale=1.0)
+    Cref = K.copy()
+    for j in [3, 50, 90, 7]:
+        c = Cref[:, j] / np.sqrt(Cref[j, j] + 0.01)
+        Cref -= np.outer(c, c)
+    np.testing.assert_allclose(np.array(d), np.diag(Cref), atol=2e-4)
+    assert np.array(taken).sum() == 4
+
+
+def test_batch_pilot_condition_padding_noop(rng):
+    from algp_tpu.ops.kernels import KernelSpec
+
+    spec = KernelSpec("rbf", ds=2)
+    params = spec.init_params(ls_spatial=2.0, noise=0.1)
+    x = jnp.asarray(rng.uniform(0, 10, (60, 2)), jnp.float32)
+    nv = jnp.full((60,), 0.01, jnp.float32)
+    d0 = jnp.full((60,), 1.0, jnp.float32)
+    pilot_full = jnp.asarray([3, 30], jnp.int32)
+    pilot_pad = jnp.asarray([3, 30, 0, 0], jnp.int32)  # 2 padded slots
+    C1, d1, t1 = acq._batch_pilot_condition(
+        spec, params, x, nv, pilot_full, jnp.asarray(2), d0
+    )
+    C2, d2, t2 = acq._batch_pilot_condition(
+        spec, params, x, nv, pilot_pad, jnp.asarray(2), d0
+    )
+    np.testing.assert_allclose(np.array(d1), np.array(d2), atol=1e-6)
+    np.testing.assert_allclose(np.array(C1), np.array(C2[:2]), atol=1e-6)
+    assert np.all(np.array(C2[2:]) == 0)
+    np.testing.assert_array_equal(np.array(t1), np.array(t2))
+
+
+def test_batch_precision_delete_matches_sequential(rng):
+    n = 90
+    P = random_precision(rng, n)
+    idx = jnp.asarray([4, 40, 77], jnp.int32)
+    out = np.array(acq._batch_precision_delete(jnp.asarray(P), idx, jnp.asarray(3)))
+    ref = jnp.asarray(P)
+    for j in [4, 40, 77]:
+        ref = la.precision_delete(ref, jnp.asarray(j))
+    np.testing.assert_allclose(out, np.array(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_greedy_select_nonaligned_matches_alignment_padding(rng):
+    """Padding the candidate axis to 256 must not change selections."""
+    from algp_tpu.ops.kernels import KernelSpec
+
+    spec = KernelSpec("rbf", ds=2)
+    params = spec.init_params(ls_spatial=2.0, noise=0.1)
+    # 300 candidates → padded internally to 512
+    x = jnp.asarray(rng.uniform(0, 12, (300, 2)), jnp.float32)
+    nv = jnp.full((300,), 0.01, jnp.float32)
+    pilot = jnp.asarray([0, 150], jnp.int32)
+    res = acq.greedy_select(spec, params, x, nv, pilot, rounds=12,
+                            num_pilot=2, strategy="mi")
+    assert res.post_var.shape == (300,)
+    assert res.basis.shape[1] == 300
+    sel = np.array(res.selected)
+    assert np.all(sel < 300)
+    assert len(np.unique(sel)) == 12
