@@ -61,6 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--metrics-jsonl", help="stream per-round metrics to file")
     p.add_argument("--checkpoint", help="save final episode state to .npz")
+    p.add_argument("--resume", help="resume an episode from a checkpoint .npz")
+    p.add_argument("--plots", help="write field-map/curve/path figures here")
+    p.add_argument("--profile-dir", help="capture a jax.profiler trace here")
     return p
 
 
@@ -97,8 +100,17 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
 
+    from algp_tpu.utils.profiling import trace
+
+    resume_state = None
+    if args.resume:
+        from algp_tpu.utils import checkpoint as ckpt
+
+        resume_state = ckpt.load(args.resume)
+
     stream = open(args.metrics_jsonl, "w") if args.metrics_jsonl else None
     summaries = []
+    histories = {}
     try:
         for run in range(args.runs):
             fieldc = dataclasses.replace(cfg.field, seed=cfg.field.seed + run)
@@ -106,7 +118,22 @@ def main(argv=None) -> int:
             run_cfg = dataclasses.replace(cfg, field=fieldc, episode=epc)
             env = FieldEnv(fieldc, run_cfg.kernel)
             agent = Agent(env, run_cfg, MetricsLogger(stream))
-            result = agent.run()
+            with trace(args.profile_dir if run == 0 else None):
+                result = agent.run(
+                    resume_from=resume_state if run == 0 else None
+                )
+            histories[f"run{run}"] = result.history
+            if args.plots:
+                import os
+
+                from algp_tpu.utils import plotting
+
+                os.makedirs(args.plots, exist_ok=True)
+                plotting.field_maps(
+                    env, result.mean, result.var,
+                    sampled_idx=result.state.sampled_idx,
+                    path=os.path.join(args.plots, f"maps_run{run}.png"),
+                )
             summaries.append({
                 "run": run,
                 "final_rmse": result.rmse,
@@ -125,6 +152,15 @@ def main(argv=None) -> int:
     finally:
         if stream is not None:
             stream.close()
+
+    if args.plots and histories:
+        import os
+
+        from algp_tpu.utils import plotting
+
+        plotting.learning_curves(
+            histories, path=os.path.join(args.plots, "curves.png")
+        )
 
     if len(summaries) > 1:
         rmses = [s["final_rmse"] for s in summaries]

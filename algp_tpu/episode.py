@@ -240,15 +240,30 @@ class Agent:
 
     # ------------------------------------------------------------ episode
 
-    def run(self, max_steps: int = 1000) -> EpisodeResult:
+    def run(self, max_steps: int = 1000,
+            resume_from: Optional[EpisodeState] = None) -> EpisodeResult:
+        """Run (or resume) an episode.  `resume_from` restarts mid-episode
+        from a checkpointed EpisodeState (utils.checkpoint) — selection is
+        a pure function of that state, so the continuation is exact."""
         ep = self.cfg.episode
-        st = self.pilot_survey()
-        key = jax.random.PRNGKey(ep.seed)
+        if resume_from is not None:
+            st = resume_from
+            if st.rng_state is not None:
+                if "agent" in st.rng_state:
+                    self.rng.bit_generator.state = st.rng_state["agent"]
+                if "env" in st.rng_state:
+                    self.env._rng.bit_generator.state = st.rng_state["env"]
+            key = jax.random.fold_in(jax.random.PRNGKey(ep.seed), st.step)
+        else:
+            st = self.pilot_survey()
+            key = jax.random.PRNGKey(ep.seed)
         t0 = time.perf_counter()
-        self.fit_model(st, key)
+        if st.params is None:
+            self.fit_model(st, key)
         mean, var = self.predict_field(st)
         self.logger.log(
-            step=0, phase="pilot", n_sampled=len(st.sampled_idx),
+            step=st.step, phase="pilot" if resume_from is None else "resume",
+            n_sampled=len(st.sampled_idx),
             rmse=self.env.rmse(mean), mean_var=float(var.mean()),
             budget_left=st.budget_left,
             fit_s=round(time.perf_counter() - t0, 4),
@@ -281,6 +296,12 @@ class Agent:
                 self._P_cache = None  # params changed → re-seed precision
             t_fit = time.perf_counter() - t0
             mean, var = self.predict_field(st)
+            # keep rng states in the episode state so a checkpoint written
+            # after this step resumes noise draws exactly (SURVEY.md §5)
+            st.rng_state = {
+                "agent": self.rng.bit_generator.state,
+                "env": self.env._rng.bit_generator.state,
+            }
             self.logger.log(
                 step=st.step, phase="plan",
                 n_sampled=len(st.sampled_idx),

@@ -214,6 +214,32 @@ def test_c5_episode_deterministic_and_resumable(tmp_path):
 # --------------------------------- CLI -------------------------------------
 
 
+def test_episode_resume_continues_exactly(tmp_path):
+    """Resuming from a mid-episode checkpoint reproduces the uninterrupted
+    run: same sampled set, same final RMSE (SURVEY.md §5 checkpoint row)."""
+    cfg = ExperimentConfig(
+        fit=FitConfig(iters=30, restarts=1),
+        acquisition=AcquisitionConfig(strategy="entropy"),
+        episode=EpisodeConfig(num_pilot=6, budget=24.0, num_waypoints=4,
+                              samples_per_step=4, seed=2),
+    )
+    # uninterrupted reference run
+    env_a = small_field(rows=6, cols=10, seed=21)
+    full = Agent(env_a, cfg).run(max_steps=10)
+    # interrupted run: stop after 3 steps, checkpoint, resume fresh
+    env_b = small_field(rows=6, cols=10, seed=21)
+    half = Agent(env_b, cfg).run(max_steps=3)
+    path = str(tmp_path / "mid.npz")
+    ckpt.save(path, half.state)
+    st = ckpt.load(path)
+    env_c = small_field(rows=6, cols=10, seed=21)
+    resumed = Agent(env_c, cfg).run(max_steps=10, resume_from=st)
+    np.testing.assert_array_equal(
+        resumed.state.sampled_idx, full.state.sampled_idx
+    )
+    assert resumed.rmse == pytest.approx(full.rmse, abs=1e-5)
+
+
 def test_cli_smoke(tmp_path, capsys):
     metrics = tmp_path / "m.jsonl"
     rc = cli.main([

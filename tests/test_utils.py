@@ -1,0 +1,82 @@
+"""Utility-layer tests: metrics logger, debug/health checks, plotting."""
+
+import io
+import json
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from algp_tpu.config import FieldConfig, FitConfig
+from algp_tpu.field import FieldEnv
+from algp_tpu.models import gp as gp_mod
+from algp_tpu.ops.kernels import KernelSpec
+from algp_tpu.utils import debug
+from algp_tpu.utils.metrics import MetricsLogger
+
+
+def test_metrics_logger_stream_and_series():
+    buf = io.StringIO()
+    log = MetricsLogger(buf)
+    log.log(step=0, rmse=1.0)
+    log.log(step=1, rmse=0.5)
+    lines = [json.loads(l) for l in buf.getvalue().splitlines()]
+    assert [l["rmse"] for l in lines] == [1.0, 0.5]
+    assert log.series("rmse") == [1.0, 0.5]
+    assert log.last()["step"] == 1
+    assert all("t_wall" in l for l in lines)
+
+
+def test_assert_finite_tree_raises():
+    good = {"a": jnp.ones(3), "b": [jnp.zeros(2)]}
+    debug.assert_finite_tree(good)
+    bad = {"a": jnp.asarray([1.0, np.nan])}
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        debug.assert_finite_tree(bad, "state")
+
+
+def test_checked_catches_nan():
+    import jax
+
+    def f(x):
+        return jnp.log(x)  # NaN for negative input
+
+    err, out = debug.checked(f)(jnp.asarray(-1.0))
+    with pytest.raises(Exception):
+        err.throw()
+    err2, out2 = debug.checked(f)(jnp.asarray(2.0))
+    err2.throw()  # no error
+    assert np.isfinite(float(out2))
+
+
+def test_fit_health_report(rng):
+    spec = KernelSpec("rbf", ds=2)
+    x = jnp.asarray(rng.uniform(0, 10, (50, 2)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal(50), jnp.float32)
+    res = gp_mod.fit(spec, FitConfig(iters=30, restarts=2), x, y)
+    rep = debug.fit_health_report(res)
+    assert rep["restarts"] == 2
+    assert rep["diverged_restarts"] == 0
+    assert rep["nll_improvement"] > 0
+    assert 0 < rep["noise_std"] < 10
+
+
+def test_plotting_smoke(tmp_path):
+    env = FieldEnv(FieldConfig(num_rows=5, num_cols=8, seed=0))
+    from algp_tpu.utils import plotting
+
+    mean = np.zeros(env.n)
+    var = np.ones(env.n)
+    plotting.field_maps(env, mean, var, sampled_idx=[0, 5, 10],
+                        path=str(tmp_path / "maps.png"))
+    plotting.learning_curves(
+        {"mi": [{"n_sampled": 10, "rmse": 1.0, "mean_var": 0.9},
+                {"n_sampled": 20, "rmse": 0.6, "mean_var": 0.5}]},
+        path=str(tmp_path / "curves.png"),
+    )
+    plotting.path_plot(env, [[0, 1, 2, 10], [10, 18, 26]],
+                       path=str(tmp_path / "paths.png"))
+    assert (tmp_path / "maps.png").exists()
+    assert (tmp_path / "curves.png").exists()
+    assert (tmp_path / "paths.png").exists()
