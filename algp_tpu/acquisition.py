@@ -47,6 +47,7 @@ from jax import lax
 from algp_tpu.ops import linalg as la
 from algp_tpu.ops.gram import gram_pallas_with_noise
 from algp_tpu.ops.kernels import KernelParams, KernelSpec, gram, gram_diag
+from algp_tpu.ops.updates import wtw_column
 
 _HIGH = lax.Precision.HIGHEST
 
@@ -238,9 +239,8 @@ def _greedy_select_jit(
         B, d = _condition(B, d, col, j, nv[j], t)
         if strategy == "mi":
             # current precision column: u = (WᵀW)[:,j] − F·G[:,j]
-            e_j = jnp.zeros((N,), jnp.float32).at[j].set(1.0)
-            w_j = jnp.dot(W, e_j, precision=_HIGH)  # W[:, j], coalesced
-            u0 = jnp.dot(w_j, W, precision=_HIGH)  # wᵀW = (WᵀW)[:, j]
+            # (one fused Pallas pass over W; see ops.updates.wtw_column)
+            u0 = wtw_column(W, j)
             g_j = lax.dynamic_slice_in_dim(G, j, 1, axis=1)[:, 0]
             u = u0 - jnp.dot(F, g_j, precision=_HIGH)
             pjj = pdiag[j]

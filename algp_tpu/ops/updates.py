@@ -30,6 +30,92 @@ def _on_tpu() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
+# ---------------------------------------------------------------------------
+# Fused (WᵀW)[:, j] — the Krause-MI per-round precision column
+# ---------------------------------------------------------------------------
+
+
+def _wtw_col_kernel(tile: int, j_ref, w_ref, wblk_ref, out_ref):
+    ii = pl.program_id(0)
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    # tiles strictly above the diagonal of lower-triangular W contribute 0
+    @pl.when(ki >= ii)
+    def _():
+        # TPU blocks must be 128-wide: wblk is the 128-lane group holding
+        # column j; mask-select that lane into a (Tk, 1) vector
+        lane = j_ref[0] % 128
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (tile, 128), 1)
+        wcol = jnp.sum(
+            jnp.where(lanes == lane, wblk_ref[...], 0.0),
+            axis=1, keepdims=True,
+        )  # (Tk, 1)
+        # (1, Tk) @ (Tk, Ti) on the MXU
+        out_ref[...] += jax.lax.dot_general(
+            wcol, w_ref[...],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
+@partial(jax.jit, static_argnames=("tile", "interpret"))
+def wtw_column(
+    W: jax.Array,
+    j: jax.Array,
+    *,
+    tile: int = 256,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """(WᵀW)[:, j] for lower-triangular W, in ONE pass over W.
+
+    The naive XLA form needs two full matvec passes (w = W e_j, then
+    wᵀW ⇒ 2×|W| HBM traffic).  Here the w-column tile (T,1) is fetched
+    directly via scalar-prefetch *data-dependent block indexing* — the
+    BlockSpec index map reads j from SMEM — and each (i-tile, k-tile)
+    program accumulates w_kᵀ·W_block on the MXU into the output row
+    vector, with strictly-above-diagonal tiles skipped.  One |W| pass,
+    ~2× less traffic per MI round.  Requires N % tile == 0 (callers keep
+    the candidate axis 256-aligned).
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    N = W.shape[0]
+    assert N % tile == 0, f"wtw_column needs aligned N, got {N} % {tile}"
+    nb = N // tile
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb, nb),  # (ii, ki): ki minor ⇒ contiguous output revisits
+        in_specs=[
+            pl.BlockSpec(
+                (tile, tile), lambda ii, ki, j_ref: (ki, ii),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile, 128), lambda ii, ki, j_ref: (ki, j_ref[0] // 128),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile), lambda ii, ki, j_ref: (0, ii), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        partial(_wtw_col_kernel, tile),
+        out_shape=jax.ShapeDtypeStruct((1, N), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=N * N, bytes_accessed=4 * (N * N // 2 + 2 * N),
+            transcendentals=0,
+        ),
+    )(j.reshape(1).astype(jnp.int32), W, W)
+    return out[0]
+
+
 def _pdelete_kernel(tile: int, j_ref, inv_ref, ui_ref, uk_ref, p_ref, out_ref):
     i = pl.program_id(0)
     k = pl.program_id(1)

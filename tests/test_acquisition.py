@@ -96,6 +96,31 @@ def test_variance_monotonically_decreases(rng):
     assert pv[np.array(res.selected)].max() < 0.5 * prior_var
 
 
+def test_greedy_marginal_gains_nonincreasing(rng):
+    """Submodularity spot-check (SURVEY.md §4 item 3): the greedy-chosen
+    entropy score is non-increasing round over round (diminishing
+    returns of conditioning), and the MI trace shows the same trend."""
+    spec, params, x, K, nv = setup_field(rng, n=200)
+    res = acq.greedy_select(
+        spec, params, jnp.asarray(x, jnp.float32),
+        jnp.full((200,), nv, jnp.float32),
+        jnp.zeros((0,), jnp.int32), rounds=25, num_pilot=0,
+        strategy="entropy", return_scores=True,
+    )
+    best = np.array(res.scores).max(axis=1)
+    assert np.all(np.diff(best) <= 1e-5)
+    res_mi = acq.greedy_select(
+        spec, params, jnp.asarray(x, jnp.float32),
+        jnp.full((200,), nv, jnp.float32),
+        jnp.zeros((0,), jnp.int32), rounds=25, num_pilot=0,
+        strategy="mi", return_scores=True,
+    )
+    best_mi = np.array(res_mi.scores).max(axis=1)
+    # MI ratio gains trend down; allow small non-monotonic wiggle
+    assert best_mi[-1] < best_mi[0]
+    assert np.all(np.diff(best_mi) <= 0.05 * best_mi[0])
+
+
 def test_selection_has_no_duplicates(rng):
     spec, params, x, K, nv = setup_field(rng, n=120)
     pilot = np.array([3, 77], np.int32)

@@ -45,6 +45,17 @@ def test_precision_delete_fused_sequence(rng):
     np.testing.assert_allclose(np.array(Pf), np.array(Pr), rtol=1e-4, atol=1e-5)
 
 
+def test_wtw_column_matches_dense(rng):
+    from algp_tpu.ops.updates import wtw_column
+
+    N = 512
+    W = np.tril(rng.standard_normal((N, N)).astype(np.float32))
+    P = W.T @ W
+    for j in [0, 77, 255, 511]:
+        out = np.array(wtw_column(jnp.asarray(W), jnp.asarray(j)))
+        np.testing.assert_allclose(out, P[:, j], rtol=1e-5, atol=1e-4)
+
+
 def test_batch_pilot_condition_matches_sequential(rng):
     from algp_tpu.ops.kernels import KernelSpec
 
