@@ -50,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-pilot", type=int)
     p.add_argument("--samples-per-step", type=int)
     p.add_argument("--noise-std", type=float)
+    p.add_argument("--modality", choices=("precise", "cheap", "mixed"),
+                   help="sensing-modality policy for collected samples")
     p.add_argument("--cheap-noise-mult", type=float)
     p.add_argument("--data-path", help="phenotype CSV (row,range,height,feat_*)")
     p.add_argument("--optimizer", choices=("adam", "lbfgs"))
@@ -91,7 +93,8 @@ def config_from_args(args) -> ExperimentConfig:
                 cheap_noise_mult=args.cheap_noise_mult,
                 data_path=args.data_path, seed=args.seed)
     ep = rep(ep, budget=args.budget, num_pilot=args.num_pilot,
-             samples_per_step=args.samples_per_step, seed=args.seed)
+             samples_per_step=args.samples_per_step, seed=args.seed,
+             modality=args.modality)
     return ExperimentConfig(kernel=kernel, fit=fit, acquisition=acqc,
                             field=field, episode=ep)
 

@@ -77,6 +77,13 @@ class EpisodeConfig:
     num_waypoints: int = 8  # planning horizon: paths per replan
     samples_per_step: int = 10
     refit_every: int = 1  # refit hyperparams every k model updates
+    # sensing-modality policy per planning step (C5 / BASELINE.json:11):
+    #   "precise" — slow/accurate sensor everywhere
+    #   "cheap"   — fast/noisy sensor everywhere
+    #   "mixed"   — cheap along the path, one precise measurement at the
+    #               path's highest-variance site (the paper's two-modality
+    #               phenotyping story)
+    modality: str = "precise"
     seed: int = 0
 
 

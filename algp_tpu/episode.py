@@ -215,6 +215,25 @@ class Agent:
         best = int(np.argmax(util))
         return batch.node_seqs[best], float(batch.costs[best])
 
+    def _sense(self, st: EpisodeState, nv, sample_nodes: list):
+        """Collect measurements along a path under the modality policy
+        (C5, BASELINE.json:11).  "mixed" spends the expensive sensor on the
+        single highest-posterior-variance site of the path and the cheap
+        sensor on the rest — the paper's two-modality phenotyping setup."""
+        policy = self.cfg.episode.modality
+        if policy in ("precise", "cheap"):
+            return [self.env.collect(sample_nodes, policy)]
+        if policy != "mixed":
+            raise ValueError(f"unknown modality policy {policy!r}")
+        _, post_var = self._conditioning_state(st, nv)
+        pv = np.asarray(post_var)[np.asarray(sample_nodes)]
+        best = int(np.argmax(pv))
+        cheap_nodes = [n for i, n in enumerate(sample_nodes) if i != best]
+        out = [self.env.collect([sample_nodes[best]], "precise")]
+        if cheap_nodes:
+            out.append(self.env.collect(cheap_nodes, "cheap"))
+        return out
+
     def _pad_idx(self, idx) -> jnp.ndarray:
         """Pad an index batch to the static capacity with -1 sentinels so
         the jitted precision deletes compile once."""
@@ -281,11 +300,14 @@ class Agent:
             sample_nodes = [n for n in nodes if n != st.pose][: self._k_max]
             if not sample_nodes:
                 break
-            modality = "precise"
-            s = self.env.collect(sample_nodes, modality)
-            st.sampled_idx = np.concatenate([st.sampled_idx, s.indices])
-            st.y = np.concatenate([st.y, s.y])
-            st.noise_scale = np.concatenate([st.noise_scale, s.noise_scale])
+            samples = self._sense(st, nv, sample_nodes)
+            st.sampled_idx = np.concatenate(
+                [st.sampled_idx] + [s.indices for s in samples]
+            )
+            st.y = np.concatenate([st.y] + [s.y for s in samples])
+            st.noise_scale = np.concatenate(
+                [st.noise_scale] + [s.noise_scale for s in samples]
+            )
             st.pose = int(nodes[-1])
             st.budget_left -= cost
 

@@ -156,6 +156,12 @@ def tri_inv(L: jax.Array, *, leaf: int = 256) -> jax.Array:
     single huge row-sequential triangular_solve(L, I) by a wide margin at
     N≈10k and avoids its OOM-ing scratch (SURVEY.md §7.6).
     Shapes are static: the recursion unrolls at trace time.
+
+    Measured alternative (2026-08-16, v5e, N=10240): a bottom-up batched
+    formulation (one vmapped leaf trisolve + per-level batched −W_c B W_a
+    einsums) is ~2× SLOWER than this recursion — the block-diagonal
+    gather/scatter reshuffles over the 400 MB buffer at every level cost
+    more than the recursion's concatenations.  Keep the recursion.
     """
     n = L.shape[-1]
     if n <= leaf:

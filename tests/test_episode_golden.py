@@ -169,6 +169,27 @@ def test_c5_episode_all_strategies(strategy):
     assert len(result.state.sampled_idx) > cfg.episode.num_pilot
 
 
+@pytest.mark.parametrize("modality", ["cheap", "mixed"])
+def test_c5_episode_modality_policies(modality):
+    """Two-modality sensing policies thread heteroscedastic noise scales
+    through the whole episode (BASELINE.json:11)."""
+    env = small_field(rows=6, cols=10, seed=13)
+    cfg = ExperimentConfig(
+        fit=FitConfig(iters=30, restarts=1),
+        acquisition=AcquisitionConfig(strategy="entropy"),
+        episode=EpisodeConfig(num_pilot=6, budget=20.0, num_waypoints=4,
+                              samples_per_step=4, seed=0, modality=modality),
+    )
+    result = Agent(env, cfg).run(max_steps=8)
+    scales = result.state.noise_scale
+    cheap_scale = env.cfg.cheap_noise_mult**2
+    assert (scales == cheap_scale).any(), "no cheap-modality samples"
+    if modality == "mixed":
+        # pilots + one precise sample per planning step
+        assert (scales == 1.0).sum() > 6
+    assert result.rmse < result.history[0]["rmse"] * 1.2  # still learns
+
+
 def test_c5_episode_heteroscedastic_modality():
     env = small_field(rows=6, cols=10, seed=9)
     s_cheap = env.collect([1, 2, 3], "cheap")
