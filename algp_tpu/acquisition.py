@@ -47,7 +47,7 @@ from jax import lax
 from algp_tpu.ops import linalg as la
 from algp_tpu.ops.gram import gram_pallas_with_noise
 from algp_tpu.ops.kernels import KernelParams, KernelSpec, gram, gram_diag
-from algp_tpu.ops.updates import wtw_column
+from algp_tpu.ops.updates import wtw_column_streamed as wtw_column
 
 _HIGH = lax.Precision.HIGHEST
 
