@@ -115,10 +115,21 @@ def sharded_greedy_select(
     """Greedy selection with the candidate axis sharded over 'grid'.
 
     The N-axis of every large buffer (X rows, noise, posterior variance,
-    basis columns, precision rows) is laid out across the grid axis; the
-    jitted loop from acquisition.py runs under GSPMD, which turns the
-    global argmax and the selected-column gathers into ICI collectives.
+    basis columns) is laid out across the grid axis; the jitted loop from
+    acquisition.py runs under GSPMD, which turns the global argmax and the
+    selected-column gathers into ICI collectives.
+
+    Only "entropy" is supported multi-chip today: the MI path's Pallas
+    kernels (tiled Gram seed, streamed precision-column) are single-chip
+    programs that GSPMD cannot partition — sharding MI needs an explicit
+    shard_map decomposition of the W passes (planned follow-up).
     """
+    if strategy == "mi":
+        raise NotImplementedError(
+            "sharded MI selection requires a shard_map decomposition of "
+            "the implicit-precision passes; use strategy='entropy' on a "
+            "mesh, or run MI single-chip"
+        )
     shard_n = NamedSharding(mesh, P("grid"))
     shard_rows = NamedSharding(mesh, P("grid", None))
     rep = NamedSharding(mesh, P())
