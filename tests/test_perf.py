@@ -1,0 +1,64 @@
+"""Perf regression harness (SURVEY.md §4 item 6) — perf-only, TPU-only.
+
+Asserts the north-star budget (BASELINE.json:5): full active-sampling
+episode — multi-restart MLL fit + 50 greedy MI selections over a
+10k-point grid — under 1 s on one TPU chip.  Skipped on the CPU test
+mesh (conftest forces the CPU platform unless ALGP_TPU_PERF=1); run
+explicitly on hardware with:
+
+    ALGP_TPU_PERF=1 python -m pytest tests/test_perf.py -q
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+import jax
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="perf budget is defined on TPU hardware",
+)
+
+
+@pytest.mark.perf
+def test_episode_under_one_second():
+    import jax.numpy as jnp
+
+    from algp_tpu import acquisition as acq
+    from algp_tpu.config import FieldConfig, FitConfig
+    from algp_tpu.field import FieldEnv
+    from algp_tpu.models import gp as gp_mod
+    from algp_tpu.ops.kernels import KernelSpec
+
+    spec = KernelSpec("rbf", ds=2)
+    env = FieldEnv(
+        FieldConfig(num_rows=100, num_cols=100, true_ls_spatial=8.0, seed=0),
+        spec,
+    )
+    pilot = np.linspace(0, env.n - 1, 32).round().astype(np.int32)
+    s = env.collect(pilot, "precise")
+    x_p = env.X[jnp.asarray(s.indices)]
+    y_p = jnp.asarray(s.y, jnp.float32)
+    pj = jnp.asarray(s.indices, jnp.int32)
+    cfg = FitConfig(iters=100, restarts=4)
+
+    def episode(key):
+        res = gp_mod.fit(spec, cfg, x_p, y_p, key=key)
+        nv = jnp.full((env.n,), 0.01, jnp.float32)
+        sel = acq.greedy_select(
+            spec, res.params, env.X, nv, pj,
+            rounds=50, num_pilot=32, strategy="mi",
+        )
+        return res.nll, sel.selected
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    jax.block_until_ready(episode(keys[0]))  # compile
+    times = []
+    for k in keys[1:]:
+        t0 = time.perf_counter()
+        jax.block_until_ready(episode(k))
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    assert med < 1.0, f"episode took {med * 1e3:.0f} ms (budget 1000 ms)"
