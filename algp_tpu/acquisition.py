@@ -385,6 +385,12 @@ def score_candidate_sets(
     Padded slots contribute identity rows ⇒ zero log-det contribution.
     One small k_max×k_max Cholesky per set, vmapped over the path batch.
     """
+    if strategy == "mi" and P is None:
+        raise ValueError(
+            "score_candidate_sets(strategy='mi') needs the complement "
+            "precision P — build it with acquisition.complement_precision "
+            "and maintain it with delete_from_precision"
+        )
     k_max = sets.shape[1]
 
     def one(idx, size):

@@ -257,6 +257,61 @@ def fit(
     )
 
 
+@partial(jax.jit, static_argnames=("spec", "cfg", "has_noise_scale"))
+def _fit_multi_jit(spec, cfg, x, Y, noise_scale, inits, has_noise_scale):
+    ns = noise_scale if has_noise_scale else None
+
+    def one_trait(y):
+        run = lambda p0: _fit_single(spec, cfg, x, y, ns, p0)
+        best_p, best_nll, trace = jax.vmap(run)(inits)
+        k = jnp.argmin(best_nll)
+        params = jax.tree_util.tree_map(lambda a: a[k], best_p)
+        return FitResult(params=params, nll=best_nll[k], all_nlls=best_nll,
+                         nll_trace=trace, best_restart=k)
+
+    return jax.vmap(one_trait, in_axes=1)(Y)
+
+
+def fit_multi(
+    spec: KernelSpec,
+    cfg: FitConfig,
+    x: jax.Array,
+    Y: jax.Array,
+    noise_scale: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None,
+) -> FitResult:
+    """Fit independent GPs for T traits sharing the same plots, batched.
+
+    Phenotyping measures several traits per plot (height, width, counts…);
+    the reference fits one trait per run.  Here Y is (n, T) and the whole
+    traits × restarts × iters space runs as ONE jitted program (nested
+    vmap: T·R Cholesky factorizations batched per optimizer step), so
+    fitting 10 traits costs barely more wall-clock than one.
+
+    Returns a FitResult whose leaves carry a leading trait axis; use
+    `trait_result(res, t)` to extract one trait's result.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, cfg.restarts)
+    base = dict(
+        ls_spatial=cfg.init_ls_spatial, ls_feature=cfg.init_ls_feature,
+        outputscale=cfg.init_outputscale, noise=cfg.init_noise,
+    )
+    inits = [spec.init_params(**base)] + [
+        spec.init_params(key=k, perturb=cfg.perturb, **base) for k in keys[1:]
+    ]
+    inits = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *inits)
+    return _fit_multi_jit(
+        spec, cfg, x, Y, noise_scale, inits, noise_scale is not None
+    )
+
+
+def trait_result(res: FitResult, t: int) -> FitResult:
+    """Extract trait t's FitResult from a `fit_multi` batch."""
+    return jax.tree_util.tree_map(lambda a: a[t], res)
+
+
 # ---------------------------------------------------------------------------
 # Posterior (C3): predictive mean / variance over the grid
 # ---------------------------------------------------------------------------

@@ -53,20 +53,25 @@ def main() -> None:
         )
         return fit_res.nll, sel.selected
 
+    def run_forced(key):
+        """Execute one episode and force completion via a host transfer of
+        the small outputs — `block_until_ready` under-reports on this TPU
+        plugin for some call patterns; a device→host copy cannot lie."""
+        nll, sel = episode(key)
+        return float(np.asarray(nll)), np.asarray(sel)
+
     # warm-up: compile both programs (first XLA compile is ~seconds)
     keys = jax.random.split(jax.random.PRNGKey(0), 8)
-    nll, sel = episode(keys[0])
-    jax.block_until_ready((nll, sel))
+    _, sel = run_forced(keys[0])
 
     times = []
     for i in range(5):
         t0 = time.perf_counter()
-        nll, sel = episode(keys[i + 1])
-        jax.block_until_ready((nll, sel))
+        _, sel = run_forced(keys[i + 1])
         times.append(time.perf_counter() - t0)
 
     ms = float(np.median(times) * 1e3)
-    sel_np = np.asarray(sel)
+    sel_np = sel
     assert len(np.unique(sel_np)) == rounds, "selection degeneracy"
     print(json.dumps({
         "metric": "episode_fit_plus_50_MI_selections_N10000",

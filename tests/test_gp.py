@@ -162,6 +162,29 @@ def test_composite_kernel_fit_runs(rng):
     assert res.params.log_ls_feature.shape == (3,)
 
 
+def test_fit_multi_traits_match_individual_fits(rng):
+    """fit_multi's per-trait results must equal separate fit() calls."""
+    spec = KernelSpec("rbf", ds=2)
+    n, T = 70, 3
+    x = jnp.asarray(rng.uniform(0, 10, (n, 2)), jnp.float32)
+    Y = jnp.asarray(rng.standard_normal((n, T)), jnp.float32)
+    cfg = FitConfig(iters=40, restarts=2)
+    key = jax.random.PRNGKey(5)
+    multi = gp_mod.fit_multi(spec, cfg, x, Y, key=key)
+    assert np.asarray(multi.nll).shape == (T,)
+    for t in range(T):
+        single = gp_mod.fit(spec, cfg, x, Y[:, t], key=key)
+        rt = gp_mod.trait_result(multi, t)
+        np.testing.assert_allclose(
+            float(rt.nll), float(single.nll), rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(rt.params.log_ls_spatial),
+            np.asarray(single.params.log_ls_spatial),
+            rtol=1e-3, atol=1e-3,
+        )
+
+
 def test_exactgp_facade(rng):
     spec = KernelSpec("rbf", ds=2)
     x, y, f = sample_field(rng, n=200, noise=0.05)
