@@ -123,15 +123,17 @@ def greedy_select(
     if pilot_count is None:
         pilot_count = jnp.asarray(num_pilot, jnp.int32)
 
-    # Pad the candidate axis to a 256 multiple: every big op in the loop
+    # Pad the candidate axis to a 512 multiple: every big op in the loop
     # (Gram, Cholesky, tri_inv, the N×N matmuls, the per-round passes over
     # P) runs measurably faster on MXU/VPU-aligned shapes (a 10000→10240
-    # pad cut the seeding matmul ~2×).  Padded candidates sit at distinct
-    # far-away coordinates (kernel ≈ 0 to everything) and are born
-    # `taken`, so they are inert for selection and keep K_pad well-
+    # pad cut the seeding matmul ~2×), and the streamed precision-column
+    # kernel uses 512² tiles (fewer, bigger DMAs — its per-round cost is
+    # DMA-latency-bound, not bandwidth-bound).  Padded candidates sit at
+    # distinct far-away coordinates (kernel ≈ 0 to everything) and are
+    # born `taken`, so they are inert for selection and keep K_pad well-
     # conditioned for the MI inversion.
     N = x.shape[0]
-    N_pad = (N + 255) // 256 * 256
+    N_pad = (N + 511) // 512 * 512
     if N_pad != N:
         pad = N_pad - N
         far = -1e6 - 1e3 * jnp.arange(1, pad + 1, dtype=jnp.float32)
@@ -239,8 +241,11 @@ def _greedy_select_jit(
         B, d = _condition(B, d, col, j, nv[j], t)
         if strategy == "mi":
             # current precision column: u = (WᵀW)[:,j] − F·G[:,j]
-            # (one fused Pallas pass over W; see ops.updates.wtw_column)
-            u0 = wtw_column(W, j)
+            # (one fused Pallas pass over W; see ops.updates.wtw_column).
+            # 512² tiles measured best at N=10k: the round is DMA-latency
+            # bound, so 256² pays 4× the copy count (+60 ms/episode) while
+            # 1024² coarsens the triangle skip (+9 ms) and squeezes VMEM.
+            u0 = wtw_column(W, j, tile=512)
             g_j = lax.dynamic_slice_in_dim(G, j, 1, axis=1)[:, 0]
             u = u0 - jnp.dot(F, g_j, precision=_HIGH)
             pjj = pdiag[j]
