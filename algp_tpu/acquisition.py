@@ -70,13 +70,14 @@ class SelectionResult:
     basis: jax.Array
 
 
-def _posterior_col(spec, params, x, j, B, d, t):
-    """Posterior covariance column for candidate j given the first t basis
-    rows, and its normaliser.  O(N·d + N·T) with fixed reduction order."""
+def _posterior_col(spec, params, x, j, B):
+    """Posterior covariance column for candidate j given the filled basis
+    rows of B (unfilled rows are zero).  O(N·d + N·T), fixed reduction
+    order."""
     xj = lax.dynamic_slice_in_dim(x, j, 1, axis=0)
     prior_col = gram(spec, params, x, xj)[:, 0]
     Bj = lax.dynamic_slice_in_dim(B, j, 1, axis=1)[:, 0]  # B[:, j]
-    proj = jnp.dot(B.T, Bj, precision=_HIGH)  # rows ≥ t are zero
+    proj = jnp.dot(B.T, Bj, precision=_HIGH)
     return prior_col - proj
 
 
@@ -101,15 +102,19 @@ def greedy_select(
     strategy: str = "entropy",
     return_scores: bool = False,
     pilot_count: Optional[jax.Array] = None,
+    pilot_nv: Optional[jax.Array] = None,
 ) -> SelectionResult:
     """Greedy active sampling over N candidates, one jitted device loop.
 
     x         : (N, dim) all candidate locations (+features)
-    nv        : (N,) effective observation-noise variance per candidate —
-                for pilot entries this must already reflect the *observed*
-                modality (heteroscedastic conditioning)
+    nv        : (N,) effective observation-noise variance per candidate
+                (FUTURE measurements)
     pilot_idx : (num_pilot,) indices already sampled (conditioned first,
                 never re-selected); pass shape-(0,) for none
+    pilot_nv  : optional (num_pilot,) per-OBSERVATION noise variance for
+                the pilot measurements (heteroscedastic conditioning; a
+                node sampled twice with different modalities keeps both
+                scales).  Defaults to nv gathered at pilot_idx
     pilot_count: optional traced scalar ≤ num_pilot — only the first
                 pilot_count pilot slots are real (static-shape padding for
                 the episode loop; padded slots are skipped exactly)
@@ -122,6 +127,8 @@ def greedy_select(
         raise ValueError(f"unknown strategy {strategy!r}")
     if pilot_count is None:
         pilot_count = jnp.asarray(num_pilot, jnp.int32)
+    if pilot_nv is None:
+        pilot_nv = nv[pilot_idx] if num_pilot else jnp.zeros((0,), jnp.float32)
 
     # Pad the candidate axis to a 512 multiple: every big op in the loop
     # (Gram, Cholesky, tri_inv, the N×N matmuls, the per-round passes over
@@ -142,7 +149,7 @@ def greedy_select(
         )
         nv = jnp.concatenate([nv, jnp.ones((pad,), nv.dtype)])
     res = _greedy_select_jit(
-        spec, params, x, nv, pilot_idx, pilot_count,
+        spec, params, x, nv, pilot_idx, pilot_count, pilot_nv,
         rounds=rounds, num_pilot=num_pilot, strategy=strategy,
         return_scores=return_scores, n_valid=N,
     )
@@ -169,6 +176,7 @@ def _greedy_select_jit(
     nv: jax.Array,
     pilot_idx: jax.Array,
     pilot_count: jax.Array,
+    pilot_nv: jax.Array,
     *,
     rounds: int,
     num_pilot: int,
@@ -191,7 +199,7 @@ def _greedy_select_jit(
     # identical to sequential rank-1 conditioning in pilot order
     if num_pilot:
         C, d0, taken_pilot = _batch_pilot_condition(
-            spec, params, x, nv, pilot_idx, pilot_count, d0
+            spec, params, x, pilot_nv, pilot_idx, pilot_count, d0
         )
         taken0 = jnp.logical_or(taken0, taken_pilot)
         B0 = lax.dynamic_update_slice(B0, C, (0, 0))
@@ -237,7 +245,7 @@ def _greedy_select_jit(
             scores = lax.dynamic_update_slice(scores, s[None, :], (r, 0))
 
         t = num_pilot + r
-        col = _posterior_col(spec, params, x, j, B, d, t)
+        col = _posterior_col(spec, params, x, j, B)
         B, d = _condition(B, d, col, j, nv[j], t)
         if strategy == "mi":
             # current precision column: u = (WᵀW)[:,j] − F·G[:,j]
@@ -302,7 +310,7 @@ def _implicit_pilot_delete(W, pilot_idx, pilot_count, F, G, pdiag, num_pilot):
     return F, G, pdiag
 
 
-def _batch_pilot_condition(spec, params, x, nv, pilot_idx, pilot_count, d0):
+def _batch_pilot_condition(spec, params, x, pilot_nv, pilot_idx, pilot_count, d0):
     """Condition the candidate field on all pilots in ONE batched op.
 
     Returns (C, d, taken): C (m_max, N) are the basis rows (row t is the
@@ -316,7 +324,7 @@ def _batch_pilot_condition(spec, params, x, nv, pilot_idx, pilot_count, d0):
     valid = jnp.arange(m_max) < pilot_count
     idx_safe = jnp.where(valid, pilot_idx, 0)
     xA = x[idx_safe]
-    KA = gram(spec, params, xA, xA) + jnp.diag(nv[idx_safe])
+    KA = gram(spec, params, xA, xA) + jnp.diag(pilot_nv)
     pair = valid[:, None] & valid[None, :]
     KA = jnp.where(pair, KA, jnp.eye(m_max, dtype=jnp.float32))
     LA = jnp.linalg.cholesky(KA)
@@ -369,7 +377,6 @@ def score_candidate_sets(
     x: jax.Array,
     nv: jax.Array,
     basis: jax.Array,
-    post_var: jax.Array,
     sets: jax.Array,
     set_sizes: jax.Array,
     P: Optional[jax.Array] = None,
@@ -380,11 +387,16 @@ def score_candidate_sets(
 
     sets      : (num_sets, k_max) candidate indices, padded with 0
     set_sizes : (num_sets,) true sizes; padded slots are masked to identity
-    basis / post_var: conditioning state from a previous `greedy_select`
+    basis     : conditioning state from a previous `greedy_select`
                 (or zeros for the prior)
     P         : complement precision (required for strategy="mi")
 
-    entropy:  H(z_S | A) = ½ log det(Cov_S|A + Σ_S)   (+ const, dropped)
+    entropy:  the INFORMATION GAIN of the measurements about the field,
+              I(f_S; z_S | A) = ½[log det(Cov_S|A + Σ_S) − log det(Σ_S)]
+              — non-negative by construction, so per-cost utilities rank
+              correctly (raw joint entropy goes negative once posterior
+              variances drop below ~1 and would then FAVOR expensive
+              paths when divided by cost)
     mi:       H(z_S | A) − H(z_S | z_V∖A∖S)
               = ½[ log det(Cov_S|A + Σ_S) + log det(P_SS) ]
     Padded slots contribute identity rows ⇒ zero log-det contribution.
@@ -410,7 +422,8 @@ def score_candidate_sets(
         L1 = jnp.linalg.cholesky(M1)
         h = jnp.sum(jnp.log(jnp.diagonal(L1)))
         if strategy == "entropy":
-            return h
+            # subtract the noise-entropy floor ⇒ information gain ≥ 0
+            return h - 0.5 * jnp.sum(jnp.where(mask, jnp.log(nv[idx]), 0.0))
         Pss = P[idx[:, None], idx[None, :]]
         Pss = jnp.where(mask[:, None] & mask[None, :], Pss, 0.0)
         Pss = Pss + jnp.diag(jnp.where(mask, 0.0, 1.0))

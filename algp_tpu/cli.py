@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--preset", choices=sorted(PRESETS), default=None,
                    help="start from one of the five acceptance configs")
+    p.add_argument("--mode", choices=("episode", "greedy"), default="episode",
+                   help="'episode': informative-path sim loop (config 5); "
+                   "'greedy': pure greedy selection over ALL grid "
+                   "candidates for --acq-rounds rounds (configs 3-4, "
+                   "teleporting sensor, no path constraints)")
     p.add_argument("--strategy", choices=("mi", "entropy", "uniform", "naive"))
     p.add_argument("--kernel", choices=("rbf", "matern32", "matern52"))
     p.add_argument("--feature-kernel", choices=("rbf", "matern32", "matern52"))
@@ -99,9 +104,82 @@ def config_from_args(args) -> ExperimentConfig:
                             field=field, episode=ep)
 
 
+def run_greedy(cfg: ExperimentConfig, runs: int, stream=None) -> list[dict]:
+    """Configs 3-4 driver: pilot → fit → `cfg.acquisition.rounds` greedy
+    entropy/MI selections over every grid candidate → collect → refit →
+    RMSE (the reference's non-path active-sampling experiments)."""
+    import jax
+    import jax.numpy as jnp
+
+    from algp_tpu import acquisition as acq
+    from algp_tpu.models import gp as gp_mod
+    from algp_tpu.utils.metrics import MetricsLogger
+
+    summaries = []
+    for run in range(runs):
+        fieldc = dataclasses.replace(cfg.field, seed=cfg.field.seed + run)
+        env = FieldEnv(fieldc, cfg.kernel)
+        log = MetricsLogger(stream)
+        num_pilot = cfg.episode.num_pilot
+        pilot = np.unique(
+            np.linspace(0, env.n - 1, num_pilot).round().astype(np.int64)
+        )
+        s = env.collect(pilot, "precise")
+        key = jax.random.PRNGKey(cfg.episode.seed + run)
+        res = gp_mod.fit(
+            cfg.kernel, cfg.fit, env.X[jnp.asarray(s.indices)],
+            jnp.asarray(s.y, jnp.float32), key=key,
+        )
+        nv_base = float(np.maximum(
+            np.exp(2 * np.asarray(res.params.log_noise)), cfg.fit.min_noise**2
+        ))
+        sel = acq.greedy_select(
+            cfg.kernel, res.params, env.X,
+            jnp.full((env.n,), nv_base, jnp.float32),
+            jnp.asarray(s.indices, jnp.int32),
+            rounds=cfg.acquisition.rounds, num_pilot=len(s.indices),
+            strategy=cfg.acquisition.strategy,
+        )
+        chosen = np.asarray(sel.selected)
+        s2 = env.collect(chosen, "precise")
+        all_idx = np.concatenate([s.indices, s2.indices])
+        all_y = np.concatenate([s.y, s2.y])
+        key2 = jax.random.fold_in(key, 1)
+        res2 = gp_mod.fit(
+            cfg.kernel, cfg.fit, env.X[jnp.asarray(all_idx)],
+            jnp.asarray(all_y, jnp.float32), key=key2,
+        )
+        post = gp_mod.posterior(
+            cfg.kernel, res2.params, env.X[jnp.asarray(all_idx)],
+            jnp.asarray(all_y, jnp.float32),
+        )
+        mean, var = gp_mod.predict(cfg.kernel, res2.params, post, env.X)
+        rec = {
+            "run": run, "mode": "greedy",
+            "strategy": cfg.acquisition.strategy,
+            "rounds": cfg.acquisition.rounds,
+            "n_sampled": int(len(all_idx)),
+            "final_rmse": env.rmse(np.asarray(mean)),
+            "mean_var": float(np.asarray(var).mean()),
+        }
+        log.log(**rec)
+        summaries.append(rec)
+        print(json.dumps(rec))
+    return summaries
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
+
+    if args.mode == "greedy":
+        stream = open(args.metrics_jsonl, "w") if args.metrics_jsonl else None
+        try:
+            run_greedy(cfg, args.runs, stream)
+        finally:
+            if stream is not None:
+                stream.close()
+        return 0
 
     from algp_tpu.utils.profiling import trace
 

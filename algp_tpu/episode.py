@@ -65,6 +65,7 @@ class Agent:
         cap = cfg.episode.num_pilot + (2 * cfg.episode.num_waypoints + 6) * self._k_max
         self._max_samples = (cap + 7) // 8 * 8
         self._P_cache = None
+        self._step_post_var = None
         if cfg.acquisition.strategy not in STRATEGIES:
             raise ValueError(
                 f"unknown strategy {cfg.acquisition.strategy!r}; use {STRATEGIES}"
@@ -116,8 +117,12 @@ class Agent:
         return res
 
     def _noise_vec(self, st: EpisodeState) -> jnp.ndarray:
-        """Effective per-candidate noise variance for future (precise)
-        measurements, from the fitted base noise.
+        """Effective per-candidate noise variance for FUTURE measurements
+        under the episode's modality policy, from the fitted base noise.
+        "cheap"/"mixed" score candidates with the cheap sensor's variance
+        (mixed collects all-but-one sample cheap) so path utilities and
+        the MI complement precision use the noise model that will actually
+        generate the data.
 
         Built host-side: eager jnp ops whose shapes/values change per step
         would each trigger a fresh XLA mini-compile (seconds under this
@@ -128,6 +133,8 @@ class Agent:
                 self.cfg.fit.min_noise**2,
             )
         )
+        if self.cfg.episode.modality in ("cheap", "mixed"):
+            base *= self.env.cfg.cheap_noise_mult**2
         return jnp.asarray(np.full(self.env.n, base, np.float32))
 
     def predict_field(self, st: EpisodeState):
@@ -150,23 +157,35 @@ class Agent:
         one jitted conditioning pass (rounds=0 greedy loop over a padded
         static pilot buffer; compiles once per episode)."""
         _, _, _, m, idx_pad = self._padded_train(st)
-        # observed noise for conditioning uses the *recorded* modality
-        # scales; assembled host-side — an eager device scatter would
-        # recompile at every new sampled-set size (see _noise_vec)
-        nv_np = np.asarray(nv).copy()
-        nv_np[st.sampled_idx] *= st.noise_scale
-        nv_obs = jnp.asarray(nv_np, jnp.float32)
+        # observed noise for conditioning: the fitted base variance scaled
+        # by each measurement's RECORDED modality, per occurrence (a node
+        # sampled twice with different sensors keeps both scales) —
+        # assembled host-side to avoid per-step mini-compiles
+        base = float(
+            np.maximum(
+                np.exp(2.0 * np.asarray(st.params.log_noise)),
+                self.cfg.fit.min_noise**2,
+            )
+        )
+        pnv = np.full(self._max_samples, 1.0, np.float32)
+        pnv[: len(st.sampled_idx)] = base * st.noise_scale
         res = acq.greedy_select(
-            self.spec, st.params, self.env.X, nv_obs,
+            self.spec, st.params, self.env.X, nv,
             idx_pad,
             rounds=0, num_pilot=self._max_samples, strategy="entropy",
-            pilot_count=m,
+            pilot_count=m, pilot_nv=jnp.asarray(pnv),
         )
         return res.basis, res.post_var
 
-    def plan_step(self, st: EpisodeState, nv) -> tuple[list[int], float]:
-        """Choose the next path.  Returns (node sequence, cost)."""
+    def plan_step(
+        self, st: EpisodeState, nv
+    ) -> tuple[list[int], float, list[int]]:
+        """Choose the next path.  Returns (node sequence, cost,
+        sample_sites) — sample_sites is EXACTLY the candidate set the
+        utility scored (the thinned path subset), so what gets measured is
+        what was valued."""
         strat = self.cfg.acquisition.strategy
+        self._step_post_var = None  # cache for _sense('mixed')
         slice_budget = min(
             st.budget_left,
             self.cfg.episode.budget / max(1, self.cfg.episode.num_waypoints),
@@ -174,20 +193,20 @@ class Agent:
         if strat == "naive":
             order = planning.boustrophedon_order(self.env)
             unsampled = order[~np.isin(order, st.sampled_idx)]
-            take = unsampled[: self._k_max]
-            return list(take), float(len(take) * self.env.cfg.col_spacing)
+            take = list(unsampled[: self._k_max])
+            return take, float(len(take) * self.env.cfg.col_spacing), take
         if strat == "uniform":
             unsampled = np.setdiff1d(np.arange(self.env.n), st.sampled_idx)
-            take = self.rng.choice(
+            take = list(np.sort(self.rng.choice(
                 unsampled, min(self._k_max, len(unsampled)), replace=False
-            )
-            return list(np.sort(take)), float(slice_budget)
+            )))
+            return take, float(slice_budget), take
 
         paths = planning.enumerate_paths(
             self.env, st.pose, slice_budget, max_paths=self._pad_paths
         )
         if not paths:
-            return [], 0.0
+            return [], 0.0, []
         batch = planning.paths_to_batch(self.env, paths, k_max=self._k_max)
         # pad the batch to the static compile shape
         P = self._pad_paths
@@ -197,23 +216,27 @@ class Agent:
         sizes[: len(batch)] = batch.sizes
 
         basis, post_var = self._conditioning_state(st, nv)
+        self._step_post_var = np.asarray(post_var)
         Pmat = None
         if strat == "mi":
             Pmat = self._precision(st, nv)
         scores = np.asarray(
             acq.score_candidate_sets(
                 self.spec, st.params, self.env.X, nv,
-                basis, post_var,
+                basis,
                 jnp.asarray(sets), jnp.asarray(sizes),
                 P=Pmat, strategy=strat,
             )
         )[: len(batch)]
-        # utility per unit cost; deterministic min-index tie-break
+        # information gain per unit cost (gains are ≥ 0 up to f32 noise —
+        # clamp so a tiny negative score can never make an expensive path
+        # look better than a cheap one); deterministic min-index tie-break
         eps = 1e-6
-        util = scores.astype(np.float32) / (batch.costs + eps)
+        util = np.maximum(scores.astype(np.float32), 0.0) / (batch.costs + eps)
         util[batch.sizes == 0] = -np.inf
         best = int(np.argmax(util))
-        return batch.node_seqs[best], float(batch.costs[best])
+        sites = list(batch.sets[best][: batch.sizes[best]])
+        return batch.node_seqs[best], float(batch.costs[best]), sites
 
     def _sense(self, st: EpisodeState, nv, sample_nodes: list):
         """Collect measurements along a path under the modality policy
@@ -225,8 +248,12 @@ class Agent:
             return [self.env.collect(sample_nodes, policy)]
         if policy != "mixed":
             raise ValueError(f"unknown modality policy {policy!r}")
-        _, post_var = self._conditioning_state(st, nv)
-        pv = np.asarray(post_var)[np.asarray(sample_nodes)]
+        if self._step_post_var is not None:  # computed by plan_step already
+            post_var = self._step_post_var
+        else:
+            _, pv = self._conditioning_state(st, nv)
+            post_var = np.asarray(pv)
+        pv = post_var[np.asarray(sample_nodes)]
         best = int(np.argmax(pv))
         cheap_nodes = [n for i, n in enumerate(sample_nodes) if i != best]
         out = [self.env.collect([sample_nodes[best]], "precise")]
@@ -272,13 +299,15 @@ class Agent:
                     self.rng.bit_generator.state = st.rng_state["agent"]
                 if "env" in st.rng_state:
                     self.env._rng.bit_generator.state = st.rng_state["env"]
-            key = jax.random.fold_in(jax.random.PRNGKey(ep.seed), st.step)
         else:
             st = self.pilot_survey()
-            key = jax.random.PRNGKey(ep.seed)
+        # per-step fit keys are derived by fold_in(base, step) so a resumed
+        # run uses EXACTLY the keys the uninterrupted run would (a split
+        # chain would diverge after resume for restarts > 1)
+        base_key = jax.random.PRNGKey(ep.seed)
         t0 = time.perf_counter()
         if st.params is None:
-            self.fit_model(st, key)
+            self.fit_model(st, jax.random.fold_in(base_key, st.step))
         mean, var = self.predict_field(st)
         self.logger.log(
             step=st.step, phase="pilot" if resume_from is None else "resume",
@@ -292,13 +321,9 @@ class Agent:
             st.step += 1
             nv = self._noise_vec(st)
             t0 = time.perf_counter()
-            nodes, cost = self.plan_step(st, nv)
+            nodes, cost, sample_nodes = self.plan_step(st, nv)
             t_plan = time.perf_counter() - t0
-            if not nodes or cost <= 0:
-                break
-            # traverse + sense: sample sites are the thinned node set
-            sample_nodes = [n for n in nodes if n != st.pose][: self._k_max]
-            if not sample_nodes:
+            if not nodes or cost <= 0 or not sample_nodes:
                 break
             samples = self._sense(st, nv, sample_nodes)
             st.sampled_idx = np.concatenate(
@@ -313,8 +338,7 @@ class Agent:
 
             t0 = time.perf_counter()
             if st.step % self.cfg.episode.refit_every == 0:
-                key, sub = jax.random.split(key)
-                self.fit_model(st, sub)
+                self.fit_model(st, jax.random.fold_in(base_key, st.step))
                 self._P_cache = None  # params changed → re-seed precision
             t_fit = time.perf_counter() - t0
             mean, var = self.predict_field(st)

@@ -121,8 +121,23 @@ class FieldEnv:
         feat_cols = [c for c in df.columns if c.startswith("feat_")]
         f = np.full(self.n, np.nan)
         feats = np.zeros((self.n, len(feat_cols)), np.float32)
-        idx = df["row"].to_numpy() * self.num_cols + df["range"].to_numpy()
-        valid = (idx >= 0) & (idx < self.n)
+        rows_v = df["row"].to_numpy()
+        cols_v = df["range"].to_numpy()
+        # validate per-axis: a range ≥ num_cols would otherwise wrap into
+        # the next row's cells and silently corrupt the grid
+        valid = (
+            (rows_v >= 0) & (rows_v < self.num_rows)
+            & (cols_v >= 0) & (cols_v < self.num_cols)
+        )
+        dropped = int((~valid).sum())
+        if dropped:
+            import warnings
+
+            warnings.warn(
+                f"{dropped} table rows fall outside the "
+                f"{self.num_rows}x{self.num_cols} grid and were dropped"
+            )
+        idx = rows_v * self.num_cols + cols_v
         f[idx[valid]] = df[value_col].to_numpy()[valid]
         if feat_cols:
             feats[idx[valid]] = df[feat_cols].to_numpy(np.float32)[valid]

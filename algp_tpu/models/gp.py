@@ -151,46 +151,40 @@ def _fit_single(
     if cfg.optimizer == "adam":
         opt = optax.adam(cfg.learning_rate)
 
-        def step(carry, _):
-            p, opt_state, best_nll, best_p = carry
+        def value_grad_update(p, opt_state):
             nll, g = jax.value_and_grad(loss)(p)
             updates, opt_state = opt.update(g, opt_state, p)
-            p_new = optax.apply_updates(p, updates)
-            better = nll < best_nll
-            best_nll = jnp.where(better, nll, best_nll)
-            best_p = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(better, a, b), p, best_p
-            )
-            return (p_new, opt_state, best_nll, best_p), nll
+            return nll, updates, opt_state
 
-        init = (params0, opt.init(params0), jnp.inf, params0)
-        (p_fin, _, best_nll, best_p), trace = lax.scan(
-            step, init, None, length=cfg.iters
-        )
     elif cfg.optimizer == "lbfgs":
         opt = optax.lbfgs()
         vg = optax.value_and_grad_from_state(loss)
 
-        def step(carry, _):
-            p, opt_state, best_nll, best_p = carry
+        def value_grad_update(p, opt_state):
             nll, g = vg(p, state=opt_state)
             updates, opt_state = opt.update(
                 g, opt_state, p, value=nll, grad=g, value_fn=loss
             )
-            p_new = optax.apply_updates(p, updates)
-            better = nll < best_nll
-            best_nll = jnp.where(better, nll, best_nll)
-            best_p = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(better, a, b), p, best_p
-            )
-            return (p_new, opt_state, best_nll, best_p), nll
+            return nll, updates, opt_state
 
-        init = (params0, opt.init(params0), jnp.inf, params0)
-        (p_fin, _, best_nll, best_p), trace = lax.scan(
-            step, init, None, length=cfg.iters
-        )
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+
+    def step(carry, _):
+        p, opt_state, best_nll, best_p = carry
+        nll, updates, opt_state = value_grad_update(p, opt_state)
+        p_new = optax.apply_updates(p, updates)
+        better = nll < best_nll
+        best_nll = jnp.where(better, nll, best_nll)
+        best_p = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(better, a, b), p, best_p
+        )
+        return (p_new, opt_state, best_nll, best_p), nll
+
+    init = (params0, opt.init(params0), jnp.inf, params0)
+    (p_fin, _, best_nll, best_p), trace = lax.scan(
+        step, init, None, length=cfg.iters
+    )
 
     # the final iterate may beat the best tracked pre-update value
     nll_fin = loss(p_fin)
@@ -222,6 +216,30 @@ def _fit_jit(spec, cfg, x, y, noise_scale, inits, has_noise_scale,
     )
 
 
+def make_restart_inits(
+    spec: KernelSpec, cfg: FitConfig, key: Optional[jax.Array] = None
+) -> KernelParams:
+    """Stacked multi-restart initial hyperparameters (restart axis leading).
+
+    Restart 0 is always the unperturbed config init; the rest perturb in
+    log space.  Single source of truth: sharded fitting relies on
+    bit-identical inits to match single-device results."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, cfg.restarts)
+    base = dict(
+        ls_spatial=cfg.init_ls_spatial,
+        ls_feature=cfg.init_ls_feature,
+        outputscale=cfg.init_outputscale,
+        noise=cfg.init_noise,
+    )
+    inits = [spec.init_params(**base)] + [
+        spec.init_params(key=k, perturb=cfg.perturb, **base)
+        for k in keys[1:]
+    ]
+    return jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *inits)
+
+
 def fit(
     spec: KernelSpec,
     cfg: FitConfig,
@@ -237,20 +255,7 @@ def fit(
     `num_valid` enables identity-padded training buffers: x/y/noise_scale
     may be padded to a static size with only the first num_valid entries
     real (y must be 0 in the padding)."""
-    if key is None:
-        key = jax.random.PRNGKey(0)
-    keys = jax.random.split(key, cfg.restarts)
-    base = dict(
-        ls_spatial=cfg.init_ls_spatial,
-        ls_feature=cfg.init_ls_feature,
-        outputscale=cfg.init_outputscale,
-        noise=cfg.init_noise,
-    )
-    inits = [spec.init_params(**base)] + [
-        spec.init_params(key=k, perturb=cfg.perturb, **base)
-        for k in keys[1:]
-    ]
-    inits = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *inits)
+    inits = make_restart_inits(spec, cfg, key)
     return _fit_jit(
         spec, cfg, x, y, noise_scale, inits, noise_scale is not None,
         num_valid, num_valid is not None,
@@ -291,17 +296,7 @@ def fit_multi(
     Returns a FitResult whose leaves carry a leading trait axis; use
     `trait_result(res, t)` to extract one trait's result.
     """
-    if key is None:
-        key = jax.random.PRNGKey(0)
-    keys = jax.random.split(key, cfg.restarts)
-    base = dict(
-        ls_spatial=cfg.init_ls_spatial, ls_feature=cfg.init_ls_feature,
-        outputscale=cfg.init_outputscale, noise=cfg.init_noise,
-    )
-    inits = [spec.init_params(**base)] + [
-        spec.init_params(key=k, perturb=cfg.perturb, **base) for k in keys[1:]
-    ]
-    inits = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *inits)
+    inits = make_restart_inits(spec, cfg, key)
     return _fit_multi_jit(
         spec, cfg, x, Y, noise_scale, inits, noise_scale is not None
     )

@@ -75,17 +75,7 @@ def sharded_fit(
     subset runs its restarts locally and only the final NLL argmin is a
     collective.
     """
-    if key is None:
-        key = jax.random.PRNGKey(0)
-    keys = jax.random.split(key, cfg.restarts)
-    base = dict(
-        ls_spatial=cfg.init_ls_spatial, ls_feature=cfg.init_ls_feature,
-        outputscale=cfg.init_outputscale, noise=cfg.init_noise,
-    )
-    inits = [spec.init_params(**base)] + [
-        spec.init_params(key=k, perturb=cfg.perturb, **base) for k in keys[1:]
-    ]
-    inits = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *inits)
+    inits = gp_mod.make_restart_inits(spec, cfg, key)
     rep = NamedSharding(mesh, P())
     shard_restarts = NamedSharding(mesh, P("restarts"))
     x = jax.device_put(x, rep)
@@ -156,6 +146,7 @@ def _training_step_jit(spec, cfg, inits, x_train, y_train, x_grid, nv,
     sel = acq._greedy_select_jit(
         spec, params, x_grid, nv, pilot_idx,
         jnp.asarray(num_pilot, jnp.int32),
+        nv[pilot_idx],
         rounds=rounds, num_pilot=num_pilot, strategy="entropy",
         return_scores=False,
     )
@@ -181,17 +172,7 @@ def sharded_training_step(
     __graft_entry__.dryrun_multichip): restart inits sharded over
     'restarts', all N-axis buffers sharded over 'grid', one jit.
     """
-    if key is None:
-        key = jax.random.PRNGKey(0)
-    keys = jax.random.split(key, cfg.restarts)
-    base = dict(
-        ls_spatial=cfg.init_ls_spatial, ls_feature=cfg.init_ls_feature,
-        outputscale=cfg.init_outputscale, noise=cfg.init_noise,
-    )
-    inits = [spec.init_params(**base)] + [
-        spec.init_params(key=k, perturb=cfg.perturb, **base) for k in keys[1:]
-    ]
-    inits = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *inits)
+    inits = gp_mod.make_restart_inits(spec, cfg, key)
 
     rep = NamedSharding(mesh, P())
     inits = jax.tree_util.tree_map(

@@ -179,14 +179,16 @@ def test_score_candidate_sets_entropy_matches_dense(rng):
     scores = np.array(
         acq.score_candidate_sets(
             spec, params, x32, nvec,
-            jnp.asarray(basis_pad), res.post_var,
+            jnp.asarray(basis_pad),
             jnp.asarray(sets), jnp.asarray(sizes), strategy="entropy",
         )
     )
     for si, (s, k) in enumerate(zip(sets, sizes)):
         idx = s[:k]
         M = C[np.ix_(idx, idx)] + nv * np.eye(k)
-        ref = 0.5 * np.linalg.slogdet(M)[1]
+        # information gain: joint measurement entropy minus the noise floor
+        ref = 0.5 * (np.linalg.slogdet(M)[1] - k * np.log(nv))
+        assert ref >= 0
         assert scores[si] * 1.0 == pytest.approx(ref, rel=1e-2, abs=1e-2), si
 
 
@@ -196,12 +198,11 @@ def test_score_candidate_sets_mi_matches_dense(rng):
     nvec = jnp.full((80,), nv, jnp.float32)
     P = acq.complement_precision(spec, params, x32, nvec)
     basis = jnp.zeros((4, 80), jnp.float32)
-    d0 = jnp.full((80,), 1.5, jnp.float32)
     sets = np.array([[5, 6, 7], [40, 50, 60]], np.int32)
     sizes = np.array([3, 3], np.int32)
     scores = np.array(
         acq.score_candidate_sets(
-            spec, params, x32, nvec, basis, d0,
+            spec, params, x32, nvec, basis,
             jnp.asarray(sets), jnp.asarray(sizes),
             P=P, strategy="mi",
         )

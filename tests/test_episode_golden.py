@@ -277,6 +277,22 @@ def test_cli_smoke(tmp_path, capsys):
     assert lines and lines[0]["phase"] == "pilot"
 
 
+def test_cli_greedy_mode(capsys):
+    """--mode greedy runs configs 3/4 end-to-end: pilot → fit → N greedy
+    rounds over all candidates → refit → RMSE."""
+    rc = cli.main([
+        "--preset", "c3_entropy", "--rows", "6", "--cols", "10",
+        "--acq-rounds", "12", "--num-pilot", "6",
+        "--iters", "20", "--restarts", "1", "--mode", "greedy",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    rec = json.loads(out[-1])
+    assert rec["mode"] == "greedy" and rec["rounds"] == 12
+    assert rec["n_sampled"] == 6 + 12
+    assert np.isfinite(rec["final_rmse"])
+
+
 def test_cli_preset_round_trip():
     args = cli.build_parser().parse_args(["--preset", "c4_mi"])
     cfg = cli.config_from_args(args)

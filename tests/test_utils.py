@@ -62,6 +62,40 @@ def test_fit_health_report(rng):
     assert 0 < rep["noise_std"] < 10
 
 
+def test_profiling_helpers(tmp_path):
+    from algp_tpu.utils import profiling
+
+    with profiling.annotate("test-region"):
+        x = jnp.sum(jnp.ones(16))
+    with profiling.trace(None):  # no-op path
+        pass
+    sw = profiling.Stopwatch().start()
+    y = jnp.sum(jnp.ones(8))
+    dt = sw.stop(wait_on=y)
+    assert dt >= 0
+    med, result = profiling.timed(lambda a: a * 2, jnp.ones(4), warmup=1, iters=3)
+    assert med >= 0
+    np.testing.assert_array_equal(np.asarray(result), 2 * np.ones(4))
+
+
+def test_cli_config_overrides_compose():
+    from algp_tpu import cli
+
+    args = cli.build_parser().parse_args([
+        "--preset", "c2_composite_restarts", "--kernel", "matern32",
+        "--features", "2", "--optimizer", "lbfgs", "--budget", "55",
+        "--modality", "cheap",
+    ])
+    cfg = cli.config_from_args(args)
+    assert cfg.kernel.spatial_kind == "matern32"  # override wins
+    assert cfg.kernel.df == 2
+    assert cfg.fit.optimizer == "lbfgs"
+    assert cfg.episode.budget == 55
+    assert cfg.episode.modality == "cheap"
+    # untouched preset fields survive
+    assert cfg.fit.restarts == 4
+
+
 def test_plotting_smoke(tmp_path):
     env = FieldEnv(FieldConfig(num_rows=5, num_cols=8, seed=0))
     from algp_tpu.utils import plotting
