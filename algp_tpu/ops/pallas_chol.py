@@ -2,14 +2,18 @@
 
 STATUS (2026-08-16, v5e, N=10240, honest sum-forced timing): correct to
 f32 (checksum parity with XLA to 7 digits) at **54.6 ms vs XLA's 48.1 ms**.
-The remaining gap is the serial dependency chain of the per-panel
-column sweeps (each masked-reduction step depends on the previous one;
-~15 ms of latency-bound work that XLA's factorization overlaps with
-trailing updates).  The known fix is lookahead pipelining — factor panel
-k+1's diagonal block while panel k's trailing update streams — which
-needs a software-pipelined restructure of the grid; budgeted for a later
-round.  Until then `ops.linalg.cholesky` (XLA) remains the default in the
-hot paths and this kernel is the native-algorithm reference.
+Bottleneck definitively isolated: the diagonal micro-factorizations ALONE
+cost 32.2 ms (measured with trailing updates removed), and FULL loop
+unrolling only improves that to 28.3 ms — so it is the inherent serial
+column-dependency critical path (10 240 dependent column steps × ~2.8 µs
+of chained VPU ops), not loop overhead.  Any blocked Cholesky pays this
+chain; XLA's 48 ms is mostly the same chain.  Beating it requires
+OVERLAPPING the trailing-update DMA/MXU stream with the chain (lookahead:
+factor panel k+1's diagonal while panel k's trailing tiles stream), which
+needs the trailing pipeline and the micro-factorization interleaved in
+one instruction stream — budgeted for a later round.  Until then
+`ops.linalg.cholesky` (XLA) remains the default in the hot paths and
+this kernel is the native-algorithm reference.
 
 XLA's `lax.linalg.cholesky` at N≈10k runs at ~7 TFLOP effective on a v5e
 (~48 ms).  This kernel keeps the matrix in HBM and drives the classic
