@@ -7,7 +7,10 @@ cost 32.2 ms (measured with trailing updates removed), and FULL loop
 unrolling only improves that to 28.3 ms — so it is the inherent serial
 column-dependency critical path (10 240 dependent column steps × ~2.8 µs
 of chained VPU ops), not loop overhead.  Any blocked Cholesky pays this
-chain; XLA's 48 ms is mostly the same chain.  Beating it requires
+chain; XLA's 48 ms is mostly the same chain.  Also measured: fusing the
+per-step op chain (pivot extracted from the column vector, single
+combined write) does NOT help either (32.9 ms) — the floor is the
+per-iteration carried-state latency, not op count.  Beating it requires
 OVERLAPPING the trailing-update DMA/MXU stream with the chain (lookahead:
 factor panel k+1's diagonal while panel k's trailing tiles stream), which
 needs the trailing pipeline and the micro-factorization interleaved in
