@@ -281,10 +281,19 @@ def _implicit_pilot_delete(W, pilot_idx, pilot_count, F, G, pdiag, num_pilot):
     P1 = P0 − U0 PA⁻¹ U0ᵀ with U0 = P0[:,A] = Wᵀ(W E_A): stored as
     correction factors F[:, :m] = U0, G[:m] = PA⁻¹U0ᵀ.  Padded pilot
     slots contribute exact zero columns/rows.
+
+    Duplicate pilot indices (a node measured twice, e.g. with different
+    modalities) are deduplicated: in the sequential Schur scheme the
+    second delete of an already-removed index is an exact no-op, whereas
+    in the batched form it would make PA singular and NaN-poison every
+    MI score downstream.  Only the first occurrence participates.
     """
     N = W.shape[0]
     m = num_pilot
     valid = jnp.arange(m) < pilot_count
+    same = (pilot_idx[:, None] == pilot_idx[None, :]) & valid[:, None] & valid[None, :]
+    dup = jnp.tril(same, k=-1).any(axis=1)  # an earlier valid slot holds it
+    valid = valid & ~dup
     idx_safe = jnp.where(valid, pilot_idx, 0)
     E = (
         jnp.zeros((N, m), jnp.float32)

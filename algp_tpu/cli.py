@@ -160,6 +160,7 @@ def run_greedy(cfg: ExperimentConfig, runs: int, stream=None) -> list[dict]:
             "rounds": cfg.acquisition.rounds,
             "n_sampled": int(len(all_idx)),
             "final_rmse": env.rmse(np.asarray(mean)),
+            "final_rmse_test": env.rmse(np.asarray(mean), test_only=True),
             "mean_var": float(np.asarray(var).mean()),
         }
         log.log(**rec)
@@ -218,17 +219,23 @@ def main(argv=None) -> int:
             summaries.append({
                 "run": run,
                 "final_rmse": result.rmse,
+                "final_rmse_test": result.rmse_test,
                 "n_sampled": len(result.state.sampled_idx),
                 "steps": result.state.step,
                 "mean_var": float(np.mean(result.var)),
             })
             print(json.dumps(summaries[-1]))
             if args.checkpoint:
+                import os
+
                 from algp_tpu.utils import checkpoint as ckpt
 
-                path = args.checkpoint
-                if args.runs > 1:
-                    path = path.replace(".npz", f"_run{run}.npz")
+                # normalize to .npz (np.savez appends it anyway) so
+                # per-run names never collide on one surprise file
+                root, ext = os.path.splitext(args.checkpoint)
+                if ext != ".npz":
+                    root += ext  # keep a non-npz "extension" as part of the stem
+                path = f"{root}_run{run}.npz" if args.runs > 1 else root + ".npz"
                 ckpt.save(path, result.state)
     finally:
         if stream is not None:

@@ -10,9 +10,15 @@ thin argparse layer that only fills these dataclasses.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 from algp_tpu.ops.kernels import KernelSpec
+
+_SAMPLE_TABLE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data", "sample_field.csv",
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -131,5 +137,24 @@ PRESETS: dict[str, ExperimentConfig] = {
         field=FieldConfig(num_rows=25, num_cols=40),
         acquisition=AcquisitionConfig(strategy="mi"),
         episode=EpisodeConfig(num_pilot=32, budget=200.0),
+    ),
+    # 5 at north-star scale: the 100×100 = 10k-point grid of the headline
+    # benchmark (BASELINE.json:5), driven through the full path episode.
+    "c5_10k": ExperimentConfig(
+        kernel=KernelSpec(spatial_kind="matern32", ds=2, df=0),
+        field=FieldConfig(num_rows=100, num_cols=100, true_ls_spatial=8.0),
+        acquisition=AcquisitionConfig(strategy="mi", refresh_every=8),
+        episode=EpisodeConfig(num_pilot=64, budget=400.0,
+                              num_waypoints=8, samples_per_step=10),
+    ),
+    # Real-table experiment (SURVEY.md §2 C10): phenotype CSV with genotype
+    # features, composite spatial×feature kernel, mixed sensing modalities.
+    "c10_table": ExperimentConfig(
+        kernel=KernelSpec(spatial_kind="matern52", feature_kind="rbf",
+                          ds=2, df=3),
+        field=FieldConfig(num_rows=25, num_cols=40, num_features=3,
+                          data_path=_SAMPLE_TABLE),
+        acquisition=AcquisitionConfig(strategy="mi"),
+        episode=EpisodeConfig(num_pilot=32, budget=120.0, modality="mixed"),
     ),
 }

@@ -45,7 +45,8 @@ class EpisodeResult:
     history: list[dict]
     mean: np.ndarray  # final posterior mean over the grid
     var: np.ndarray  # final posterior variance over the grid
-    rmse: float
+    rmse: float  # over all ground-truth cells
+    rmse_test: float  # over the held-out split only (C14 headline eval)
 
 
 class Agent:
@@ -312,7 +313,9 @@ class Agent:
         self.logger.log(
             step=st.step, phase="pilot" if resume_from is None else "resume",
             n_sampled=len(st.sampled_idx),
-            rmse=self.env.rmse(mean), mean_var=float(var.mean()),
+            rmse=self.env.rmse(mean),
+            rmse_test=self.env.rmse(mean, test_only=True),
+            mean_var=float(var.mean()),
             budget_left=st.budget_left,
             fit_s=round(time.perf_counter() - t0, 4),
         )
@@ -352,7 +355,9 @@ class Agent:
                 step=st.step, phase="plan",
                 n_sampled=len(st.sampled_idx),
                 n_new=len(sample_nodes), path_cost=round(cost, 3),
-                rmse=self.env.rmse(mean), mean_var=float(var.mean()),
+                rmse=self.env.rmse(mean),
+                rmse_test=self.env.rmse(mean, test_only=True),
+                mean_var=float(var.mean()),
                 budget_left=round(st.budget_left, 3),
                 plan_s=round(t_plan, 4), fit_s=round(t_fit, 4),
             )
@@ -361,4 +366,5 @@ class Agent:
         return EpisodeResult(
             state=st, history=self.logger.history,
             mean=mean, var=var, rmse=self.env.rmse(mean),
+            rmse_test=self.env.rmse(mean, test_only=True),
         )

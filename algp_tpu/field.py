@@ -73,9 +73,15 @@ class FieldEnv:
             jnp.float32,
         )
         self.f = f  # (n,) latent ground truth, f64 host array
-        # train/test split for RMSE eval on table-backed fields; synthetic
-        # fields evaluate against the full latent truth
-        test = self._rng.permutation(self.n)[: max(1, self.n // 5)]
+        # cells with actual ground truth: all of them for synthetic fields;
+        # for tables, only the cells present in the file (missing cells are
+        # mean-imputed for GP conditioning but are NOT truth — counting
+        # them in an RMSE would overstate accuracy)
+        if not hasattr(self, "observed_mask"):
+            self.observed_mask = np.ones(self.n, bool)
+        # held-out split for RMSE eval (drawn from observed cells only)
+        observed = np.flatnonzero(self.observed_mask)
+        test = self._rng.permutation(observed)[: max(1, len(observed) // 5)]
         self.test_mask = np.zeros(self.n, bool)
         self.test_mask[test] = True
 
@@ -103,9 +109,18 @@ class FieldEnv:
             np.concatenate([xy, feats], axis=1) if df else xy, jnp.float32
         )
         K = gram_pallas(spec, params, x_all, x_all)
-        L, _ = la.safe_cholesky(K, initial_jitter=1e-5)
+        L, jit_used = la.safe_cholesky(K, initial_jitter=1e-5)
         z = jax.random.normal(jax.random.PRNGKey(cfg.seed), (self.n,))
         f = np.asarray(L @ z, dtype=np.float64)
+        if not np.isfinite(f).all():
+            # safe_cholesky exhausts its jitter ladder silently; a NaN
+            # ground truth would poison every downstream metric
+            raise ValueError(
+                "synthetic field covariance failed to factor even with "
+                f"jitter {float(jit_used):.3g} — kernel config is "
+                f"pathological (ls_spatial={cfg.true_ls_spatial}, "
+                f"outputscale={cfg.true_outputscale}, n={self.n})"
+            )
         return feats, f
 
     def _load_table(self, path: str):
@@ -141,6 +156,7 @@ class FieldEnv:
         f[idx[valid]] = df[value_col].to_numpy()[valid]
         if feat_cols:
             feats[idx[valid]] = df[feat_cols].to_numpy(np.float32)[valid]
+        self.observed_mask = ~np.isnan(f)
         # fill gaps with the column mean so the grid stays complete
         mu = np.nanmean(f)
         f = np.where(np.isnan(f), mu, f)
@@ -186,8 +202,13 @@ class FieldEnv:
     # ------------------------------------------------------------- metrics
 
     def rmse(self, mean, test_only: bool = False) -> float:
-        """RMSE of a posterior mean field vs the latent truth."""
+        """RMSE of a posterior mean field vs the latent truth.
+
+        Only cells with actual ground truth count (all cells for synthetic
+        fields; for tables, mean-imputed gaps are excluded).  With
+        `test_only`, restrict further to the held-out split — the
+        reference's headline evaluation (SURVEY.md §2 C14).
+        """
         m = np.asarray(mean, np.float64)
-        if test_only:
-            return float(np.sqrt(np.mean((m[self.test_mask] - self.f[self.test_mask]) ** 2)))
-        return float(np.sqrt(np.mean((m - self.f) ** 2)))
+        mask = self.test_mask if test_only else self.observed_mask
+        return float(np.sqrt(np.mean((m[mask] - self.f[mask]) ** 2)))

@@ -225,3 +225,26 @@ def test_delete_from_precision_batch(rng):
     Kn = K + nv * np.eye(50)
     P_ref = np.linalg.inv(Kn[np.ix_(keep, keep)])
     np.testing.assert_allclose(P2[np.ix_(keep, keep)], P_ref, rtol=2e-2, atol=2e-3)
+
+
+def test_mi_duplicate_pilot_indices_stay_finite(rng):
+    """A node measured twice (duplicate pilot index with different noise
+    scales, as the mixed-modality episode produces) must not NaN-poison
+    the MI path: the batched pilot delete dedupes exactly (the second
+    delete of an index is a no-op in the sequential Schur scheme)."""
+    spec, params, x, K, nv = setup_field(rng, n=200)
+    pilot = np.array([3, 50, 50, 120], np.int32)  # 50 sampled twice
+    pilot_nv = jnp.asarray([nv, nv, 25 * nv, nv], jnp.float32)
+    res = acq.greedy_select(
+        spec, params, jnp.asarray(x, jnp.float32),
+        jnp.full((len(x),), nv, jnp.float32),
+        jnp.asarray(pilot), rounds=10, num_pilot=4,
+        strategy="mi", pilot_nv=pilot_nv, return_scores=True,
+    )
+    sel = np.array(res.selected)
+    assert np.isfinite(np.array(res.post_var)).all()
+    # scores of untaken candidates are finite every round
+    scores = np.array(res.scores)
+    assert np.isfinite(scores[scores > -np.inf]).all()
+    assert len(np.unique(sel)) == 10
+    assert not np.isin(sel, pilot).any()

@@ -298,3 +298,75 @@ def test_cli_preset_round_trip():
     cfg = cli.config_from_args(args)
     assert cfg.acquisition.strategy == "mi"
     assert cfg.acquisition.rounds == 50
+
+
+# -------------------------- real-table experiment ---------------------------
+
+
+def test_c10_table_episode_end_to_end(tmp_path):
+    """Table-backed field (phenotype CSV + genotype features) driven through
+    the full mixed-modality MI episode with the composite kernel — the
+    reference's real-data experiment (SURVEY.md §2 C10)."""
+    from algp_tpu.config import PRESETS
+
+    base = PRESETS["c10_table"]
+    cfg = dataclasses.replace(
+        base,
+        fit=dataclasses.replace(base.fit, iters=30, restarts=1),
+        episode=dataclasses.replace(base.episode, num_pilot=12, budget=24.0,
+                                    num_waypoints=4, samples_per_step=4),
+    )
+    env = FieldEnv(cfg.field, cfg.kernel)
+    assert env.features.shape == (env.n, 3)  # genotype features loaded
+    assert env.X.shape == (env.n, 5)  # 2 spatial + 3 feature dims
+    result = Agent(env, cfg).run(max_steps=6)
+    assert len(result.history) > 1
+    # held-out RMSE is logged every round and finite
+    for h in result.history:
+        assert "rmse_test" in h and np.isfinite(h["rmse_test"])
+    assert np.isfinite(result.rmse_test)
+    # mixed modality produced both sensor classes
+    scales = result.state.noise_scale
+    assert (scales == 1.0).any() and (scales > 1.0).any()
+
+
+def test_table_rmse_excludes_imputed_cells(tmp_path):
+    """Missing table cells are mean-imputed for conditioning but must NOT
+    count as ground truth in any RMSE (ADVICE round 1)."""
+    import pandas as pd
+
+    rows, cols = 4, 5
+    rec = [
+        {"row": r, "range": c, "height": 10.0 + r + c}
+        for r in range(rows) for c in range(cols)
+        if not (r == 0 and c < 3)  # 3 missing cells
+    ]
+    path = tmp_path / "t.csv"
+    pd.DataFrame(rec).to_csv(path, index=False)
+    env = FieldEnv(FieldConfig(num_rows=rows, num_cols=cols,
+                               data_path=str(path)))
+    assert env.observed_mask.sum() == rows * cols - 3
+    assert not env.observed_mask[:3].any()
+    # a mean field that is exact on observed cells scores 0 even though the
+    # imputed cells disagree with it
+    mean = env.f.copy()
+    mean[:3] = 99.0
+    assert env.rmse(mean) == pytest.approx(0.0)
+    assert env.rmse(mean, test_only=True) == pytest.approx(0.0)
+    # test split only covers observed cells
+    assert not (env.test_mask & ~env.observed_mask).any()
+
+
+def test_cli_checkpoint_multirun_naming(tmp_path):
+    """--checkpoint without an .npz extension still writes one file per
+    run (ADVICE round 1: str.replace was a silent no-op)."""
+    ck = tmp_path / "state"  # no extension
+    rc = cli.main([
+        "--strategy", "entropy", "--rows", "5", "--cols", "8",
+        "--budget", "8", "--num-pilot", "5", "--samples-per-step", "4",
+        "--iters", "10", "--restarts", "1", "--runs", "2",
+        "--checkpoint", str(ck),
+    ])
+    assert rc == 0
+    assert (tmp_path / "state_run0.npz").exists()
+    assert (tmp_path / "state_run1.npz").exists()
