@@ -70,6 +70,28 @@ class SelectionResult:
     basis: jax.Array
 
 
+def pad_candidates(
+    x: jax.Array, nv: jax.Array, *, align: int = 512
+) -> tuple[jax.Array, jax.Array]:
+    """Pad the candidate axis to an `align` multiple with inert sentinels.
+
+    Padded candidates sit at distinct far-away coordinates (kernel ≈ 0 to
+    everything) and are born `taken` downstream, so they are inert for
+    selection and keep K_pad well-conditioned for the MI inversion.  The
+    sharded selection paths pass align = lcm(512, shards) so every shard
+    gets an equal block.
+    """
+    N = x.shape[0]
+    N_pad = (N + align - 1) // align * align
+    if N_pad == N:
+        return x, nv
+    pad = N_pad - N
+    far = -1e6 - 1e3 * jnp.arange(1, pad + 1, dtype=jnp.float32)
+    x = jnp.concatenate([x, jnp.tile(far[:, None], (1, x.shape[1]))], axis=0)
+    nv = jnp.concatenate([nv, jnp.ones((pad,), nv.dtype)])
+    return x, nv
+
+
 def _posterior_col(spec, params, x, j, B):
     """Posterior covariance column for candidate j given the filled basis
     rows of B (unfilled rows are zero).  O(N·d + N·T), fixed reduction
@@ -135,19 +157,10 @@ def greedy_select(
     # P) runs measurably faster on MXU/VPU-aligned shapes (a 10000→10240
     # pad cut the seeding matmul ~2×), and the streamed precision-column
     # kernel uses 512² tiles (fewer, bigger DMAs — its per-round cost is
-    # DMA-latency-bound, not bandwidth-bound).  Padded candidates sit at
-    # distinct far-away coordinates (kernel ≈ 0 to everything) and are
-    # born `taken`, so they are inert for selection and keep K_pad well-
-    # conditioned for the MI inversion.
+    # DMA-latency-bound, not bandwidth-bound).
     N = x.shape[0]
-    N_pad = (N + 511) // 512 * 512
-    if N_pad != N:
-        pad = N_pad - N
-        far = -1e6 - 1e3 * jnp.arange(1, pad + 1, dtype=jnp.float32)
-        x = jnp.concatenate(
-            [x, jnp.tile(far[:, None], (1, x.shape[1]))], axis=0
-        )
-        nv = jnp.concatenate([nv, jnp.ones((pad,), nv.dtype)])
+    x, nv = pad_candidates(x, nv, align=512)
+    N_pad = x.shape[0]
     res = _greedy_select_jit(
         spec, params, x, nv, pilot_idx, pilot_count, pilot_nv,
         rounds=rounds, num_pilot=num_pilot, strategy=strategy,

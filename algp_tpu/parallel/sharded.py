@@ -104,21 +104,21 @@ def sharded_greedy_select(
 ) -> acq.SelectionResult:
     """Greedy selection with the candidate axis sharded over 'grid'.
 
-    The N-axis of every large buffer (X rows, noise, posterior variance,
-    basis columns) is laid out across the grid axis; the jitted loop from
-    acquisition.py runs under GSPMD, which turns the global argmax and the
-    selected-column gathers into ICI collectives.
+    entropy: the N-axis of every large buffer (X rows, noise, posterior
+    variance, basis columns) is laid out across the grid axis; the jitted
+    loop from acquisition.py runs under GSPMD, which turns the global
+    argmax and the selected-column gathers into ICI collectives.
 
-    Only "entropy" is supported multi-chip today: the MI path's Pallas
-    kernels (tiled Gram seed, streamed precision-column) are single-chip
-    programs that GSPMD cannot partition — sharding MI needs an explicit
-    shard_map decomposition of the W passes (planned follow-up).
+    mi: explicit shard_map decomposition of the implicit-precision passes
+    (the single-chip Pallas kernels cannot be GSPMD-partitioned) — see
+    parallel.sharded_mi.
     """
     if strategy == "mi":
-        raise NotImplementedError(
-            "sharded MI selection requires a shard_map decomposition of "
-            "the implicit-precision passes; use strategy='entropy' on a "
-            "mesh, or run MI single-chip"
+        from algp_tpu.parallel.sharded_mi import sharded_greedy_select_mi
+
+        return sharded_greedy_select_mi(
+            mesh, spec, params, x, nv, pilot_idx,
+            rounds=rounds, num_pilot=num_pilot,
         )
     shard_n = NamedSharding(mesh, P("grid"))
     shard_rows = NamedSharding(mesh, P("grid", None))
@@ -164,13 +164,16 @@ def sharded_training_step(
     pilot_idx: jax.Array,
     *,
     rounds: int = 4,
+    strategy: str = "entropy",
     key=None,
 ):
     """Full DP(restarts) × TP(grid) training step over the mesh.
 
     This is the multi-chip entry the driver dry-runs (see
     __graft_entry__.dryrun_multichip): restart inits sharded over
-    'restarts', all N-axis buffers sharded over 'grid', one jit.
+    'restarts', all N-axis buffers sharded over 'grid'.  entropy runs
+    fit + selection as ONE jit under GSPMD; mi runs the sharded fit then
+    the shard_map MI loop (parallel.sharded_mi) — two device programs.
     """
     inits = gp_mod.make_restart_inits(spec, cfg, key)
 
@@ -185,6 +188,15 @@ def sharded_training_step(
     pilot_idx = jax.device_put(pilot_idx, rep)
 
     num_pilot = int(pilot_idx.shape[0])
+    if strategy == "mi":
+        fit_res = gp_mod._fit_jit(
+            spec, cfg, x_train, y_train, None, inits, False
+        )
+        sel = sharded_greedy_select(
+            mesh, spec, fit_res.params, x_grid, nv, pilot_idx,
+            rounds=rounds, num_pilot=num_pilot, strategy="mi",
+        )
+        return fit_res.params, fit_res.all_nlls, sel.selected, sel.post_var
     return _training_step_jit(
         spec, cfg, inits, x_train, y_train, x_grid, nv, pilot_idx,
         rounds, num_pilot,

@@ -86,3 +86,72 @@ def test_graft_entry_single_and_multichip():
     assert np.isfinite(np.asarray(mean)).all()
     assert np.asarray(var).min() >= 0
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.parametrize("num_pilot", [0, 3])
+def test_sharded_mi_matches_single_device(rng, num_pilot):
+    """The shard_map MI decomposition (parallel.sharded_mi) must reproduce
+    the single-device implicit-precision loop index-for-index."""
+    spec = KernelSpec("rbf", ds=2)
+    params = spec.init_params(ls_spatial=2.0, noise=0.15)
+    x = jnp.asarray(rng.uniform(0, 12, (300, 2)), jnp.float32)
+    nv = jnp.full((300,), 0.15**2, jnp.float32)
+    pilot = jnp.asarray(
+        rng.choice(300, num_pilot, replace=False).astype(np.int32)
+    )
+    mesh = make_mesh(8)
+    r_s = sharded_greedy_select(
+        mesh, spec, params, x, nv, pilot, rounds=15, num_pilot=num_pilot,
+        strategy="mi",
+    )
+    r_1 = acq.greedy_select(
+        spec, params, x, nv, pilot, rounds=15, num_pilot=num_pilot,
+        strategy="mi",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_s.selected), np.asarray(r_1.selected)
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_s.post_var), np.asarray(r_1.post_var), atol=1e-5
+    )
+
+
+def test_sharded_mi_matches_oracle(rng):
+    """Sharded MI against the f64 oracle directly (the BASELINE.json:5
+    fidelity contract, now multi-chip)."""
+    import oracle
+
+    ls, os_, noise = 2.0, 1.5, 0.15
+    spec = KernelSpec("rbf", ds=2)
+    params = spec.init_params(ls_spatial=ls, outputscale=os_, noise=noise)
+    x = rng.uniform(0, 12, (250, 2))
+    nv = noise**2
+    pilot = rng.choice(250, 5, replace=False).astype(np.int32)
+    mesh = make_mesh(8)
+    r_s = sharded_greedy_select(
+        mesh, spec, params, jnp.asarray(x, jnp.float32),
+        jnp.full((250,), nv, jnp.float32), jnp.asarray(pilot),
+        rounds=20, num_pilot=5, strategy="mi",
+    )
+    K = oracle.gram(x, x, ls_spatial=ls, outputscale=os_)
+    sel_ref, _ = oracle.greedy_mi_selection(K, nv, 20, pilot)
+    np.testing.assert_array_equal(np.asarray(r_s.selected), sel_ref)
+
+
+def test_sharded_training_step_mi(rng):
+    mesh = make_mesh(8)
+    spec = KernelSpec("rbf", ds=2)
+    cfg = FitConfig(iters=10, restarts=4)
+    x_train = jnp.asarray(rng.uniform(0, 10, (24, 2)), jnp.float32)
+    y_train = jnp.asarray(rng.standard_normal(24), jnp.float32)
+    x_grid = jnp.asarray(rng.uniform(0, 10, (256, 2)), jnp.float32)
+    nv = jnp.full((256,), 0.01, jnp.float32)
+    pilot = jnp.asarray([0, 7], jnp.int32)
+    params, nlls, selected, post_var = sharded_training_step(
+        mesh, spec, cfg, x_train, y_train, x_grid, nv, pilot,
+        rounds=4, strategy="mi",
+    )
+    sel = np.asarray(selected)
+    assert np.isfinite(np.asarray(nlls)).all()
+    assert len(np.unique(sel)) == 4
+    assert np.asarray(post_var).shape == (256,)
