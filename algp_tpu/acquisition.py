@@ -361,32 +361,6 @@ def _batch_pilot_condition(spec, params, x, pilot_nv, pilot_idx, pilot_count, d0
     return C, d, taken
 
 
-def _batch_precision_delete(P, idx, count):
-    """Remove a whole index batch from the complement precision in ONE
-    block-Schur update:  P' = P − P[:,A] (P[A,A])⁻¹ P[A,:], rows/cols A
-    zeroed, diag A set to 1.  Exact-arithmetic-equal to sequential rank-1
-    deletes in any order; one matmul chain instead of |A| passes over P.
-    Entries of `idx` at positions ≥ count are exact no-ops."""
-    N = P.shape[0]
-    m_max = idx.shape[0]
-    valid = jnp.arange(m_max) < count
-    idx_safe = jnp.where(valid, idx, 0)
-    U = P[:, idx_safe] * valid[None, :].astype(P.dtype)  # (N, m)
-    PA = U[idx_safe, :] * valid[:, None].astype(P.dtype)  # (m, m)
-    pair = valid[:, None] & valid[None, :]
-    PA = jnp.where(pair, PA, jnp.eye(m_max, dtype=P.dtype))
-    LA = jnp.linalg.cholesky(PA)
-    Z = la.cho_solve(LA, U.T)  # (m, N) = PA⁻¹ Uᵀ
-    P = P - jnp.dot(U, Z, precision=_HIGH)
-    keep = (
-        jnp.ones((N,), P.dtype)
-        .at[jnp.where(valid, idx, N)]
-        .set(0.0, mode="drop")
-    )
-    P = P * keep[:, None] * keep[None, :]
-    return P + jnp.diag(1.0 - keep)
-
-
 # ---------------------------------------------------------------------------
 # Path-constrained set scoring (config 5)
 # ---------------------------------------------------------------------------
@@ -402,6 +376,7 @@ def score_candidate_sets(
     sets: jax.Array,
     set_sizes: jax.Array,
     P: Optional[jax.Array] = None,
+    P_implicit: Optional[tuple] = None,
     *,
     strategy: str = "entropy",
 ) -> jax.Array:
@@ -411,7 +386,19 @@ def score_candidate_sets(
     set_sizes : (num_sets,) true sizes; padded slots are masked to identity
     basis     : conditioning state from a previous `greedy_select`
                 (or zeros for the prior)
-    P         : complement precision (required for strategy="mi")
+    P         : dense complement precision — small-N reference path for
+                strategy="mi" (tests cross-check the implicit path with it)
+    P_implicit: (WT, F, ZT, taken) implicit complement precision
+                P = WᵀW − F·ZTᵀ from `implicit_complement_precision` +
+                `implicit_corrections` — the production MI path: P is
+                never materialised, and the per-set blocks come from
+                *row* gathers of WT/F/ZT (coalesced; a column gather from
+                a 400 MB HBM-resident W costs ~27 ms on a v5e).  `taken`
+                (N,) bool marks deleted/sampled candidates: their implicit
+                rows are exactly zero (Schur elimination), so they get the
+                dense path's inert marker (zero row/col, diag 1 ⇒ zero
+                log-det contribution) — path sets MAY revisit sampled
+                nodes
 
     entropy:  the INFORMATION GAIN of the measurements about the field,
               I(f_S; z_S | A) = ½[log det(Cov_S|A + Σ_S) − log det(Σ_S)]
@@ -424,15 +411,33 @@ def score_candidate_sets(
     Padded slots contribute identity rows ⇒ zero log-det contribution.
     One small k_max×k_max Cholesky per set, vmapped over the path batch.
     """
-    if strategy == "mi" and P is None:
+    if strategy == "mi" and P is None and P_implicit is None:
         raise ValueError(
             "score_candidate_sets(strategy='mi') needs the complement "
-            "precision P — build it with acquisition.complement_precision "
-            "and maintain it with delete_from_precision"
+            "precision — implicit_complement_precision + "
+            "implicit_corrections (production) or complement_precision "
+            "(dense reference)"
         )
     k_max = sets.shape[1]
 
-    def one(idx, size):
+    if strategy == "mi" and P_implicit is not None:
+        WT, F, ZT, taken = P_implicit
+        idx_flat = sets.reshape(-1)
+        Wr = WT[idx_flat].reshape(*sets.shape, -1)  # (S, k, N) row gathers
+        P0 = jnp.einsum("skn,sln->skl", Wr, Wr, precision=_HIGH)
+        Fr = F[idx_flat].reshape(*sets.shape, -1)  # (S, k, C)
+        Zr = ZT[idx_flat].reshape(*sets.shape, -1)
+        Pblk = P0 - jnp.einsum("skc,slc->skl", Fr, Zr, precision=_HIGH)
+        # inert marker for already-deleted entries (see docstring)
+        tk = taken[idx_flat].reshape(sets.shape)  # (S, k)
+        off = tk[:, :, None] | tk[:, None, :]
+        Pblk = jnp.where(off, 0.0, Pblk)
+        eye = jnp.eye(k_max, dtype=bool)[None]
+        Pblk = jnp.where(eye & tk[:, :, None], 1.0, Pblk)
+    else:
+        Pblk = None
+
+    def one(idx, size, Pss_pre):
         mask = jnp.arange(k_max) < size
         xs = x[idx]  # (k, dim)
         Kp = gram(spec, params, xs, xs)  # prior block
@@ -446,13 +451,15 @@ def score_candidate_sets(
         if strategy == "entropy":
             # subtract the noise-entropy floor ⇒ information gain ≥ 0
             return h - 0.5 * jnp.sum(jnp.where(mask, jnp.log(nv[idx]), 0.0))
-        Pss = P[idx[:, None], idx[None, :]]
+        Pss = Pss_pre if Pss_pre is not None else P[idx[:, None], idx[None, :]]
         Pss = jnp.where(mask[:, None] & mask[None, :], Pss, 0.0)
         Pss = Pss + jnp.diag(jnp.where(mask, 0.0, 1.0))
         L2 = jnp.linalg.cholesky(Pss)
         return h + jnp.sum(jnp.log(jnp.diagonal(L2)))
 
-    return jax.vmap(one)(sets, set_sizes)
+    if Pblk is not None:
+        return jax.vmap(one)(sets, set_sizes, Pblk)
+    return jax.vmap(lambda i, s: one(i, s, None))(sets, set_sizes)
 
 
 # ---------------------------------------------------------------------------
@@ -464,23 +471,72 @@ def score_candidate_sets(
 def complement_precision(
     spec: KernelSpec, params: KernelParams, x: jax.Array, nv: jax.Array
 ) -> jax.Array:
-    """(K(X,X) + diag nv)⁻¹ over all candidates, blocked on-device inverse."""
+    """(K(X,X) + diag nv)⁻¹ over all candidates, blocked on-device inverse.
+
+    Dense (N×N materialised) — the small-N REFERENCE implementation that
+    the tests cross-check `implicit_complement_precision` against; the
+    episode's production MI path never materialises P (at N=10k that is a
+    400 MB buffer plus a ~95 ms 2N³ seeding matmul)."""
     K = gram_pallas_with_noise(spec, params, x, nv / params.noise_var)
     return la.spd_inverse_from_chol(jnp.linalg.cholesky(K))
 
 
-@jax.jit
-def delete_from_precision(P: jax.Array, idx: jax.Array) -> jax.Array:
-    """Remove a batch of points from the complement precision, in order.
+@partial(jax.jit, static_argnames=("spec",))
+def implicit_complement_precision(
+    spec: KernelSpec, params: KernelParams, x: jax.Array, nv: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Seed the implicit prior precision P0 = (K+Σ)⁻¹ = WᵀW over ALL
+    candidates: returns (W, WT) with W = L⁻¹ (blocked MXU tri_inv).
 
-    Entries of `idx` that are negative are skipped exactly — callers pad
-    to a FIXED length with -1 so this compiles once per (N, pad) shape
-    instead of once per batch size (the episode loop's step cadence).
+    WT = Wᵀ is materialised once so downstream per-set blocks
+    (WᵀW)_SS = WT[S] · WT[S]ᵀ come from coalesced ROW gathers — a strided
+    column gather from an HBM-resident 400 MB W costs ~27 ms on a v5e,
+    the same bytes as rows ≈ 1 ms (benchmarks/README.md).
+    Valid per (params, nv); re-seeded by the episode after every refit.
     """
+    K = gram_pallas_with_noise(spec, params, x, nv / params.noise_var)
+    W = la.tri_inv(jnp.linalg.cholesky(K))
+    return W, W.T
 
-    def body(P, j):
-        return lax.cond(j >= 0, lambda p: la.precision_delete(p, j),
-                        lambda p: p, P), None
 
-    P, _ = lax.scan(body, P, idx)
-    return P
+@jax.jit
+def implicit_corrections(
+    W: jax.Array,
+    WT: jax.Array,
+    idx: jax.Array,
+    count: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Schur correction factors for deleting the sampled set A from the
+    implicit precision:  P_V∖A = WᵀW − F · ZTᵀ  (restricted off A).
+
+        U  = P0[:, A] = Wᵀ(W E_A)          (N, C)
+        PA = U[A, :]                        (C, C)
+        Z  = PA⁻¹ Uᵀ                        (C, N)   → returned as ZT = Zᵀ
+
+    Block-Schur elimination of a set equals sequential elimination of its
+    elements exactly, so rebuilding F/ZT from W in ONE batched op per
+    replan (instead of chaining per-sample rank-1 deletes) makes the
+    episode's precision-drift story structural: errors cannot accumulate
+    across hundreds of deletes, and no periodic refresh is needed.
+
+    idx is padded to a FIXED capacity C with any value; only the first
+    `count` slots are real.  Duplicate indices (a node measured twice)
+    are exact no-ops, as in the sequential scheme.  O(N²·C) MXU matmuls —
+    ~1 ms at N=10k, C=256.
+    """
+    m = idx.shape[0]
+    valid = jnp.arange(m) < count
+    same = (idx[:, None] == idx[None, :]) & valid[:, None] & valid[None, :]
+    dup = jnp.tril(same, k=-1).any(axis=1)
+    valid = valid & ~dup
+    idx_safe = jnp.where(valid, idx, 0)
+    WE = WT[idx_safe].T * valid[None, :].astype(jnp.float32)  # (N, C) = W[:, A]
+    U = jnp.dot(W.T, WE, precision=_HIGH)  # (N, C) = (WᵀW)[:, A]
+    U = U * valid[None, :].astype(jnp.float32)
+    PA = U[idx_safe, :] * valid[:, None].astype(jnp.float32)
+    pair = valid[:, None] & valid[None, :]
+    PA = jnp.where(pair, PA, jnp.eye(m, dtype=jnp.float32))
+    LA = jnp.linalg.cholesky(PA)
+    Z = la.cho_solve(LA, U.T)  # (C, N)
+    Z = Z * valid[:, None].astype(jnp.float32)
+    return U, Z.T

@@ -45,10 +45,10 @@ class AcquisitionConfig:
 
     strategy: str = "mi"  # "mi" | "entropy" | "uniform" | "naive"
     rounds: int = 50  # BASELINE.json:9 — 50 greedy rounds
-    # Krause-MI complement precision is refreshed by full re-inversion
-    # every `refresh_every` rounds to bound f32 rank-1-downdate drift
-    # (0 = never refresh).
-    refresh_every: int = 0
+    # NOTE: no refresh knob — the episode's Krause-MI complement
+    # precision rebuilds its Schur corrections from the per-refit seed
+    # inverse in one batched op per replan (acquisition.
+    # implicit_corrections), so delete-chain drift cannot accumulate.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -143,9 +143,9 @@ PRESETS: dict[str, ExperimentConfig] = {
     "c5_10k": ExperimentConfig(
         kernel=KernelSpec(spatial_kind="matern32", ds=2, df=0),
         field=FieldConfig(num_rows=100, num_cols=100, true_ls_spatial=8.0),
-        acquisition=AcquisitionConfig(strategy="mi", refresh_every=8),
-        episode=EpisodeConfig(num_pilot=64, budget=400.0,
-                              num_waypoints=8, samples_per_step=10),
+        acquisition=AcquisitionConfig(strategy="mi"),
+        episode=EpisodeConfig(num_pilot=64, budget=400.0, num_waypoints=8,
+                              samples_per_step=10, refit_every=4),
     ),
     # Real-table experiment (SURVEY.md §2 C10): phenotype CSV with genotype
     # features, composite spatial×feature kernel, mixed sensing modalities.

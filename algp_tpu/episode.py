@@ -10,11 +10,11 @@ baselines: "mi" / "entropy" (informative), "uniform" (random sampling),
 "naive" (boustrophedon sweep).
 
 Host/device split (BASELINE.json:5): this module is plain host Python and
-calls ONLY jitted device functions — `models.gp.fit/posterior/predict`,
-`acquisition.greedy_select/score_candidate_sets/complement_precision/
-delete_from_precision`.  All shapes the device sees are padded/static so
-each (strategy, grid, path-batch-shape) compiles once and is reused every
-replan step.
+calls ONLY jitted device functions — `models.gp.fit/posterior/
+posterior_extend/predict`, `acquisition.greedy_select/
+score_candidate_sets/implicit_complement_precision/implicit_corrections`.
+All shapes the device sees are padded/static so each (strategy, grid,
+path-batch-shape) compiles once and is reused every replan step.
 """
 
 from __future__ import annotations
@@ -65,7 +65,8 @@ class Agent:
         # for the whole episode (identity-padded; SURVEY.md §7.5 #4)
         cap = cfg.episode.num_pilot + (2 * cfg.episode.num_waypoints + 6) * self._k_max
         self._max_samples = (cap + 7) // 8 * 8
-        self._P_cache = None
+        self._P_cache = None  # (params, W, WT) — implicit precision seed
+        self._post_cache = None  # (params, n_samples, Posterior)
         self._step_post_var = None
         if cfg.acquisition.strategy not in STRATEGIES:
             raise ValueError(
@@ -138,13 +139,51 @@ class Agent:
             base *= self.env.cfg.cheap_noise_mult**2
         return jnp.asarray(np.full(self.env.n, base, np.float32))
 
-    def predict_field(self, st: EpisodeState):
+    def _posterior(self, st: EpisodeState):
+        """Posterior over the padded training buffer, grown incrementally.
+
+        While the hyperparameters are unchanged (between refits, i.e.
+        `refit_every > 1`), the cached Cholesky factor is extended by the
+        step's new samples via `chol_append_row` — O(k·n²) instead of the
+        O(n³) refactorization (SURVEY.md §2 C8).  A refit invalidates the
+        cache (params is a fresh object) and refactorizes once.
+        """
         x, y, ns, m, _ = self._padded_train(st)
-        post = gp_mod.posterior(
-            self.spec, st.params, x, y, ns,
-            min_noise=self.cfg.fit.min_noise, jitter=self.cfg.fit.jitter,
-            num_valid=m,
-        )
+        n_samp = len(st.sampled_idx)
+        c = self._post_cache
+        k_new = None if c is None else n_samp - c[1]
+        if (
+            c is not None and c[0] is st.params
+            and 0 < k_new <= self._k_max + 1
+            and int(c[2].L.shape[0]) == int(x.shape[0])  # capacity unchanged
+        ):
+            base = float(
+                np.maximum(
+                    np.exp(2.0 * np.asarray(st.params.log_noise)),
+                    self.cfg.fit.min_noise**2,
+                )
+            )
+            new_nv = np.full(self._k_max + 1, 1.0, np.float32)
+            new_nv[:k_new] = base * st.noise_scale[c[1]:]
+            post = gp_mod.posterior_extend(
+                self.spec, st.params, c[2], x, y,
+                jnp.asarray(new_nv), jnp.asarray(c[1], jnp.int32),
+                jnp.asarray(k_new, jnp.int32),
+                jitter=self.cfg.fit.jitter,
+            )
+        elif c is not None and c[0] is st.params and k_new == 0:
+            post = c[2]
+        else:
+            post = gp_mod.posterior(
+                self.spec, st.params, x, y, ns,
+                min_noise=self.cfg.fit.min_noise, jitter=self.cfg.fit.jitter,
+                num_valid=m,
+            )
+        self._post_cache = (st.params, n_samp, post)
+        return post
+
+    def predict_field(self, st: EpisodeState):
+        post = self._posterior(st)
         mean, var = gp_mod.predict(
             self.spec, st.params, post, self.env.X,
             use_pallas=self.env.n >= 4096,
@@ -218,15 +257,15 @@ class Agent:
 
         basis, post_var = self._conditioning_state(st, nv)
         self._step_post_var = np.asarray(post_var)
-        Pmat = None
+        Pimp = None
         if strat == "mi":
-            Pmat = self._precision(st, nv)
+            Pimp = self._implicit_precision(st, nv)
         scores = np.asarray(
             acq.score_candidate_sets(
                 self.spec, st.params, self.env.X, nv,
                 basis,
                 jnp.asarray(sets), jnp.asarray(sizes),
-                P=Pmat, strategy=strat,
+                P_implicit=Pimp, strategy=strat,
             )
         )[: len(batch)]
         # information gain per unit cost (gains are ≥ 0 up to f32 noise —
@@ -262,28 +301,36 @@ class Agent:
             out.append(self.env.collect(cheap_nodes, "cheap"))
         return out
 
-    def _pad_idx(self, idx) -> jnp.ndarray:
-        """Pad an index batch to the static capacity with -1 sentinels so
-        the jitted precision deletes compile once."""
-        out = np.full(self._max_samples, -1, np.int32)
-        out[: len(idx)] = idx
-        return jnp.asarray(out)
+    def _implicit_precision(self, st: EpisodeState, nv):
+        """(WT, F, ZT) implicit complement precision over the unsampled
+        candidates: P = WᵀW − F·ZTᵀ, never materialised (the dense N×N P
+        costs 400 MB + a ~95 ms 2N³ seeding matmul at the 10k grid).
 
-    def _precision(self, st: EpisodeState, nv):
-        """Complement precision over unsampled candidates, maintained
-        incrementally across replans (seeded once, then deletions only)."""
+        The seed W = L⁻¹ is cached per fitted params (one Cholesky +
+        blocked tri_inv per refit); the Schur corrections for the CURRENT
+        sampled set are rebuilt fresh each replan in one batched O(N²·C)
+        op — exact w.r.t. W, so hundreds of deletes over a long episode
+        cannot accumulate drift (no periodic refresh needed; see
+        acquisition.implicit_corrections and tests/test_acquisition.py's
+        long-horizon drift test).
+        """
         cached = self._P_cache
         if cached is None or cached[0] is not st.params:
-            P = acq.complement_precision(self.spec, st.params, self.env.X, nv)
-            P = acq.delete_from_precision(P, self._pad_idx(st.sampled_idx))
-            self._P_cache = (st.params, P, len(st.sampled_idx))
-            return P
-        params, P, n_deleted = cached
-        if n_deleted < len(st.sampled_idx):
-            new = st.sampled_idx[n_deleted:]
-            P = acq.delete_from_precision(P, self._pad_idx(new))
-            self._P_cache = (params, P, len(st.sampled_idx))
-        return P
+            W, WT = acq.implicit_complement_precision(
+                self.spec, st.params, self.env.X, nv
+            )
+            self._P_cache = (st.params, W, WT)
+        else:
+            _, W, WT = cached
+        m = len(st.sampled_idx)
+        idx_pad = np.zeros(self._max_samples, np.int32)
+        idx_pad[:m] = st.sampled_idx
+        F, ZT = acq.implicit_corrections(
+            W, WT, jnp.asarray(idx_pad), jnp.asarray(m, jnp.int32)
+        )
+        taken = np.zeros(self.env.n, bool)
+        taken[st.sampled_idx] = True
+        return WT, F, ZT, jnp.asarray(taken)
 
     # ------------------------------------------------------------ episode
 

@@ -391,6 +391,55 @@ def predict(
     return mean, jnp.maximum(var, 0.0)
 
 
+@partial(jax.jit, static_argnames=("spec", "jitter"))
+def posterior_extend(
+    spec: KernelSpec,
+    params: KernelParams,
+    post: Posterior,
+    x_pad: jax.Array,
+    y_pad: jax.Array,
+    new_nv: jax.Array,
+    m0: jax.Array,
+    k_count: jax.Array,
+    *,
+    jitter: float = 1e-6,
+) -> Posterior:
+    """Grow a cached posterior by the step's new samples WITHOUT
+    refactorizing (SURVEY.md §2 C8 "instead of refactorizing").
+
+    Between hyperparameter refits the factor is valid — only rows for the
+    newly collected samples are missing.  Each new row is appended with
+    `ops.linalg.chol_append_row` (O(n_max²) per row, one trisolve), then
+    α is re-solved against the updated factor.  O(k·n²) total vs the
+    O(n³) full refactorization `posterior()` performs.
+
+    x_pad/y_pad : the FULL padded training buffers (new samples already
+                  written at slots [m0, m0+k_count))
+    new_nv      : (k_max,) effective noise VARIANCE of each new sample
+                  (entries ≥ k_count ignored)
+    m0          : samples already in `post` (traced)
+    k_count     : how many of the k_max new slots are real (traced)
+    """
+    n_max = x_pad.shape[0]
+    k_max = new_nv.shape[0]
+    idx = jnp.arange(n_max)
+
+    def body(L, t):
+        m = m0 + t
+        active = t < k_count
+        xs = lax.dynamic_slice_in_dim(x_pad, m, 1, axis=0)
+        k_vec = gram(spec, params, x_pad, xs)[:, 0]
+        k_vec = jnp.where(idx < m, k_vec, 0.0)
+        k_ss = gram_diag(spec, params, xs)[0] + new_nv[t] + jitter
+        L2 = la.chol_append_row(L, m, k_vec, k_ss)
+        return jnp.where(active, L2, L), None
+
+    L, _ = lax.scan(body, post.L, jnp.arange(k_max))
+    mask = (idx < m0 + k_count).astype(jnp.float32)
+    alpha = la.cho_solve(L, y_pad * mask)
+    return Posterior(L=L, alpha=alpha, x=x_pad, mask=mask)
+
+
 # ---------------------------------------------------------------------------
 # Convenience façade mirroring the reference's GPR.fit / .predict surface
 # ---------------------------------------------------------------------------

@@ -12,9 +12,13 @@ TPU-native mandate (BASELINE.json:5) replaces that with:
   * a recursive-bisection blocked triangular **inverse** whose work is almost
     entirely MXU matmuls (XLA's triangular_solve is row-sequential and slow
     for large RHS; the bisection form runs at matmul speed),
-  * O(n²) incremental rank-1 Cholesky **up/downdates** and row-append /
-    row-delete updates so the acquisition loop never refactorizes,
-  * an O(N²) rank-1 **precision downdate** for the Krause-MI complement set.
+  * an O(n²) incremental **row-append** factor update (`chol_append_row`,
+    identity-padded) so the episode posterior between refits never
+    refactorizes.  (Rank-1 up/downdates of the *selection* state live on
+    the basis/precision side: acquisition.py's basis-row conditioning IS
+    the Cholesky-factor row update, and the Krause-MI complement is
+    maintained by batched Schur corrections against the seed inverse —
+    see acquisition.implicit_corrections.)
 
 All functions are pure, jit-safe (static shapes only), and f32 by default.
 Padded variants take an explicit active-size scalar `m` so they can live
@@ -201,76 +205,6 @@ def spd_inverse(K: jax.Array, *, leaf: int = 256) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# Rank-1 Cholesky update / downdate  (O(n²), no refactorization)
-# ---------------------------------------------------------------------------
-
-
-def _rank1_sweep(L: jax.Array, x: jax.Array, sign: float, m=None):
-    """Shared LINPACK-style rotation sweep for up/downdates.
-
-    Row k of the factor and the tail of the work vector are rotated per
-    step; the sweep is a `lax.scan` over rows with full-length masked
-    vector ops, so each step is one VPU pass (O(n) work, O(n²) total).
-
-    `m` (optional scalar) limits the sweep to the leading m×m active block
-    of a padded factor; rows ≥ m pass through untouched.
-    """
-    n = L.shape[-1]
-    idx = jnp.arange(n)
-    if m is None:
-        m = n
-
-    def step(x, args):
-        k, row = args  # row = L[k, :]
-        active = k < m
-        Lkk = row[k]
-        xk = x[k]
-        if sign > 0:
-            r = jnp.sqrt(Lkk * Lkk + xk * xk)
-        else:
-            r = jnp.sqrt(Lkk * Lkk - xk * xk)
-        c = r / Lkk
-        s = xk / Lkk
-        tail = idx > k
-        # new L[k, j] for j>k is 0 (lower-tri); only column k below row k
-        # changes — but we scan over *rows*, so instead express the classic
-        # column update row-wise: maintain the factor row-by-row is awkward;
-        # we carry columns instead (see rank1_update wrapper which passes
-        # L.T rows = L columns).
-        col = row  # here `row` is actually column k of L (length n)
-        new_col = jnp.where(
-            tail, (col + sign * s * x) / c, jnp.where(idx == k, r, col)
-        )
-        new_x = jnp.where(tail, c * x - s * new_col, x)
-        new_col = jnp.where(active, new_col, col)
-        new_x = jnp.where(active, new_x, x)
-        return new_x, new_col
-
-    ks = jnp.arange(n)
-    _, cols = lax.scan(step, x, (ks, L.T))  # L.T rows are L's columns
-    return cols.T  # back to columns-of-L layout
-
-
-def cholupdate(L: jax.Array, x: jax.Array, m=None) -> jax.Array:
-    """Return the Cholesky factor of ``K + x xᵀ`` given ``L`` of K, O(n²).
-
-    Replaces the reference's per-round refactorization (SURVEY.md §3.4).
-    `m` optionally restricts to the active leading block of a padded factor.
-    """
-    return _rank1_sweep(L, x, sign=1.0, m=m)
-
-
-def choldowndate(L: jax.Array, x: jax.Array, m=None) -> jax.Array:
-    """Return the Cholesky factor of ``K − x xᵀ`` (must remain SPD), O(n²).
-
-    Numerically delicate near singularity (SURVEY.md §7.5 hard part 2);
-    callers should refresh by refactorization every O(10) downdates if the
-    factor drifts.  NaNs in the result signal a failed (non-SPD) downdate.
-    """
-    return _rank1_sweep(L, x, sign=-1.0, m=m)
-
-
-# ---------------------------------------------------------------------------
 # Incremental factor growth (append a row) — padded, loop-safe
 # ---------------------------------------------------------------------------
 
@@ -313,30 +247,3 @@ def pad_factor(L: jax.Array, n_max: int) -> jax.Array:
     return lax.dynamic_update_slice(out, L.astype(out.dtype), (0, 0))
 
 
-# ---------------------------------------------------------------------------
-# Precision-matrix rank-1 downdate (Krause-MI complement maintenance)
-# ---------------------------------------------------------------------------
-
-
-def precision_delete(P: jax.Array, j: jax.Array) -> jax.Array:
-    """Remove point ``j`` from the set underlying precision matrix ``P``.
-
-    If P = K_VV⁻¹, then the precision of V∖{j} (embedded back at the same
-    indices, with row/col j zeroed and P[j,j] set to 1 as an inert marker) is
-
-        P' = P − P[:,j] P[j,:] / P[j,j]        (Schur complement identity)
-
-    O(N²), bandwidth-bound — one fused outer-product pass over P.  This is
-    the \"incremental Cholesky downdate\" of the complement set demanded by
-    BASELINE.json:10, expressed on the precision side where the per-round
-    cost is a single VPU sweep rather than a sequential rotation cascade.
-    """
-    n = P.shape[-1]
-    pj = lax.dynamic_slice_in_dim(P, j, 1, axis=1)[:, 0]  # column j
-    pjj = pj[j]
-    P = P - jnp.outer(pj, pj) / pjj
-    idx = jnp.arange(n)
-    mask_j = idx == j
-    P = jnp.where(mask_j[:, None] | mask_j[None, :], 0.0, P)
-    P = P.at[j, j].set(1.0)
-    return P

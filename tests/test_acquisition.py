@@ -193,18 +193,28 @@ def test_score_candidate_sets_entropy_matches_dense(rng):
 
 
 def test_score_candidate_sets_mi_matches_dense(rng):
+    """MI set scores: dense-P reference path AND the production implicit
+    path (WᵀW − F·ZTᵀ with coalesced row gathers) vs the f64 reference."""
     spec, params, x, K, nv = setup_field(rng, n=80)
     x32 = jnp.asarray(x, jnp.float32)
     nvec = jnp.full((80,), nv, jnp.float32)
     P = acq.complement_precision(spec, params, x32, nvec)
+    W, WT = acq.implicit_complement_precision(spec, params, x32, nvec)
+    F, ZT = acq.implicit_corrections(
+        W, WT, jnp.zeros((8,), jnp.int32), jnp.asarray(0, jnp.int32)
+    )
     basis = jnp.zeros((4, 80), jnp.float32)
     sets = np.array([[5, 6, 7], [40, 50, 60]], np.int32)
     sizes = np.array([3, 3], np.int32)
+    taken = jnp.zeros((80,), bool)
+    common = (spec, params, x32, nvec, basis,
+              jnp.asarray(sets), jnp.asarray(sizes))
     scores = np.array(
+        acq.score_candidate_sets(*common, P=P, strategy="mi")
+    )
+    scores_imp = np.array(
         acq.score_candidate_sets(
-            spec, params, x32, nvec, basis,
-            jnp.asarray(sets), jnp.asarray(sizes),
-            P=P, strategy="mi",
+            *common, P_implicit=(WT, F, ZT, taken), strategy="mi"
         )
     )
     Kn = K + nv * np.eye(80)
@@ -214,17 +224,49 @@ def test_score_candidate_sets_mi_matches_dense(rng):
         h1 = 0.5 * np.linalg.slogdet(M1)[1]
         h2 = 0.5 * np.linalg.slogdet(P_ref[np.ix_(s, s)])[1]
         assert scores[si] == pytest.approx(h1 + h2, rel=1e-2, abs=1e-2)
+        assert scores_imp[si] == pytest.approx(h1 + h2, rel=1e-2, abs=1e-2)
 
 
-def test_delete_from_precision_batch(rng):
-    spec, params, x, K, nv = setup_field(rng, n=50)
-    nvec = jnp.full((50,), nv, jnp.float32)
-    P = acq.complement_precision(spec, params, jnp.asarray(x, jnp.float32), nvec)
-    P2 = np.array(acq.delete_from_precision(P, jnp.asarray([3, 10], jnp.int32)))
-    keep = [i for i in range(50) if i not in (3, 10)]
-    Kn = K + nv * np.eye(50)
+def test_implicit_corrections_match_complement_inverse(rng):
+    """F/ZT corrections restricted off the deleted set must equal the f64
+    inverse of the complement covariance (duplicates are exact no-ops)."""
+    spec, params, x, K, nv = setup_field(rng, n=60)
+    nvec = jnp.full((60,), nv, jnp.float32)
+    W, WT = acq.implicit_complement_precision(
+        spec, params, jnp.asarray(x, jnp.float32), nvec
+    )
+    idx = jnp.asarray([3, 10, 3, 44, 0, 0], jnp.int32)  # dup + padding
+    F, ZT = acq.implicit_corrections(W, WT, idx, jnp.asarray(4, jnp.int32))
+    P_imp = np.asarray(W).T @ np.asarray(W) - np.asarray(F) @ np.asarray(ZT).T
+    keep = [i for i in range(60) if i not in (3, 10, 44)]
+    Kn = K + nv * np.eye(60)
     P_ref = np.linalg.inv(Kn[np.ix_(keep, keep)])
-    np.testing.assert_allclose(P2[np.ix_(keep, keep)], P_ref, rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(
+        P_imp[np.ix_(keep, keep)], P_ref, rtol=2e-2, atol=2e-3
+    )
+
+
+def test_implicit_corrections_no_drift_long_horizon(rng):
+    """The episode's precision-drift contract: after deleting HALF the
+    field (200 of 400 points — far beyond any episode's delete count) the
+    implicit precision must still match the f64 complement inverse to f32
+    accuracy, because corrections are rebuilt from the seed inverse in one
+    batched op rather than chained per-delete (VERDICT r1 missing #5)."""
+    spec, params, x, K, nv = setup_field(rng, n=400)
+    nvec = jnp.full((400,), nv, jnp.float32)
+    W, WT = acq.implicit_complement_precision(
+        spec, params, jnp.asarray(x, jnp.float32), nvec
+    )
+    deleted = rng.choice(400, 200, replace=False).astype(np.int32)
+    idx = jnp.asarray(np.concatenate([deleted, np.zeros(56, np.int32)]))
+    F, ZT = acq.implicit_corrections(W, WT, idx, jnp.asarray(200, jnp.int32))
+    P_imp = np.asarray(W).T @ np.asarray(W) - np.asarray(F) @ np.asarray(ZT).T
+    keep = np.setdiff1d(np.arange(400), deleted)
+    Kn = K + nv * np.eye(400)
+    P_ref = np.linalg.inv(Kn[np.ix_(keep, keep)])
+    err = np.abs(P_imp[np.ix_(keep, keep)] - P_ref)
+    scale = np.abs(P_ref).max()
+    assert err.max() / scale < 5e-4, err.max() / scale
 
 
 def test_mi_duplicate_pilot_indices_stay_finite(rng):
@@ -248,3 +290,46 @@ def test_mi_duplicate_pilot_indices_stay_finite(rng):
     assert np.isfinite(scores[scores > -np.inf]).all()
     assert len(np.unique(sel)) == 10
     assert not np.isin(sel, pilot).any()
+
+
+def test_score_sets_implicit_matches_dense_after_deletes(rng):
+    """Implicit MI set scoring must reproduce the dense path exactly when
+    the complement has deletions AND a set revisits a deleted node (the
+    dense path's inert diag-1 marker semantics)."""
+    spec, params, x, K, nv = setup_field(rng, n=80)
+    x32 = jnp.asarray(x, jnp.float32)
+    nvec = jnp.full((80,), nv, jnp.float32)
+    deleted = np.array([6, 41, 70], np.int32)
+    # dense reference: seed + sequential Schur deletes (f64)
+    Kn = K + nv * np.eye(80)
+    Pd = np.linalg.inv(Kn)
+    for j in deleted:
+        Pd = Pd - np.outer(Pd[:, j], Pd[j, :]) / Pd[j, j]
+        Pd[j, :] = 0.0
+        Pd[:, j] = 0.0
+        Pd[j, j] = 1.0
+    W, WT = acq.implicit_complement_precision(spec, params, x32, nvec)
+    F, ZT = acq.implicit_corrections(
+        W, WT, jnp.asarray(np.concatenate([deleted, [0]])),
+        jnp.asarray(3, jnp.int32),
+    )
+    taken = jnp.zeros((80,), bool).at[jnp.asarray(deleted)].set(True)
+    basis = jnp.zeros((4, 80), jnp.float32)
+    sets = np.array([[5, 6, 7], [40, 41, 60], [10, 20, 30]], np.int32)
+    sizes = np.array([3, 3, 2], np.int32)  # sets 0/1 contain deleted nodes
+    scores_imp = np.array(
+        acq.score_candidate_sets(
+            spec, params, x32, nvec, basis,
+            jnp.asarray(sets), jnp.asarray(sizes),
+            P_implicit=(WT, F, ZT, taken), strategy="mi",
+        )
+    )
+    scores_dense = np.array(
+        acq.score_candidate_sets(
+            spec, params, x32, nvec, basis,
+            jnp.asarray(sets), jnp.asarray(sizes),
+            P=jnp.asarray(Pd, jnp.float32), strategy="mi",
+        )
+    )
+    np.testing.assert_allclose(scores_imp, scores_dense, rtol=1e-3, atol=1e-4)
+    assert np.isfinite(scores_imp).all()

@@ -370,3 +370,33 @@ def test_cli_checkpoint_multirun_naming(tmp_path):
     assert rc == 0
     assert (tmp_path / "state_run0.npz").exists()
     assert (tmp_path / "state_run1.npz").exists()
+
+
+def test_c5_episode_incremental_posterior_refit_every_2():
+    """With refit_every > 1 the between-refit posterior grows by
+    chol_append_row instead of refactorizing; the episode must match a
+    run whose posterior cache is disabled (full refactorization)."""
+    cfg = ExperimentConfig(
+        fit=FitConfig(iters=30, restarts=1),
+        acquisition=AcquisitionConfig(strategy="mi"),
+        episode=EpisodeConfig(num_pilot=6, budget=24.0, num_waypoints=4,
+                              samples_per_step=4, seed=3, refit_every=2),
+    )
+    env_a = small_field(rows=6, cols=10, seed=31)
+    agent_a = Agent(env_a, cfg)
+    r_inc = agent_a.run(max_steps=8)
+
+    env_b = small_field(rows=6, cols=10, seed=31)
+    agent_b = Agent(env_b, cfg)
+    orig = agent_b._posterior
+
+    def no_cache(st):
+        agent_b._post_cache = None  # force the refactorization path
+        return orig(st)
+
+    agent_b._posterior = no_cache
+    r_full = agent_b.run(max_steps=8)
+    np.testing.assert_array_equal(
+        r_inc.state.sampled_idx, r_full.state.sampled_idx
+    )
+    assert r_inc.rmse == pytest.approx(r_full.rmse, abs=1e-4)

@@ -195,3 +195,58 @@ def test_exactgp_facade(rng):
     prior_rmse = float(np.sqrt(np.mean(f[150:] ** 2)))
     assert rmse < 0.7 * prior_rmse  # posterior beats the prior
     assert np.all(np.array(var) >= 0)
+
+
+def test_posterior_extend_matches_refactorization(rng):
+    """chol_append_row-based growth must match the full refactorized
+    posterior (the between-refit episode path, SURVEY.md §2 C8)."""
+    import jax
+
+    from algp_tpu.config import FitConfig  # noqa: F401 (parity with module style)
+
+    spec = KernelSpec("rbf", ds=2)
+    params = spec.init_params(ls_spatial=2.0, outputscale=1.2, noise=0.12)
+    cap, m0, k_new = 24, 10, 4
+    x_all = rng.uniform(0, 10, (m0 + k_new, 2)).astype(np.float32)
+    y_all = rng.standard_normal(m0 + k_new).astype(np.float32)
+    scale = np.ones(m0 + k_new, np.float32)
+    scale[m0:] = 4.0  # heteroscedastic new samples
+    x_pad = np.zeros((cap, 2), np.float32)
+    y_pad = np.zeros(cap, np.float32)
+    ns_pad = np.ones(cap, np.float32)
+    x_pad[: m0 + k_new] = x_all
+    y_pad[: m0 + k_new] = y_all
+    ns_pad[: m0 + k_new] = scale
+    min_noise, jitter = 1e-3, 1e-6
+
+    post0 = gp_mod.posterior(
+        spec, params, jnp.asarray(x_pad), jnp.asarray(y_pad * (np.arange(cap) < m0)),
+        jnp.asarray(ns_pad), min_noise=min_noise, jitter=jitter,
+        num_valid=jnp.asarray(m0, jnp.int32),
+    )
+    base = max(float(np.exp(2.0 * np.asarray(params.log_noise))), min_noise**2)
+    new_nv = np.full(k_new + 2, 1.0, np.float32)
+    new_nv[:k_new] = base * scale[m0:]
+    post_inc = gp_mod.posterior_extend(
+        spec, params, post0, jnp.asarray(x_pad), jnp.asarray(y_pad),
+        jnp.asarray(new_nv), jnp.asarray(m0, jnp.int32),
+        jnp.asarray(k_new, jnp.int32), jitter=jitter,
+    )
+    post_full = gp_mod.posterior(
+        spec, params, jnp.asarray(x_pad), jnp.asarray(y_pad),
+        jnp.asarray(ns_pad), min_noise=min_noise, jitter=jitter,
+        num_valid=jnp.asarray(m0 + k_new, jnp.int32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(post_inc.L), np.asarray(post_full.L), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(post_inc.alpha), np.asarray(post_full.alpha),
+        rtol=2e-3, atol=2e-4,
+    )
+    # and the prediction surfaces agree
+    x_test = jnp.asarray(rng.uniform(0, 10, (50, 2)), jnp.float32)
+    m1, v1 = gp_mod.predict(spec, params, post_inc, x_test)
+    m2, v2 = gp_mod.predict(spec, params, post_full, x_test)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-3)

@@ -78,51 +78,6 @@ def test_spd_inverse_from_chol(rng):
     assert err < 1e-3
 
 
-def test_cholupdate_matches_refactorization(rng):
-    n = 40
-    K = random_spd(rng, n)
-    x = rng.standard_normal(n) * 0.3
-    L = jnp.asarray(np.linalg.cholesky(K), jnp.float32)
-    L_up = np.array(la.cholupdate(L, jnp.asarray(x, jnp.float32)))
-    L_ref = np.linalg.cholesky(K + np.outer(x, x))
-    np.testing.assert_allclose(np.tril(L_up), L_ref, rtol=3e-3, atol=3e-4)
-
-
-def test_choldowndate_matches_refactorization(rng):
-    n = 40
-    K = random_spd(rng, n)
-    x = rng.standard_normal(n)
-    x = 0.1 * x / np.linalg.norm(x)  # keep K - xxT safely SPD
-    L = jnp.asarray(np.linalg.cholesky(K), jnp.float32)
-    L_dn = np.array(la.choldowndate(L, jnp.asarray(x, jnp.float32)))
-    L_ref = np.linalg.cholesky(K - np.outer(x, x))
-    np.testing.assert_allclose(np.tril(L_dn), L_ref, rtol=3e-3, atol=3e-4)
-
-
-def test_cholupdate_then_downdate_roundtrip(rng):
-    n = 24
-    K = random_spd(rng, n)
-    x = rng.standard_normal(n) * 0.2
-    L = jnp.asarray(np.linalg.cholesky(K), jnp.float32)
-    x32 = jnp.asarray(x, jnp.float32)
-    L2 = la.choldowndate(la.cholupdate(L, x32), x32)
-    np.testing.assert_allclose(np.tril(np.array(L2)), np.tril(np.array(L)),
-                               rtol=5e-3, atol=5e-4)
-
-
-def test_cholupdate_padded_active_block(rng):
-    n_max, m = 32, 20
-    K = random_spd(rng, m)
-    x = rng.standard_normal(m) * 0.3
-    L_pad = la.pad_factor(jnp.asarray(np.linalg.cholesky(K), jnp.float32), n_max)
-    x_pad = jnp.zeros(n_max).at[:m].set(jnp.asarray(x, jnp.float32))
-    L_up = np.array(la.cholupdate(L_pad, x_pad, m=m))
-    L_ref = np.linalg.cholesky(K + np.outer(x, x))
-    np.testing.assert_allclose(np.tril(L_up[:m, :m]), L_ref, rtol=3e-3, atol=3e-4)
-    # padding untouched
-    np.testing.assert_array_equal(L_up[m:, m:], np.eye(n_max - m))
-
-
 def test_chol_append_row_grows_factor(rng):
     n = 30
     K = random_spd(rng, n, cond=20.0)
@@ -136,16 +91,3 @@ def test_chol_append_row_grows_factor(rng):
     )
     L_ref = np.linalg.cholesky(K)
     np.testing.assert_allclose(np.tril(L_new[:n, :n]), L_ref, rtol=3e-3, atol=3e-4)
-
-
-def test_precision_delete_matches_subblock_inverse(rng):
-    n = 30
-    K = random_spd(rng, n, cond=20.0)
-    P = np.linalg.inv(K)
-    j = 7
-    P2 = np.array(la.precision_delete(jnp.asarray(P, jnp.float32), jnp.asarray(j)))
-    keep = [i for i in range(n) if i != j]
-    P_ref = np.linalg.inv(K[np.ix_(keep, keep)])
-    np.testing.assert_allclose(P2[np.ix_(keep, keep)], P_ref, rtol=5e-3, atol=5e-3)
-    assert P2[j, j] == 1.0
-    assert np.all(P2[j, keep] == 0) and np.all(P2[keep, j] == 0)

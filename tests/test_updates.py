@@ -1,58 +1,21 @@
-"""Fused Pallas update kernels vs their XLA reference forms."""
+"""Fused Pallas update kernel and batched conditioning vs XLA references."""
 
 import numpy as np
 
 import jax.numpy as jnp
 
 from algp_tpu import acquisition as acq
-from algp_tpu.ops import linalg as la
-from algp_tpu.ops.updates import precision_delete_fused
+from algp_tpu.ops.updates import wtw_column_streamed
 
 
-def random_precision(rng, n):
-    A = rng.standard_normal((n, n + 8))
-    K = A @ A.T / n + 0.1 * np.eye(n)
-    return np.linalg.inv(K).astype(np.float32)
-
-
-def test_precision_delete_fused_matches_reference(rng):
-    n = 300  # exercises partial tiles at tile=256
-    P = random_precision(rng, n)
-    j = 137
-    Pj = jnp.asarray(P)
-    ref = np.array(la.precision_delete(Pj, jnp.asarray(j)))
-    out = np.array(
-        precision_delete_fused(
-            jnp.asarray(P), jnp.asarray(j), jnp.asarray(P[j, j]),
-            jnp.asarray(P[:, j]), tile=256,
-        )
-    )
-    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
-    assert out[j, j] == 1.0
-    assert np.all(out[j, :j] == 0) and np.all(out[:j, j] == 0)
-
-
-def test_precision_delete_fused_sequence(rng):
-    n = 128
-    P = random_precision(rng, n)
-    Pf = jnp.asarray(P)
-    Pr = jnp.asarray(P)
-    for j in [5, 77, 31]:
-        pjj = Pf[j, j]
-        u = Pf[:, j]
-        Pf = precision_delete_fused(Pf, jnp.asarray(j), pjj, u, tile=128)
-        Pr = la.precision_delete(Pr, jnp.asarray(j))
-    np.testing.assert_allclose(np.array(Pf), np.array(Pr), rtol=1e-4, atol=1e-5)
-
-
-def test_wtw_column_matches_dense(rng):
-    from algp_tpu.ops.updates import wtw_column
-
+def test_wtw_column_streamed_matches_dense(rng):
     N = 512
     W = np.tril(rng.standard_normal((N, N)).astype(np.float32))
     P = W.T @ W
     for j in [0, 77, 255, 511]:
-        out = np.array(wtw_column(jnp.asarray(W), jnp.asarray(j)))
+        out = np.array(
+            wtw_column_streamed(jnp.asarray(W), jnp.asarray(j), tile=256)
+        )
         np.testing.assert_allclose(out, P[:, j], rtol=1e-5, atol=1e-4)
 
 
@@ -101,17 +64,6 @@ def test_batch_pilot_condition_padding_noop(rng):
     np.testing.assert_allclose(np.array(C1), np.array(C2[:2]), atol=1e-6)
     assert np.all(np.array(C2[2:]) == 0)
     np.testing.assert_array_equal(np.array(t1), np.array(t2))
-
-
-def test_batch_precision_delete_matches_sequential(rng):
-    n = 90
-    P = random_precision(rng, n)
-    idx = jnp.asarray([4, 40, 77], jnp.int32)
-    out = np.array(acq._batch_precision_delete(jnp.asarray(P), idx, jnp.asarray(3)))
-    ref = jnp.asarray(P)
-    for j in [4, 40, 77]:
-        ref = la.precision_delete(ref, jnp.asarray(j))
-    np.testing.assert_allclose(out, np.array(ref), rtol=2e-4, atol=2e-5)
 
 
 def test_greedy_select_nonaligned_matches_alignment_padding(rng):
