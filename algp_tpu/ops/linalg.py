@@ -150,42 +150,100 @@ def logdet_from_chol(L: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def _batched_leaf_inv(D: jax.Array) -> jax.Array:
+    """Inverse of a batch of lower-triangular (b, p, p) blocks by a
+    log-depth Neumann-doubling product — EXACT, not iterative.
+
+    Write T = Dg(I + M) with Dg = diag(T) and M = Dg⁻¹·strict_lower(T).
+    M is nilpotent (Mᵖ = 0), so the inverse geometric series terminates:
+
+        (I + M)⁻¹ = Σ_{i<p} (−M)ⁱ,   built by doubling
+        S_{2m} = (I + (−M)^m) S_m  —  ⌈log₂ p⌉ squarings + combines.
+
+    Replaces p sequential row-substitution steps per block (the XLA
+    trisolve) with ~2·log₂ p BATCHED MXU matmuls across all blocks at
+    once — at N=10k/leaf=256 that is 16 matmuls instead of 10 240
+    dependency-chained row ops, the serial tail of the MI-seed inversion.
+
+    Conditioning: on ill-conditioned factors (kernel Gram at long
+    lengthscale + small jitter, cond ~1e6) the unit-triangular part M has
+    large entries and the doubling sum cancels to ~4e-4 relative error —
+    one Newton step W ← W + W(I − T·W) squares the residual back to the
+    substitution path's ~1e-6 (asserted vs SciPy on exactly that case in
+    tests/test_linalg.py).
+    """
+    b, p, _ = D.shape
+    _H = lax.Precision.HIGHEST
+    d = jnp.diagonal(D, axis1=1, axis2=2)  # (b, p)
+    eye = jnp.eye(p, dtype=D.dtype)
+    Mneg = -(jnp.tril(D, k=-1) / d[:, :, None])  # −Dg⁻¹·strict_lower
+    S = eye[None] + Mneg
+    P = jnp.einsum("bij,bjk->bik", Mneg, Mneg, precision=_H)
+    steps = max(0, (p - 1).bit_length() - 1)  # S already covers 2 terms
+    for _ in range(steps):
+        S = S + jnp.einsum("bij,bjk->bik", P, S, precision=_H)
+        P = jnp.einsum("bij,bjk->bik", P, P, precision=_H)
+    W = S / d[:, None, :]  # (I+M)⁻¹ Dg⁻¹ (column scaling)
+    R = eye[None] - jnp.einsum("bij,bjk->bik", D, W, precision=_H)
+    W = W + jnp.einsum("bij,bjk->bik", W, R, precision=_H)
+    return jnp.tril(W)
+
+
 def tri_inv(L: jax.Array, *, leaf: int = 256) -> jax.Array:
-    """Inverse of a lower-triangular matrix by recursive bisection.
+    """Inverse of a lower-triangular matrix: recursive bisection over
+    MXU matmuls + ONE batched log-depth leaf inversion.
 
     For L = [[A, 0], [B, C]]:  L⁻¹ = [[A⁻¹, 0], [−C⁻¹ B A⁻¹, C⁻¹]].
-
-    The recursion bottoms out in small `leaf`-sized XLA trisolves; all other
-    work is dense matmuls that run on the MXU, which is why this beats a
-    single huge row-sequential triangular_solve(L, I) by a wide margin at
-    N≈10k and avoids its OOM-ing scratch (SURVEY.md §7.6).
-    Shapes are static: the recursion unrolls at trace time.
+    The recursion (unrolled at trace time, splits at `leaf` multiples)
+    turns all off-diagonal work into dense MXU matmuls; every diagonal
+    `leaf` block is inverted UP FRONT in one `_batched_leaf_inv` call, so
+    the only dependency chain left is ~2·log₂(leaf) batched matmuls —
+    the per-leaf sequential XLA trisolves this replaces were the serial
+    tail of the whole inversion (40 chained 256-row substitutions at
+    N=10k).  Ragged N is identity-padded to a leaf multiple (exact).
 
     Measured alternative (2026-08-16, v5e, N=10240): a bottom-up batched
-    formulation (one vmapped leaf trisolve + per-level batched −W_c B W_a
-    einsums) is ~2× SLOWER than this recursion — the block-diagonal
-    gather/scatter reshuffles over the 400 MB buffer at every level cost
-    more than the recursion's concatenations.  Keep the recursion.
+    formulation (per-level batched −W_c B W_a einsums) is ~2× SLOWER than
+    this recursion — the block-diagonal gather/scatter reshuffles over
+    the 400 MB buffer at every level cost more than the recursion's
+    concatenations.  Keep the recursion; batch only the leaves.
     """
     n = L.shape[-1]
     if n <= leaf:
-        return solve_triangular(L, jnp.eye(n, dtype=L.dtype), lower=True)
-    # Split at a 128-aligned midpoint to keep MXU tiles happy.
-    m = ((n // 2) + 127) // 128 * 128
-    if m >= n:
-        m = n // 2
-    A, B, C = L[:m, :m], L[m:, :m], L[m:, m:]
-    Wa = tri_inv(A, leaf=leaf)
-    Wc = tri_inv(C, leaf=leaf)
-    # HIGHEST precision: the TPU default lowers f32 matmuls to bf16 MXU
-    # passes, which destroys the selection-fidelity contract downstream.
-    Wb = -jnp.dot(
-        Wc, jnp.dot(B, Wa, precision=lax.Precision.HIGHEST),
-        precision=lax.Precision.HIGHEST,
+        return _batched_leaf_inv(L[None])[0]
+    n_pad = (n + leaf - 1) // leaf * leaf
+    if n_pad != n:
+        Lp = jnp.eye(n_pad, dtype=L.dtype)
+        Lp = lax.dynamic_update_slice(Lp, L, (0, 0))
+        # [[L,0],[0,I]]⁻¹ = [[L⁻¹,0],[0,I]] — padding is exact
+        return tri_inv(Lp, leaf=leaf)[:n, :n]
+    nb = n // leaf
+    leaves = _batched_leaf_inv(
+        jnp.stack([L[i * leaf:(i + 1) * leaf, i * leaf:(i + 1) * leaf]
+                   for i in range(nb)])
     )
-    top = jnp.concatenate([Wa, jnp.zeros((m, n - m), L.dtype)], axis=1)
-    bot = jnp.concatenate([Wb, Wc], axis=1)
-    return jnp.concatenate([top, bot], axis=0)
+
+    def rec(off_b: int, nb_: int):
+        if nb_ == 1:
+            return leaves[off_b]
+        mb = nb_ // 2
+        m = mb * leaf
+        o = off_b * leaf
+        sz = nb_ * leaf
+        B = lax.dynamic_slice(L, (o + m, o), (sz - m, m))
+        Wa = rec(off_b, mb)
+        Wc = rec(off_b + mb, nb_ - mb)
+        # HIGHEST precision: the TPU default lowers f32 matmuls to bf16
+        # MXU passes, which destroys the selection-fidelity contract.
+        Wb = -jnp.dot(
+            Wc, jnp.dot(B, Wa, precision=lax.Precision.HIGHEST),
+            precision=lax.Precision.HIGHEST,
+        )
+        top = jnp.concatenate([Wa, jnp.zeros((m, sz - m), L.dtype)], axis=1)
+        bot = jnp.concatenate([Wb, Wc], axis=1)
+        return jnp.concatenate([top, bot], axis=0)
+
+    return rec(0, nb)
 
 
 def spd_inverse_from_chol(L: jax.Array, *, leaf: int = 256) -> jax.Array:

@@ -1,0 +1,85 @@
+"""Per-round performance + hardware-fidelity ritual (SURVEY.md §4 item 6;
+VERDICT r1 next-round #3/#8).
+
+Runs, on the real TPU:
+  1. the on-hardware fidelity suite (50-round selections ≡ f64 oracle),
+  2. the perf-budget suite (episode < 1 s assertion),
+  3. bench.py (the headline number),
+  4. the 10k-grid config-5 episode benchmark,
+and writes one committed artifact benchmarks/round_r{N}.json so perf and
+fidelity regressions leave a paper trail per round, not just in driver
+logs.
+
+    python benchmarks/round_perf.py --round 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(cmd, env_extra=None, timeout=900):
+    env = dict(os.environ)
+    # APPEND the repo to PYTHONPATH (never clobber: the TPU plugin's
+    # site dir must stay on it — see CLAUDE.md)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    if env_extra:
+        env.update(env_extra)
+    p = subprocess.run(
+        cmd, cwd=REPO, env=env, capture_output=True, text=True,
+        timeout=timeout,
+    )
+    return p.returncode, p.stdout.strip().splitlines()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=True)
+    args = ap.parse_args()
+    py = sys.executable
+    out = {"round": args.round,
+           "date": datetime.date.today().isoformat()}
+
+    rc, lines = run(
+        [py, "-m", "pytest", "tests/test_hw_fidelity.py", "-q"],
+        env_extra={"ALGP_TPU_HW": "1"},
+    )
+    out["hw_fidelity"] = {
+        "ok": rc == 0,
+        "summary": lines[-1] if lines else "",
+    }
+
+    rc, lines = run(
+        [py, "-m", "pytest", "tests/test_perf.py", "-q"],
+        env_extra={"ALGP_TPU_PERF": "1"},
+    )
+    out["perf_budget"] = {
+        "ok": rc == 0,
+        "summary": lines[-1] if lines else "",
+    }
+
+    rc, lines = run([py, "bench.py"])
+    out["bench"] = json.loads(lines[-1]) if rc == 0 and lines else {"ok": False}
+
+    rc, lines = run([py, "benchmarks/episode10k_bench.py", "--steps", "10"])
+    out["episode10k"] = (
+        json.loads(lines[-1]) if rc == 0 and lines else {"ok": False}
+    )
+
+    path = os.path.join(REPO, "benchmarks", f"round_r{args.round:02d}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+    ok = out["hw_fidelity"]["ok"] and out["perf_budget"]["ok"]
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

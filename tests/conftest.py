@@ -21,8 +21,10 @@ if "host_platform_device_count" not in xla_flags:
 import jax  # noqa: E402
 
 # ALGP_TPU_PERF=1 leaves the real device visible so tests/test_perf.py can
-# assert the hardware budget; everything else runs on the virtual CPU mesh.
-if os.environ.get("ALGP_TPU_PERF") != "1":
+# assert the hardware budget; ALGP_TPU_HW=1 likewise for the on-hardware
+# fidelity tests (test_hw_fidelity.py).  Everything else runs on the
+# virtual CPU mesh.
+if os.environ.get("ALGP_TPU_PERF") != "1" and os.environ.get("ALGP_TPU_HW") != "1":
     jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402

@@ -1,0 +1,92 @@
+"""On-HARDWARE selection-fidelity tests (BASELINE.json:5: "bitwise-
+consistent selected-sample sets vs the CPU reference", v5e vs CPU).
+
+The golden tests in test_episode_golden.py prove the contract on the
+virtual CPU mesh; these prove it on the real TPU — the Pallas Gram tiles,
+the streamed precision-column kernel, and the MXU matmul precision all
+differ there, so this is the test that actually exercises the claim.
+
+Opt-in (needs the axon device + remote compiles, ~1 min):
+
+    ALGP_TPU_HW=1 python -m pytest tests/test_hw_fidelity.py -q
+
+The per-round ritual runs this and commits the result to
+benchmarks/fidelity_r{N}.json (see benchmarks/round_perf.py).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from algp_tpu import acquisition as acq
+from algp_tpu.ops.kernels import KernelSpec
+
+import oracle
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("ALGP_TPU_HW") != "1"
+    or jax.default_backend() not in ("tpu", "axon"),
+    reason="hardware fidelity tests need ALGP_TPU_HW=1 and a real TPU",
+)
+
+
+def _jittered_grid(rows, cols, seed):
+    rng = np.random.default_rng(seed)
+    r, c = np.divmod(np.arange(rows * cols), cols)
+    return np.stack(
+        [c + 0.1 * rng.standard_normal(rows * cols),
+         r + 0.1 * rng.standard_normal(rows * cols)], 1
+    )
+
+
+@pytest.mark.parametrize("strategy", ["entropy", "mi"])
+def test_tpu_50_round_selection_equals_f64_oracle(strategy):
+    """50-round greedy sequences computed ON THE TPU must equal the f64
+    CPU oracle index-for-index (symmetry-free jittered grid — exact
+    sequence equality is well-posed there; see test_episode_golden.py)."""
+    x = _jittered_grid(10, 15, seed=17)
+    spec = KernelSpec("rbf", ds=2)
+    params = spec.init_params(ls_spatial=3.0, outputscale=1.0, noise=0.15)
+    pilot = np.linspace(0, len(x) - 1, 8).round().astype(np.int32)
+    nv = 0.15**2
+    res = acq.greedy_select(
+        spec, params, jnp.asarray(x, jnp.float32),
+        jnp.full((len(x),), nv, jnp.float32),
+        jnp.asarray(pilot), rounds=50, num_pilot=8, strategy=strategy,
+    )
+    sel_dev = np.asarray(res.selected)  # host transfer forces completion
+    K = oracle.gram(x, x, ls_spatial=3.0, outputscale=1.0)
+    if strategy == "entropy":
+        sel_ref, _ = oracle.greedy_variance_selection(K, nv, 50, pilot)
+    else:
+        sel_ref, _ = oracle.greedy_mi_selection(K, nv, 50, pilot)
+    np.testing.assert_array_equal(sel_dev, sel_ref)
+
+
+def test_tpu_posterior_matches_f64_oracle():
+    """Posterior mean/variance computed on the TPU (Pallas cross-Gram +
+    panel-blocked trisolve) vs the f64 oracle, to tolerance."""
+    from algp_tpu.models import gp as gp_mod
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 12, (200, 2))
+    xs = x[:60]
+    y = rng.standard_normal(60)
+    spec = KernelSpec("rbf", ds=2)
+    params = spec.init_params(ls_spatial=2.0, outputscale=1.5, noise=0.2)
+    nv = 0.2**2 + 1e-6
+    post = gp_mod.posterior(
+        spec, params, jnp.asarray(xs, jnp.float32),
+        jnp.asarray(y, jnp.float32), min_noise=1e-3, jitter=1e-6,
+    )
+    mean, var = gp_mod.predict(spec, params, post,
+                               jnp.asarray(x, jnp.float32), use_pallas=True)
+    K = oracle.gram(xs, xs, ls_spatial=2.0, outputscale=1.5) + nv * np.eye(60)
+    Kc = oracle.gram(xs, x, ls_spatial=2.0, outputscale=1.5)
+    m_ref, v_ref = oracle.posterior(K, Kc, 1.5 * np.ones(200), y)
+    np.testing.assert_allclose(np.asarray(mean), m_ref, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(var), v_ref, atol=5e-3)

@@ -91,3 +91,20 @@ def test_chol_append_row_grows_factor(rng):
     )
     L_ref = np.linalg.cholesky(K)
     np.testing.assert_allclose(np.tril(L_new[:n, :n]), L_ref, rtol=3e-3, atol=3e-4)
+
+
+def test_tri_inv_doubling_ill_conditioned_kernel(rng):
+    """The Neumann-doubling leaf inversion must hold f32 accuracy on the
+    worst realistic input: the Cholesky factor of a badly conditioned
+    (long-lengthscale, small-jitter) kernel Gram matrix."""
+    import scipy.linalg as sla
+
+    n = 500
+    x = rng.uniform(0, 10, (n, 2))
+    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    K = np.exp(-0.5 * d2 / 5.0**2) + 1e-4 * np.eye(n)  # cond ~ 1e5
+    L = np.linalg.cholesky(K)
+    W = np.asarray(la.tri_inv(jnp.asarray(L, jnp.float32)))
+    W_ref = sla.solve_triangular(L, np.eye(n), lower=True)
+    err = np.abs(W - W_ref).max() / np.abs(W_ref).max()
+    assert err < 5e-5, err
