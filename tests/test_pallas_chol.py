@@ -16,7 +16,6 @@ from algp_tpu.ops.pallas_chol import (
     _micro_cholesky,
     _micro_cholesky_blocked,
     _micro_tri_inv,
-    _micro_tri_inv_blocked,
     _tri_decode,
     cholesky_pallas,
 )
@@ -54,13 +53,6 @@ def test_micro_tri_inv(rng, p):
     np.testing.assert_allclose(W @ L, np.eye(p), atol=5e-5 * np.sqrt(p))
 
 
-def test_micro_tri_inv_blocked(rng):
-    p = 256
-    L = np.linalg.cholesky(spd(rng, p)).astype(np.float32)
-    W = np.array(_micro_tri_inv_blocked(jnp.asarray(L), p))
-    np.testing.assert_allclose(W @ L, np.eye(p), atol=1e-3)
-
-
 def test_tri_decode_exact():
     ts = jnp.arange(0, 2000)
     ir, jr = _tri_decode(ts)
@@ -79,3 +71,13 @@ def test_cholesky_pallas_fallback_paths(rng):
             L, np.tril(np.linalg.cholesky(K)), rtol=2e-4, atol=2e-5
         )
         assert np.abs(np.triu(L, 1)).max() == 0.0
+
+
+def test_cholesky_pallas_la_fallback_paths(rng):
+    from algp_tpu.ops.pallas_chol import cholesky_pallas_la
+
+    K = spd(rng, 300)
+    L = np.array(cholesky_pallas_la(jnp.asarray(K)))
+    np.testing.assert_allclose(
+        L, np.tril(np.linalg.cholesky(K)), rtol=2e-4, atol=2e-5
+    )
