@@ -59,6 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sensing-modality policy for collected samples")
     p.add_argument("--cheap-noise-mult", type=float)
     p.add_argument("--data-path", help="phenotype CSV (row,range,height,feat_*)")
+    p.add_argument("--num-traits", type=int,
+                   help="synthetic traits to phenotype (fit_multi batch)")
+    p.add_argument("--value-cols",
+                   help="comma-separated table value columns (multi-trait)")
     p.add_argument("--optimizer", choices=("adam", "lbfgs"))
     p.add_argument("--lr", type=float)
     p.add_argument("--iters", type=int)
@@ -96,7 +100,10 @@ def config_from_args(args) -> ExperimentConfig:
     field = rep(field, num_rows=args.rows, num_cols=args.cols,
                 num_features=args.features, noise_std=args.noise_std,
                 cheap_noise_mult=args.cheap_noise_mult,
-                data_path=args.data_path, seed=args.seed)
+                data_path=args.data_path, seed=args.seed,
+                num_traits=args.num_traits,
+                value_cols=(tuple(args.value_cols.split(","))
+                            if args.value_cols else None))
     ep = rep(ep, budget=args.budget, num_pilot=args.num_pilot,
              samples_per_step=args.samples_per_step, seed=args.seed,
              modality=args.modality)
@@ -163,6 +170,29 @@ def run_greedy(cfg: ExperimentConfig, runs: int, stream=None) -> list[dict]:
             "final_rmse_test": env.rmse(np.asarray(mean), test_only=True),
             "mean_var": float(np.asarray(var).mean()),
         }
+        if env.num_traits > 1:
+            # multi-trait phenotyping: refit EVERY trait on the selected
+            # plots as ONE batched program (traits × restarts × iters —
+            # models.gp.fit_multi), then per-trait posterior fields
+            _, Y, _ = env.collect_traits(all_idx, "precise")
+            x_tr = env.X[jnp.asarray(all_idx)]
+            res_m = gp_mod.fit_multi(
+                cfg.kernel, cfg.fit, x_tr,
+                jnp.asarray(Y, jnp.float32), key=key2,
+            )
+            means = []
+            for t in range(env.num_traits):
+                rt = gp_mod.trait_result(res_m, t)
+                post_t = gp_mod.posterior(
+                    cfg.kernel, rt.params, x_tr,
+                    jnp.asarray(Y[:, t], jnp.float32),
+                )
+                m_t, _ = gp_mod.predict(cfg.kernel, rt.params, post_t, env.X)
+                means.append(np.asarray(m_t))
+            rec["trait_rmse"] = env.rmse_traits(np.stack(means, axis=1))
+            rec["trait_rmse_test"] = env.rmse_traits(
+                np.stack(means, axis=1), test_only=True
+            )
         log.log(**rec)
         summaries.append(rec)
         print(json.dumps(rec))

@@ -67,6 +67,11 @@ class FieldConfig:
     noise_std: float = 0.1  # precise-sensor noise std
     cheap_noise_mult: float = 5.0  # cheap/noisy modality multiplier (C5)
     data_path: Optional[str] = None  # real phenotype table (CSV) if given
+    # multi-trait phenotyping: >1 synthetic traits (independent GP draws),
+    # or the table value columns to load (first is the planning trait);
+    # fitted jointly by models.gp.fit_multi (one batched program)
+    num_traits: int = 1
+    value_cols: Optional[tuple] = None
     seed: int = 0
 
     @property

@@ -110,8 +110,11 @@ class FieldEnv:
         )
         K = gram_pallas(spec, params, x_all, x_all)
         L, jit_used = la.safe_cholesky(K, initial_jitter=1e-5)
-        z = jax.random.normal(jax.random.PRNGKey(cfg.seed), (self.n,))
-        f = np.asarray(L @ z, dtype=np.float64)
+        T = max(1, cfg.num_traits)
+        z = jax.random.normal(jax.random.PRNGKey(cfg.seed), (self.n, T))
+        traits = np.asarray(L @ z, dtype=np.float64)  # (n, T) indep. draws
+        self.traits = traits
+        f = traits[:, 0]
         if not np.isfinite(f).all():
             # safe_cholesky exhausts its jitter ladder silently; a NaN
             # ground truth would poison every downstream metric
@@ -132,7 +135,14 @@ class FieldEnv:
         need = {"row", "range"}
         if not need.issubset(df.columns):
             raise ValueError(f"table must have columns {need}, got {list(df.columns)}")
-        value_col = "height" if "height" in df.columns else df.columns[2]
+        if self.cfg.value_cols:
+            value_cols = list(self.cfg.value_cols)
+            missing = [c for c in value_cols if c not in df.columns]
+            if missing:
+                raise ValueError(f"value_cols {missing} not in table columns "
+                                 f"{list(df.columns)}")
+        else:
+            value_cols = ["height" if "height" in df.columns else df.columns[2]]
         feat_cols = [c for c in df.columns if c.startswith("feat_")]
         f = np.full(self.n, np.nan)
         feats = np.zeros((self.n, len(feat_cols)), np.float32)
@@ -153,17 +163,21 @@ class FieldEnv:
                 f"{self.num_rows}x{self.num_cols} grid and were dropped"
             )
         idx = rows_v * self.num_cols + cols_v
-        f[idx[valid]] = df[value_col].to_numpy()[valid]
+        traits = np.full((self.n, len(value_cols)), np.nan)
+        for t, col in enumerate(value_cols):
+            traits[idx[valid], t] = df[col].to_numpy()[valid]
         if feat_cols:
             feats[idx[valid]] = df[feat_cols].to_numpy(np.float32)[valid]
-        self.observed_mask = ~np.isnan(f)
-        # fill gaps with the column mean so the grid stays complete
-        mu = np.nanmean(f)
-        f = np.where(np.isnan(f), mu, f)
-        # standardize values (the GP assumes zero-mean-ish fields)
-        self._y_mean, self._y_std = float(f.mean()), float(f.std() + 1e-12)
-        f = (f - self._y_mean) / self._y_std
-        return feats, f
+        self.observed_mask = ~np.isnan(traits[:, 0])
+        # fill gaps with each trait's mean so the grid stays complete,
+        # then standardize per trait (the GP assumes zero-mean-ish fields)
+        mu = np.nanmean(traits, axis=0)
+        traits = np.where(np.isnan(traits), mu, traits)
+        self._y_mean = traits.mean(axis=0)
+        self._y_std = traits.std(axis=0) + 1e-12
+        traits = (traits - self._y_mean) / self._y_std
+        self.traits = traits
+        return feats, traits[:, 0]
 
     # ------------------------------------------------------- index geometry
 
@@ -199,6 +213,26 @@ class FieldEnv:
         )
         return Sample(indices=idx, y=y, noise_scale=scale)
 
+    @property
+    def num_traits(self) -> int:
+        return self.traits.shape[1]
+
+    def collect_traits(self, indices, modality: str = "precise"):
+        """Noisy measurements of ALL traits at `indices`: (idx, Y, scale)
+        with Y of shape (k, T) — phenotyping measures several traits per
+        plot visit; the batched `models.gp.fit_multi` consumes Y whole."""
+        idx = np.asarray(indices, np.int64).ravel()
+        std = self.noise_std(modality)
+        Y = self.traits[idx] + std * self._rng.standard_normal(
+            (len(idx), self.num_traits)
+        )
+        scale = np.full(
+            idx.shape,
+            1.0 if modality == "precise" else self.cfg.cheap_noise_mult**2,
+            np.float64,
+        )
+        return idx, Y, scale
+
     # ------------------------------------------------------------- metrics
 
     def rmse(self, mean, test_only: bool = False) -> float:
@@ -212,3 +246,10 @@ class FieldEnv:
         m = np.asarray(mean, np.float64)
         mask = self.test_mask if test_only else self.observed_mask
         return float(np.sqrt(np.mean((m[mask] - self.f[mask]) ** 2)))
+
+    def rmse_traits(self, means, test_only: bool = False) -> list[float]:
+        """Per-trait RMSE of posterior mean fields `means` (n, T)."""
+        M = np.asarray(means, np.float64)
+        mask = self.test_mask if test_only else self.observed_mask
+        d = M[mask] - self.traits[mask]
+        return [float(v) for v in np.sqrt(np.mean(d * d, axis=0))]

@@ -148,3 +148,75 @@ def test_boustrophedon_covers_grid(env):
     g = planning.build_field_graph(env)
     for a, b in zip(order, order[1:]):
         assert g.has_edge(int(a), int(b))
+
+
+def test_multi_trait_synthetic_field():
+    from algp_tpu.config import FieldConfig
+    from algp_tpu.field import FieldEnv
+
+    env = FieldEnv(FieldConfig(num_rows=6, num_cols=8, num_traits=3, seed=4))
+    assert env.traits.shape == (48, 3)
+    assert env.num_traits == 3
+    np.testing.assert_array_equal(env.traits[:, 0], env.f)
+    idx, Y, scale = env.collect_traits([1, 5, 9], "cheap")
+    assert Y.shape == (3, 3) and (scale > 1).all()
+    r = env.rmse_traits(np.zeros((48, 3)))
+    assert len(r) == 3 and all(np.isfinite(r))
+
+
+def test_multi_trait_table_and_fit_multi(tmp_path):
+    import pandas as pd
+
+    from algp_tpu.config import FieldConfig
+    from algp_tpu.field import FieldEnv
+
+    rows, cols = 5, 6
+    rng = np.random.default_rng(0)
+    rec = [
+        {"row": r, "range": c,
+         "height": 100 + 3 * r + c + rng.standard_normal(),
+         "width": 40 + r + 2 * c + rng.standard_normal()}
+        for r in range(rows) for c in range(cols)
+    ]
+    path = tmp_path / "multi.csv"
+    pd.DataFrame(rec).to_csv(path, index=False)
+    env = FieldEnv(FieldConfig(num_rows=rows, num_cols=cols,
+                               data_path=str(path),
+                               value_cols=("height", "width")))
+    assert env.traits.shape == (30, 2)
+    # both traits standardized
+    assert abs(env.traits[:, 1].mean()) < 1e-8
+
+    # batched multi-trait fit over sampled plots
+    import jax.numpy as jnp
+
+    from algp_tpu.models import gp as gp_mod
+    from algp_tpu.config import FitConfig
+    from algp_tpu.ops.kernels import KernelSpec
+
+    idx, Y, _ = env.collect_traits(np.arange(0, 30, 2), "precise")
+    spec = KernelSpec("rbf", ds=2)
+    res = gp_mod.fit_multi(
+        spec, FitConfig(iters=30, restarts=2),
+        env.X[jnp.asarray(idx)], jnp.asarray(Y, jnp.float32),
+    )
+    assert np.asarray(res.nll).shape == (2,)
+    assert np.isfinite(np.asarray(res.nll)).all()
+
+
+def test_cli_greedy_multi_trait(capsys):
+    from algp_tpu import cli
+
+    rc = cli.main([
+        "--strategy", "entropy", "--rows", "5", "--cols", "8",
+        "--acq-rounds", "8", "--num-pilot", "5", "--num-traits", "3",
+        "--iters", "15", "--restarts", "1", "--mode", "greedy",
+    ])
+    assert rc == 0
+    import json
+
+    out = capsys.readouterr().out.strip().splitlines()
+    rec = json.loads(out[-1])
+    assert len(rec["trait_rmse"]) == 3
+    assert len(rec["trait_rmse_test"]) == 3
+    assert all(np.isfinite(rec["trait_rmse"]))
