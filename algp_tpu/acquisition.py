@@ -19,10 +19,11 @@ TPU-native redesign — **no refactorization anywhere**:
     Cholesky factor of K_AA + Σ_A — but expressed so each round costs one
     (T×N) matvec + one VPU sweep: O(N·T) instead of O(N·n²).
   * The Krause-MI denominator σ²(y | V∖A∖y) uses the precision identity
-    Var(z_y | z_rest) = 1/[(K_VV+Σ)⁻¹]_yy.  The complement precision P is
-    seeded once by a blocked on-device inversion (ops.linalg.tri_inv — MXU
-    matmuls) and thereafter maintained by O(N²) Schur rank-1 *downdates*
-    (ops.linalg.precision_delete), one fused VPU pass per round.
+    Var(z_y | z_rest) = 1/[(K_VV+Σ)⁻¹]_yy.  The complement precision is
+    IMPLICIT — W = L⁻¹ (blocked MXU tri_inv) plus Schur correction
+    factors F/G updated rank-1 per round; the per-round column comes from
+    one flat-pipelined Pallas pass over W's contributing triangle tiles
+    (ops.updates.wtw_column).
   * The whole `rounds`-round loop runs inside ONE `lax.fori_loop`; the
     host reads back only the selected index sequence (SURVEY.md §3.4).
   * Fidelity contract: scores are computed in f32 with fixed reduction
@@ -47,7 +48,7 @@ from jax import lax
 from algp_tpu.ops import linalg as la
 from algp_tpu.ops.gram import gram_pallas_with_noise
 from algp_tpu.ops.kernels import KernelParams, KernelSpec, gram, gram_diag
-from algp_tpu.ops.updates import wtw_column_streamed as wtw_column
+from algp_tpu.ops.updates import wtw_column
 
 _HIGH = lax.Precision.HIGHEST
 

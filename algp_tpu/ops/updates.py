@@ -124,3 +124,148 @@ def wtw_column_streamed(
         ),
     )(j.reshape(1).astype(jnp.int32), W)
     return out[0]
+
+
+def _wtw_pipe_kernel(tile: int, nb: int, j_ref, w_hbm, out_hbm, cnt):
+    """Flat software-pipelined (WᵀW)eⱼ: ONE emit_pipeline over exactly the
+    contributing (ii, k) tile pairs (k ≥ max(ii, jb)), ii-major so each
+    output tile stays VMEM-resident through its k-run.
+
+    The manual double-buffered variant restarts its 2-deep pipeline at
+    every output row (nb short k-runs per round ⇒ nb DMA-latency startup
+    stalls); here the whole round is one continuous pipeline.  Padded
+    iterations beyond the round's true pair count map to the last valid
+    pair — emit_pipeline skips the DMA when block indices repeat — and
+    their compute is masked off.
+    """
+    j = j_ref[0]
+    jb = j // tile  # first contributing k-tile (W[kt rows ≥ j] ⇔ kt ≥ jb)
+    lane = j % 128
+    nbj = nb - jb
+    A = (jb + 1) * nbj  # pairs in rows ii ≤ jb (each has nbj tiles)
+    m = nbj - 1  # row ii=jb+1's pair count
+    total = A + m * (m + 1) // 2
+
+    def decode(t):
+        t = jnp.asarray(t, jnp.int32)
+        in_top = t < A
+        tt = jnp.minimum(t, A - 1)
+        ii_top = tt // nbj
+        k_top = jb + tt % nbj
+        # decreasing-triangle decode for rows ii > jb:
+        # row r (ii = jb+1+r) holds m−r pairs; S(r) = r·m − r(r−1)/2
+        u = jnp.clip(t - A, 0, jnp.maximum(total - A - 1, 0))
+        uf = u.astype(jnp.float32)
+        mf = jnp.float32(1.0) * m + 0.5
+        r = jnp.floor(mf - jnp.sqrt(jnp.maximum(mf * mf - 2.0 * uf, 0.0)))
+        r = r.astype(jnp.int32)
+        s_r = lambda q: q * m - q * (q - 1) // 2
+        r = jnp.where(s_r(r) > u, r - 1, r)
+        r = jnp.where(s_r(r + 1) <= u, r + 1, r)
+        ii_tri = jb + 1 + r
+        k_tri = ii_tri + (u - s_r(r))
+        ii = jnp.where(in_top, ii_top, ii_tri)
+        k = jnp.where(in_top, k_top, k_tri)
+        valid = t < total
+        # padded iterations revisit the last valid pair (DMA skipped)
+        ii = jnp.where(valid, ii, nb - 1)
+        k = jnp.where(valid, k, nb - 1)
+        return ii, k, valid
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (tile, 128), 1)
+
+    def body(w_ref, wc_ref, out_ref):
+        t = cnt[0]
+        cnt[0] = t + 1
+        ii, k, valid = decode(t)
+        first = jnp.logical_and(valid, k == jnp.maximum(ii, jb))
+
+        @pl.when(first)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        @pl.when(valid)
+        def _():
+            wcol = jnp.sum(
+                jnp.where(lanes == lane, wc_ref[...], 0.0),
+                axis=1, keepdims=True,
+            )  # (T, 1) = W[k-tile, j]
+            out_ref[...] += jax.lax.dot_general(
+                wcol, w_ref[...],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    cnt[0] = 0
+    t_max = nb + nb * (nb - 1) // 2  # worst case (jb = 0)
+
+    def w_map(t):
+        ii, k, _ = decode(t)
+        return (k, ii)
+
+    def wc_map(t):
+        _, k, _ = decode(t)
+        return (k, j // 128)
+
+    def out_map(t):
+        ii, _, _ = decode(t)
+        return (0, ii)
+
+    pltpu.emit_pipeline(
+        body,
+        grid=(t_max,),
+        in_specs=[
+            pl.BlockSpec((tile, tile), w_map),
+            pl.BlockSpec((tile, 128), wc_map),
+        ],
+        out_specs=[pl.BlockSpec((1, tile), out_map)],
+    )(w_hbm, w_hbm, out_hbm)
+
+
+@partial(jax.jit, static_argnames=("tile",))
+def wtw_column_pipelined(
+    W: jax.Array,
+    j: jax.Array,
+    *,
+    tile: int = 512,
+) -> jax.Array:
+    """(WᵀW)[:, j] — flat continuous pipeline over contributing tiles.
+
+    TPU-only (emit_pipeline has no interpreter); callers fall back to
+    `wtw_column_streamed` off-TPU.
+    """
+    N = W.shape[0]
+    assert N % tile == 0, f"needs aligned N, got {N} % {tile}"
+    nb = N // tile
+    out = pl.pallas_call(
+        partial(_wtw_pipe_kernel, tile, nb),
+        out_shape=jax.ShapeDtypeStruct((1, N), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=N * N, bytes_accessed=4 * (N * N // 2 + 2 * N),
+            transcendentals=0,
+        ),
+    )(j.reshape(1).astype(jnp.int32), W)
+    return out[0]
+
+
+def wtw_column(W: jax.Array, j: jax.Array, *, tile: int = 512) -> jax.Array:
+    """(WᵀW)[:, j] — dispatches to the flat-pipeline kernel on TPU and to
+    the interpretable manual-DMA variant elsewhere.
+
+    The two are bitwise-identical.  Measured (2026-08-16, v5e, N=10240,
+    jitted 50-round loop): EQUAL in-loop at ~0.29 ms/round — both sit on
+    the same DMA floor; the flat pipeline only wins dispatch-pipelining
+    artifacts in eager call patterns (91→65 ms per 50 eager calls).  It
+    is kept as the TPU path for its single continuous pipeline (no
+    per-output-row restarts) and exact contributing-tile enumeration."""
+    if _on_tpu():
+        return wtw_column_pipelined(W, j, tile=tile)
+    return wtw_column_streamed(W, j, tile=tile)

@@ -83,3 +83,14 @@ def test_greedy_select_nonaligned_matches_alignment_padding(rng):
     sel = np.array(res.selected)
     assert np.all(sel < 300)
     assert len(np.unique(sel)) == 12
+
+
+def test_wtw_column_dispatcher_off_tpu(rng):
+    """Off-TPU the dispatcher must route to the interpretable variant."""
+    from algp_tpu.ops.updates import wtw_column
+
+    N = 512
+    W = np.tril(rng.standard_normal((N, N)).astype(np.float32))
+    P = W.T @ W
+    out = np.array(wtw_column(jnp.asarray(W), jnp.asarray(300)))
+    np.testing.assert_allclose(out, P[:, 300], rtol=1e-5, atol=1e-4)
