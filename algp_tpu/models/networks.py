@@ -1,0 +1,180 @@
+"""Learned (deep) feature kernels — the reference's `networks.py` analog.
+
+Capability parity (SURVEY.md §2 C1 "possibly networks.py for feature /
+deep kernels"): high-throughput phenotyping features (genotype markers)
+often relate to the phenotype through a nonlinear map; a deep kernel
+passes the feature columns through a small learned embedding φ before
+the stationary covariance,
+
+    k(x, x') = s² · k_spatial(x_sp, x'_sp) · k_feature(φ(x_ft), φ(x'_ft)),
+
+with φ's weights optimized JOINTLY with the kernel hyperparameters by
+the same marginal-likelihood objective (deep kernel learning).
+
+TPU-first design: φ is a tiny pure-JAX MLP whose weights live in the
+same pytree as `KernelParams`, so the WHOLE joint optimization reuses
+`models.gp`'s one-jit machinery unchanged — `lax.scan` over optimizer
+steps × `vmap` over restarts, one program.  Embedding happens once per
+input batch (an (n, df)→(n, dz) matmul chain, microseconds), after which
+every existing code path — the Pallas Gram over the 10k grid, the greedy
+MI loop, the episode — consumes the embedded inputs untouched: the deep
+kernel is a *preprocessing contract* ([spatial | φ(features)]), not a
+parallel implementation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+
+from algp_tpu.config import FitConfig
+from algp_tpu.models import gp as gp_mod
+from algp_tpu.ops.kernels import KernelParams, KernelSpec
+
+
+@dataclasses.dataclass(frozen=True)
+class MLPSpec:
+    """Static architecture of the feature embedding φ: df → hidden* → dz."""
+
+    hidden: tuple = (16,)
+    out: int = 4
+    # tanh keeps embeddings bounded, so the feature lengthscales stay in
+    # a sane range and the joint optimization is well-conditioned
+    activation: str = "tanh"
+
+    def dims(self, df: int) -> list:
+        return [df, *self.hidden, self.out]
+
+
+def init_mlp(spec: MLPSpec, df: int, key: jax.Array) -> list:
+    """Glorot-initialised weight pytree: [(W0, b0), (W1, b1), ...]."""
+    dims = spec.dims(df)
+    layers = []
+    for i, (a, b) in enumerate(zip(dims[:-1], dims[1:])):
+        key, sub = jax.random.split(key)
+        scale = jnp.sqrt(2.0 / (a + b))
+        layers.append(
+            (scale * jax.random.normal(sub, (a, b), jnp.float32),
+             jnp.zeros((b,), jnp.float32))
+        )
+    return layers
+
+
+def embed_features(spec: MLPSpec, mlp, feats: jax.Array) -> jax.Array:
+    """φ(features): (n, df) → (n, dz)."""
+    act = jnp.tanh if spec.activation == "tanh" else jax.nn.relu
+    z = feats
+    for i, (W, b) in enumerate(mlp):
+        z = jnp.dot(z, W, precision=lax.Precision.HIGHEST) + b
+        if i + 1 < len(mlp):
+            z = act(z)
+    return z
+
+
+def embed_inputs(spec: MLPSpec, mlp, x: jax.Array, ds: int) -> jax.Array:
+    """[spatial | φ(features)] — the contract every downstream consumer
+    (Pallas Gram, greedy loops, episode) sees."""
+    return jnp.concatenate(
+        [x[:, :ds], embed_features(spec, mlp, x[:, ds:])], axis=1
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DeepFitResult:
+    params: KernelParams  # kernel hypers at the embedded-feature spec
+    mlp: list  # φ weights
+    nll: jax.Array
+    nll_trace: jax.Array
+
+
+def deep_spec(kspec: KernelSpec, mspec: MLPSpec) -> KernelSpec:
+    """The kernel spec downstream consumers use: df = embedding width."""
+    return KernelSpec(
+        spatial_kind=kspec.spatial_kind,
+        feature_kind=kspec.feature_kind,
+        ds=kspec.ds,
+        df=mspec.out,
+    )
+
+
+@partial(jax.jit, static_argnames=("kspec", "mspec", "cfg"))
+def _deep_fit_jit(kspec, mspec, cfg, x, y, kinits, mlp0):
+    espec = deep_spec(kspec, mspec)
+
+    def loss(kp, mlp):
+        if not cfg.learn_noise:
+            kp = dataclasses.replace(
+                kp, log_noise=lax.stop_gradient(kp.log_noise)
+            )
+        z = embed_inputs(mspec, mlp, x, kspec.ds)
+        return gp_mod.neg_mll(
+            espec, kp, z, y, min_noise=cfg.min_noise, jitter=cfg.jitter
+        )
+
+    opt = optax.adam(cfg.learning_rate)
+
+    def one_restart(kp0):
+        theta0 = (kp0, mlp0)
+
+        def step(carry, _):
+            theta, opt_state, best_nll, best = carry
+            nll, g = jax.value_and_grad(lambda t: loss(*t))(theta)
+            updates, opt_state = opt.update(g, opt_state, theta)
+            theta_new = optax.apply_updates(theta, updates)
+            better = nll < best_nll
+            best_nll = jnp.where(better, nll, best_nll)
+            best = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(better, a, b), theta, best
+            )
+            return (theta_new, opt_state, best_nll, best), nll
+
+        init = (theta0, opt.init(theta0), jnp.inf, theta0)
+        (theta_f, _, best_nll, best), trace = lax.scan(
+            step, init, None, length=cfg.iters
+        )
+        nll_f = loss(*theta_f)
+        better = nll_f < best_nll
+        best_nll = jnp.where(better, nll_f, best_nll)
+        best = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(better, a, b), theta_f, best
+        )
+        best_nll = jnp.where(jnp.isfinite(best_nll), best_nll, jnp.inf)
+        return best, best_nll, trace
+
+    best, best_nll, trace = jax.vmap(one_restart)(kinits)
+    k = jnp.argmin(best_nll)
+    kp, mlp = jax.tree_util.tree_map(lambda a: a[k], best)
+    return DeepFitResult(params=kp, mlp=mlp, nll=best_nll[k],
+                         nll_trace=trace)
+
+
+def fit_deep(
+    kspec: KernelSpec,
+    mspec: MLPSpec,
+    cfg: FitConfig,
+    x: jax.Array,
+    y: jax.Array,
+    key: Optional[jax.Array] = None,
+) -> DeepFitResult:
+    """Joint deep-kernel fit: MLP weights + kernel hypers by Adam on the
+    negative MLL, multi-restart over the KERNEL inits (the MLP init is
+    shared — restarts explore the hyperparameter basin, which is where
+    the multimodality lives).  `kspec.df` is the RAW feature width; the
+    returned params live at `deep_spec(kspec, mspec)` (df = embedding
+    width) and downstream consumers pass `embed_inputs(...)`-transformed
+    inputs to the standard gp/acquisition machinery.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    kmlp, kinit = jax.random.split(key)
+    mlp0 = init_mlp(mspec, kspec.df, kmlp)
+    espec = deep_spec(kspec, mspec)
+    kinits = gp_mod.make_restart_inits(espec, cfg, kinit)
+    return _deep_fit_jit(kspec, mspec, cfg, x, y, kinits, mlp0)
