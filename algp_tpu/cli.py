@@ -63,6 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="synthetic traits to phenotype (fit_multi batch)")
     p.add_argument("--value-cols",
                    help="comma-separated table value columns (multi-trait)")
+    p.add_argument("--deep-hidden",
+                   help="deep feature kernel: comma-separated MLP hidden "
+                   "widths (e.g. 16,16); enables joint MLL training of a "
+                   "feature embedding (needs --features > 0)")
+    p.add_argument("--deep-out", type=int, default=4,
+                   help="deep feature kernel: embedding width (default 4)")
     p.add_argument("--optimizer", choices=("adam", "lbfgs"))
     p.add_argument("--lr", type=float)
     p.add_argument("--iters", type=int)
@@ -107,8 +113,16 @@ def config_from_args(args) -> ExperimentConfig:
     ep = rep(ep, budget=args.budget, num_pilot=args.num_pilot,
              samples_per_step=args.samples_per_step, seed=args.seed,
              modality=args.modality)
+    deep = cfg.deep
+    if args.deep_hidden:
+        from algp_tpu.config import MLPSpec
+
+        deep = MLPSpec(
+            hidden=tuple(int(h) for h in args.deep_hidden.split(",")),
+            out=args.deep_out,
+        )
     return ExperimentConfig(kernel=kernel, fit=fit, acquisition=acqc,
-                            field=field, episode=ep)
+                            field=field, episode=ep, deep=deep)
 
 
 def run_greedy(cfg: ExperimentConfig, runs: int, stream=None) -> list[dict]:
@@ -133,15 +147,35 @@ def run_greedy(cfg: ExperimentConfig, runs: int, stream=None) -> list[dict]:
         )
         s = env.collect(pilot, "precise")
         key = jax.random.PRNGKey(cfg.episode.seed + run)
-        res = gp_mod.fit(
-            cfg.kernel, cfg.fit, env.X[jnp.asarray(s.indices)],
-            jnp.asarray(s.y, jnp.float32), key=key,
-        )
+
+        if cfg.deep is not None:
+            # deep feature kernel: joint MLP+hypers fit, then every
+            # downstream consumer sees [spatial | φ(features)]
+            from algp_tpu.models import networks as nets
+
+            def fit_fn(idx, y, key):
+                res = nets.fit_deep(
+                    cfg.kernel, cfg.deep, cfg.fit,
+                    env.X[jnp.asarray(idx)], jnp.asarray(y, jnp.float32),
+                    key=key,
+                )
+                X_eff = nets.embed_inputs(cfg.deep, res.mlp, env.X,
+                                          cfg.kernel.ds)
+                return res, nets.deep_spec(cfg.kernel, cfg.deep), X_eff
+        else:
+            def fit_fn(idx, y, key):
+                res = gp_mod.fit(
+                    cfg.kernel, cfg.fit, env.X[jnp.asarray(idx)],
+                    jnp.asarray(y, jnp.float32), key=key,
+                )
+                return res, cfg.kernel, env.X
+
+        res, spec_eff, X_eff = fit_fn(s.indices, s.y, key)
         nv_base = float(np.maximum(
             np.exp(2 * np.asarray(res.params.log_noise)), cfg.fit.min_noise**2
         ))
         sel = acq.greedy_select(
-            cfg.kernel, res.params, env.X,
+            spec_eff, res.params, X_eff,
             jnp.full((env.n,), nv_base, jnp.float32),
             jnp.asarray(s.indices, jnp.int32),
             rounds=cfg.acquisition.rounds, num_pilot=len(s.indices),
@@ -152,15 +186,12 @@ def run_greedy(cfg: ExperimentConfig, runs: int, stream=None) -> list[dict]:
         all_idx = np.concatenate([s.indices, s2.indices])
         all_y = np.concatenate([s.y, s2.y])
         key2 = jax.random.fold_in(key, 1)
-        res2 = gp_mod.fit(
-            cfg.kernel, cfg.fit, env.X[jnp.asarray(all_idx)],
-            jnp.asarray(all_y, jnp.float32), key=key2,
-        )
+        res2, spec_eff, X_eff = fit_fn(all_idx, all_y, key2)
         post = gp_mod.posterior(
-            cfg.kernel, res2.params, env.X[jnp.asarray(all_idx)],
+            spec_eff, res2.params, X_eff[jnp.asarray(all_idx)],
             jnp.asarray(all_y, jnp.float32),
         )
-        mean, var = gp_mod.predict(cfg.kernel, res2.params, post, env.X)
+        mean, var = gp_mod.predict(spec_eff, res2.params, post, X_eff)
         rec = {
             "run": run, "mode": "greedy",
             "strategy": cfg.acquisition.strategy,

@@ -40,6 +40,21 @@ class FitConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class MLPSpec:
+    """Static architecture of the deep-kernel feature embedding φ:
+    df → hidden* → out (models/networks.py)."""
+
+    hidden: tuple = (16,)
+    out: int = 4
+    # tanh keeps embeddings bounded, so the feature lengthscales stay in
+    # a sane range and the joint optimization is well-conditioned
+    activation: str = "tanh"
+
+    def dims(self, df: int) -> list:
+        return [df, *self.hidden, self.out]
+
+
+@dataclasses.dataclass(frozen=True)
 class AcquisitionConfig:
     """Greedy active-sampling (C6-C8)."""
 
@@ -105,6 +120,10 @@ class ExperimentConfig:
     acquisition: AcquisitionConfig = AcquisitionConfig()
     field: FieldConfig = FieldConfig()
     episode: EpisodeConfig = EpisodeConfig()
+    # deep feature kernel: learned MLP embedding of the feature columns,
+    # trained jointly with the hyperparameters (models/networks.py);
+    # None = plain stationary kernel on the raw features
+    deep: Optional[MLPSpec] = None
 
 
 # ---------------------------------------------------------------------------

@@ -56,7 +56,19 @@ class Agent:
                  logger: Optional[MetricsLogger] = None):
         self.env = env
         self.cfg = cfg
-        self.spec = cfg.kernel
+        # deep feature kernel: every device consumer (posterior, greedy
+        # loops, set scoring, precision) sees the EFFECTIVE spec over
+        # [spatial | φ(features)]; only the joint fit touches raw inputs
+        if cfg.deep is not None:
+            from algp_tpu.models import networks as nets
+
+            if cfg.kernel.df == 0:
+                raise ValueError("deep kernel needs feature dims (df > 0)")
+            self.spec = nets.deep_spec(cfg.kernel, cfg.deep)
+        else:
+            self.spec = cfg.kernel
+        self._mlp = None
+        self._Xdev = env.X  # embedded after the first deep fit
         self.logger = logger or MetricsLogger()
         self.rng = np.random.default_rng(cfg.episode.seed)
         self._pad_paths = 256  # static path-batch size (compile once)
@@ -73,8 +85,13 @@ class Agent:
                 f"unknown strategy {cfg.acquisition.strategy!r}; use {STRATEGIES}"
             )
 
-    def _padded_train(self, st: EpisodeState):
-        """(x, y, noise_scale, num_valid) padded to the static capacity."""
+    def _padded_train(self, st: EpisodeState, raw: bool = False):
+        """(x, y, noise_scale, num_valid) padded to the static capacity.
+
+        `raw=True` returns the un-embedded inputs (the joint deep fit
+        trains the embedding itself); otherwise x comes from the
+        effective (embedded) candidate matrix every other consumer uses.
+        """
         m = len(st.sampled_idx)
         cap = self._max_samples
         if m > cap:  # safety: grow capacity (recompiles once)
@@ -85,7 +102,8 @@ class Agent:
         y[:m] = st.y
         ns = np.ones(cap, np.float32)
         ns[:m] = st.noise_scale
-        x = self.env.X[jnp.asarray(idx)]
+        x_src = self.env.X if raw else self._Xdev
+        x = x_src[jnp.asarray(idx)]
         return (
             x, jnp.asarray(y), jnp.asarray(ns),
             jnp.asarray(m, jnp.int32), jnp.asarray(idx, jnp.int32),
@@ -112,11 +130,33 @@ class Agent:
 
     # ------------------------------------------------------------ model
 
-    def fit_model(self, st: EpisodeState, key=None) -> gp_mod.FitResult:
-        x, y, ns, m, _ = self._padded_train(st)
-        res = gp_mod.fit(self.spec, self.cfg.fit, x, y, ns, key=key, num_valid=m)
+    def fit_model(self, st: EpisodeState, key=None):
+        x, y, ns, m, _ = self._padded_train(st, raw=True)
+        if self.cfg.deep is not None:
+            from algp_tpu.models import networks as nets
+
+            res = nets.fit_deep(
+                self.cfg.kernel, self.cfg.deep, self.cfg.fit, x, y, ns,
+                key=key, num_valid=m,
+            )
+            self._set_mlp(res.mlp)
+            st.mlp = res.mlp
+        else:
+            res = gp_mod.fit(
+                self.spec, self.cfg.fit, x, y, ns, key=key, num_valid=m
+            )
         st.params = res.params
         return res
+
+    def _set_mlp(self, mlp):
+        """Adopt trained embedding weights: re-embed the candidate grid
+        (one (n, df)→(n, dz) pass) for every downstream device consumer."""
+        from algp_tpu.models import networks as nets
+
+        self._mlp = mlp
+        self._Xdev = nets.embed_inputs(
+            self.cfg.deep, mlp, self.env.X, self.cfg.kernel.ds
+        )
 
     def _noise_vec(self, st: EpisodeState) -> jnp.ndarray:
         """Effective per-candidate noise variance for FUTURE measurements
@@ -185,7 +225,7 @@ class Agent:
     def predict_field(self, st: EpisodeState):
         post = self._posterior(st)
         mean, var = gp_mod.predict(
-            self.spec, st.params, post, self.env.X,
+            self.spec, st.params, post, self._Xdev,
             use_pallas=self.env.n >= 4096,
         )
         return np.asarray(mean), np.asarray(var)
@@ -210,7 +250,7 @@ class Agent:
         pnv = np.full(self._max_samples, 1.0, np.float32)
         pnv[: len(st.sampled_idx)] = base * st.noise_scale
         res = acq.greedy_select(
-            self.spec, st.params, self.env.X, nv,
+            self.spec, st.params, self._Xdev, nv,
             idx_pad,
             rounds=0, num_pilot=self._max_samples, strategy="entropy",
             pilot_count=m, pilot_nv=jnp.asarray(pnv),
@@ -262,7 +302,7 @@ class Agent:
             Pimp = self._implicit_precision(st, nv)
         scores = np.asarray(
             acq.score_candidate_sets(
-                self.spec, st.params, self.env.X, nv,
+                self.spec, st.params, self._Xdev, nv,
                 basis,
                 jnp.asarray(sets), jnp.asarray(sizes),
                 P_implicit=Pimp, strategy=strat,
@@ -317,7 +357,7 @@ class Agent:
         cached = self._P_cache
         if cached is None or cached[0] is not st.params:
             W, WT = acq.implicit_complement_precision(
-                self.spec, st.params, self.env.X, nv
+                self.spec, st.params, self._Xdev, nv
             )
             self._P_cache = (st.params, W, WT)
         else:
@@ -354,8 +394,15 @@ class Agent:
         # chain would diverge after resume for restarts > 1)
         base_key = jax.random.PRNGKey(ep.seed)
         t0 = time.perf_counter()
-        if st.params is None:
+        needs_fit = st.params is None or (
+            self.cfg.deep is not None and st.mlp is None
+        )
+        if needs_fit:
             self.fit_model(st, jax.random.fold_in(base_key, st.step))
+        elif self.cfg.deep is not None:
+            # resume: adopt the checkpointed embedding so the saved
+            # hyperparameters stay consistent with the candidate matrix
+            self._set_mlp(st.mlp)
         mean, var = self.predict_field(st)
         self.logger.log(
             step=st.step, phase="pilot" if resume_from is None else "resume",

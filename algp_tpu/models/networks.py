@@ -33,23 +33,9 @@ import jax.numpy as jnp
 import optax
 from jax import lax
 
-from algp_tpu.config import FitConfig
+from algp_tpu.config import FitConfig, MLPSpec
 from algp_tpu.models import gp as gp_mod
 from algp_tpu.ops.kernels import KernelParams, KernelSpec
-
-
-@dataclasses.dataclass(frozen=True)
-class MLPSpec:
-    """Static architecture of the feature embedding φ: df → hidden* → dz."""
-
-    hidden: tuple = (16,)
-    out: int = 4
-    # tanh keeps embeddings bounded, so the feature lengthscales stay in
-    # a sane range and the joint optimization is well-conditioned
-    activation: str = "tanh"
-
-    def dims(self, df: int) -> list:
-        return [df, *self.hidden, self.out]
 
 
 def init_mlp(spec: MLPSpec, df: int, key: jax.Array) -> list:
@@ -104,9 +90,14 @@ def deep_spec(kspec: KernelSpec, mspec: MLPSpec) -> KernelSpec:
     )
 
 
-@partial(jax.jit, static_argnames=("kspec", "mspec", "cfg"))
-def _deep_fit_jit(kspec, mspec, cfg, x, y, kinits, mlp0):
+@partial(jax.jit, static_argnames=("kspec", "mspec", "cfg",
+                                   "has_noise_scale", "has_num_valid"))
+def _deep_fit_jit(kspec, mspec, cfg, x, y, kinits, mlp0,
+                  noise_scale=None, num_valid=None,
+                  has_noise_scale=False, has_num_valid=False):
     espec = deep_spec(kspec, mspec)
+    ns = noise_scale if has_noise_scale else None
+    nvalid = num_valid if has_num_valid else None
 
     def loss(kp, mlp):
         if not cfg.learn_noise:
@@ -115,7 +106,8 @@ def _deep_fit_jit(kspec, mspec, cfg, x, y, kinits, mlp0):
             )
         z = embed_inputs(mspec, mlp, x, kspec.ds)
         return gp_mod.neg_mll(
-            espec, kp, z, y, min_noise=cfg.min_noise, jitter=cfg.jitter
+            espec, kp, z, y, ns, min_noise=cfg.min_noise,
+            jitter=cfg.jitter, num_valid=nvalid,
         )
 
     opt = optax.adam(cfg.learning_rate)
@@ -161,7 +153,9 @@ def fit_deep(
     cfg: FitConfig,
     x: jax.Array,
     y: jax.Array,
+    noise_scale: Optional[jax.Array] = None,
     key: Optional[jax.Array] = None,
+    num_valid: Optional[jax.Array] = None,
 ) -> DeepFitResult:
     """Joint deep-kernel fit: MLP weights + kernel hypers by Adam on the
     negative MLL, multi-restart over the KERNEL inits (the MLP init is
@@ -170,6 +164,10 @@ def fit_deep(
     returned params live at `deep_spec(kspec, mspec)` (df = embedding
     width) and downstream consumers pass `embed_inputs(...)`-transformed
     inputs to the standard gp/acquisition machinery.
+
+    `noise_scale`/`num_valid` mirror `models.gp.fit` (heteroscedastic
+    per-sample variance multipliers; identity-padded static buffers for
+    the episode loop).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -177,4 +175,7 @@ def fit_deep(
     mlp0 = init_mlp(mspec, kspec.df, kmlp)
     espec = deep_spec(kspec, mspec)
     kinits = gp_mod.make_restart_inits(espec, cfg, kinit)
-    return _deep_fit_jit(kspec, mspec, cfg, x, y, kinits, mlp0)
+    return _deep_fit_jit(
+        kspec, mspec, cfg, x, y, kinits, mlp0, noise_scale, num_valid,
+        noise_scale is not None, num_valid is not None,
+    )

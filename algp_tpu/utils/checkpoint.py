@@ -26,6 +26,7 @@ class EpisodeState:
     step: int
     params: Optional[KernelParams] = None  # fitted hyperparameters
     rng_state: Optional[dict] = None  # np.random.Generator bit state
+    mlp: Optional[list] = None  # deep-kernel embedding weights [(W, b)…]
 
 
 def save(path: str, state: EpisodeState) -> None:
@@ -50,6 +51,11 @@ def save(path: str, state: EpisodeState) -> None:
         blobs["rng_state_json"] = np.frombuffer(
             json.dumps(state.rng_state).encode(), dtype=np.uint8
         )
+    if state.mlp is not None:
+        blobs["mlp_layers"] = np.asarray(len(state.mlp))
+        for i, (W, b) in enumerate(state.mlp):
+            blobs[f"mlp_W{i}"] = np.asarray(W)
+            blobs[f"mlp_b{i}"] = np.asarray(b)
     np.savez(path, **blobs)
 
 
@@ -70,6 +76,12 @@ def load(path: str) -> EpisodeState:
         import json
 
         rng_state = json.loads(z["rng_state_json"].tobytes().decode())
+    mlp = None
+    if "mlp_layers" in z:
+        mlp = [
+            (jnp.asarray(z[f"mlp_W{i}"]), jnp.asarray(z[f"mlp_b{i}"]))
+            for i in range(int(z["mlp_layers"]))
+        ]
     return EpisodeState(
         sampled_idx=z["sampled_idx"],
         y=z["y"],
@@ -79,4 +91,5 @@ def load(path: str) -> EpisodeState:
         step=int(z["step"]),
         params=params,
         rng_state=rng_state,
+        mlp=mlp,
     )

@@ -8,9 +8,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 
 _reduce = None
@@ -92,20 +98,44 @@ def main():
     gramc_j = jax.jit(lambda X: gmod.gram_pallas(cspec, cparams, X, X))
     bench(f"pallas_gram_composite_N{N}", lambda: gramc_j(Xf), results=r)
 
-    K = gmod.gram_pallas_with_noise(spec, params, X, nv / params.noise_var)
+    # dense-linalg rows run at the PRODUCTION shape: the selection paths
+    # 512-align the candidate axis (acquisition.pad_candidates)
+    Xp, nvp = acq.pad_candidates(X, nv, align=512)
+    Na = Xp.shape[0]
+    K = gmod.gram_pallas_with_noise(spec, params, Xp, nvp / params.noise_var)
     chol_j = jax.jit(jnp.linalg.cholesky)
-    bench(f"cholesky_N{N}", lambda: chol_j(K), results=r)
+    bench(f"cholesky_xla_N{Na}", lambda: chol_j(K), results=r)
+
+    from algp_tpu.ops import pallas_chol as pc
+
+    bench(
+        f"cholesky_pallas_N{Na}",
+        lambda: jax.jit(pc.cholesky_pallas)(K), results=r,
+    )
+    bench(
+        f"cholesky_pallas_lookahead_N{Na}",
+        lambda: jax.jit(pc.cholesky_pallas_la)(K), results=r,
+    )
     L = chol_j(K)
     tri_j = jax.jit(la.tri_inv)
-    bench(f"tri_inv_N{N}", lambda: tri_j(L), results=r)
+    bench(f"tri_inv_N{Na}", lambda: tri_j(L), results=r)
     seed_j = jax.jit(
-        lambda X: la.spd_inverse_from_chol(
-            jnp.linalg.cholesky(
-                gmod.gram_pallas_with_noise(spec, params, X, nv / params.noise_var)
-            )
-        )
+        lambda X: acq.implicit_complement_precision(spec, params, X, nvp)[0]
     )
-    bench(f"mi_precision_seed_N{N}", lambda: seed_j(X), results=r)
+    bench(f"mi_implicit_seed_W_N{Na}", lambda: seed_j(Xp), results=r)
+
+    from algp_tpu.ops import updates as upd
+
+    W = tri_j(L)
+    j50 = jnp.asarray(Na // 2, jnp.int32)
+    bench(
+        f"wtw_column_streamed_N{Na}",
+        lambda: upd.wtw_column_streamed(W, j50, tile=512), results=r,
+    )
+    bench(
+        f"wtw_column_pipelined_N{Na}",
+        lambda: upd.wtw_column_pipelined(W, j50, tile=512), results=r,
+    )
 
     B = jnp.asarray(rng.standard_normal((512, 700)).astype(np.float32))
     rhs_j = jax.jit(lambda L, B: la.blocked_solve_triangular(L, B))

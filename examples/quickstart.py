@@ -1,10 +1,15 @@
-"""algp-tpu quickstart: the five workloads in ~60 lines.
+"""algp-tpu quickstart: the core workloads, one screenful each.
 
     python examples/quickstart.py          # runs everything on the default device
 """
 
+import os
+import sys
+
 import numpy as np
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from algp_tpu import acquisition as acq
 from algp_tpu.config import (
@@ -63,3 +68,31 @@ result = Agent(env5, cfg).run()
 print(f"5. episode:       RMSE {result.history[0]['rmse']:.3f} → "
       f"{result.rmse:.3f} in {result.state.step} steps, "
       f"{len(result.state.sampled_idx)} samples")
+
+# 6. Multi-trait phenotyping (beyond the reference) -------------------------
+from algp_tpu.models import gp as gp_mod
+
+env6 = FieldEnv(FieldConfig(num_rows=8, num_cols=10, num_traits=3, seed=6))
+idx6, Y6, _ = env6.collect_traits(np.arange(0, env6.n, 2), "precise")
+res6 = gp_mod.fit_multi(
+    KernelSpec("rbf", ds=2), FitConfig(iters=60, restarts=2),
+    env6.X[jnp.asarray(idx6)], jnp.asarray(Y6, jnp.float32),
+)
+print(f"6. multi-trait:   {Y6.shape[1]} traits fit in ONE batched program, "
+      f"NLLs {np.round(np.asarray(res6.nll), 1).tolist()}")
+
+# 7. Deep feature kernel (learned embedding, beyond the reference) ----------
+from algp_tpu.config import MLPSpec
+from algp_tpu.models import networks as nets
+
+rng7 = np.random.default_rng(7)
+xy7 = rng7.uniform(0, 10, (150, 2))
+u7 = rng7.uniform(-2, 2, (150, 1))
+y7 = (2.0 * (u7[:, 0] > 0) - 1 + 0.05 * rng7.standard_normal(150)).astype(np.float32)
+x7 = np.concatenate([xy7, u7], 1).astype(np.float32)
+res7 = nets.fit_deep(
+    KernelSpec("rbf", "rbf", ds=2, df=1), MLPSpec(hidden=(16,), out=3),
+    FitConfig(iters=100, restarts=2), jnp.asarray(x7), jnp.asarray(y7),
+)
+print(f"7. deep kernel:   MLP embedding + hypers jointly fit, "
+      f"NLL {float(res7.nll):.1f}")

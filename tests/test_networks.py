@@ -95,3 +95,63 @@ def test_embedded_inputs_flow_through_selection(rng):
     s = np.asarray(sel.selected)
     assert len(np.unique(s)) == 10
     assert np.isfinite(np.asarray(sel.post_var)).all()
+
+
+def test_deep_kernel_episode_end_to_end(tmp_path):
+    """The deep kernel as a full episode path: joint refits re-embed the
+    candidate grid, checkpoint/resume carries the MLP weights."""
+    from algp_tpu.config import (
+        AcquisitionConfig, EpisodeConfig, ExperimentConfig, FieldConfig,
+        MLPSpec,
+    )
+    from algp_tpu.episode import Agent
+    from algp_tpu.field import FieldEnv
+    from algp_tpu.utils import checkpoint as ckpt
+
+    spec = KernelSpec("rbf", "rbf", ds=2, df=2)
+    cfg = ExperimentConfig(
+        kernel=spec,
+        fit=FitConfig(iters=30, restarts=1),
+        acquisition=AcquisitionConfig(strategy="mi"),
+        field=FieldConfig(num_rows=6, num_cols=8, num_features=2, seed=5),
+        episode=EpisodeConfig(num_pilot=8, budget=16.0, num_waypoints=4,
+                              samples_per_step=4, seed=0),
+        deep=MLPSpec(hidden=(8,), out=2),
+    )
+    env = FieldEnv(cfg.field, spec)
+    agent = Agent(env, cfg)
+    result = agent.run(max_steps=5)
+    assert len(result.history) > 1
+    assert np.isfinite(result.rmse)
+    assert agent._mlp is not None
+    # the candidate matrix the device sees is the EMBEDDED one
+    assert agent._Xdev.shape == (env.n, 2 + 2)
+    # checkpoint round-trips the MLP and resume adopts it
+    path = str(tmp_path / "deep.npz")
+    ckpt.save(path, result.state)
+    st = ckpt.load(path)
+    assert st.mlp is not None and len(st.mlp) == 2
+    np.testing.assert_allclose(
+        np.asarray(st.mlp[0][0]), np.asarray(result.state.mlp[0][0])
+    )
+    env2 = FieldEnv(cfg.field, spec)
+    agent2 = Agent(env2, cfg)
+    r2 = agent2.run(max_steps=6, resume_from=st)
+    assert np.isfinite(r2.rmse)
+
+
+def test_cli_greedy_deep_kernel(capsys):
+    from algp_tpu import cli
+
+    rc = cli.main([
+        "--strategy", "mi", "--rows", "5", "--cols", "8", "--features", "2",
+        "--acq-rounds", "6", "--num-pilot", "5",
+        "--deep-hidden", "8", "--deep-out", "2",
+        "--iters", "15", "--restarts", "1", "--mode", "greedy",
+    ])
+    assert rc == 0
+    import json
+
+    out = capsys.readouterr().out.strip().splitlines()
+    rec = json.loads(out[-1])
+    assert np.isfinite(rec["final_rmse"])
