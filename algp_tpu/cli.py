@@ -117,6 +117,12 @@ def config_from_args(args) -> ExperimentConfig:
     if args.deep_hidden:
         from algp_tpu.config import MLPSpec
 
+        if kernel.df == 0:
+            raise SystemExit(
+                "--deep-hidden needs feature dims: pass --features > 0 "
+                "(a deep kernel over zero feature columns would learn a "
+                "constant embedding)"
+            )
         deep = MLPSpec(
             hidden=tuple(int(h) for h in args.deep_hidden.split(",")),
             out=args.deep_out,

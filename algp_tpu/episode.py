@@ -158,6 +158,23 @@ class Agent:
             self.cfg.deep, mlp, self.env.X, self.cfg.kernel.ds
         )
 
+    def _base_noise(self, st: EpisodeState) -> float:
+        """Fitted base observation-noise VARIANCE with the f32 floor —
+        the single source of truth for every host-side noise assembly
+        (conditioning, posterior growth, future-measurement scoring).
+        Cached per fitted params: each read is a device→host sync."""
+        c = getattr(self, "_base_noise_cache", None)
+        if c is not None and c[0] is st.params:
+            return c[1]
+        base = float(
+            np.maximum(
+                np.exp(2.0 * np.asarray(st.params.log_noise)),
+                self.cfg.fit.min_noise**2,
+            )
+        )
+        self._base_noise_cache = (st.params, base)
+        return base
+
     def _noise_vec(self, st: EpisodeState) -> jnp.ndarray:
         """Effective per-candidate noise variance for FUTURE measurements
         under the episode's modality policy, from the fitted base noise.
@@ -169,12 +186,7 @@ class Agent:
         Built host-side: eager jnp ops whose shapes/values change per step
         would each trigger a fresh XLA mini-compile (seconds under this
         environment's remote-compile TPU plugin)."""
-        base = float(
-            np.maximum(
-                np.exp(2.0 * np.asarray(st.params.log_noise)),
-                self.cfg.fit.min_noise**2,
-            )
-        )
+        base = self._base_noise(st)
         if self.cfg.episode.modality in ("cheap", "mixed"):
             base *= self.env.cfg.cheap_noise_mult**2
         return jnp.asarray(np.full(self.env.n, base, np.float32))
@@ -197,12 +209,7 @@ class Agent:
             and 0 < k_new <= self._k_max + 1
             and int(c[2].L.shape[0]) == int(x.shape[0])  # capacity unchanged
         ):
-            base = float(
-                np.maximum(
-                    np.exp(2.0 * np.asarray(st.params.log_noise)),
-                    self.cfg.fit.min_noise**2,
-                )
-            )
+            base = self._base_noise(st)
             new_nv = np.full(self._k_max + 1, 1.0, np.float32)
             new_nv[:k_new] = base * st.noise_scale[c[1]:]
             post = gp_mod.posterior_extend(
@@ -241,12 +248,7 @@ class Agent:
         # by each measurement's RECORDED modality, per occurrence (a node
         # sampled twice with different sensors keeps both scales) —
         # assembled host-side to avoid per-step mini-compiles
-        base = float(
-            np.maximum(
-                np.exp(2.0 * np.asarray(st.params.log_noise)),
-                self.cfg.fit.min_noise**2,
-            )
-        )
+        base = self._base_noise(st)
         pnv = np.full(self._max_samples, 1.0, np.float32)
         pnv[: len(st.sampled_idx)] = base * st.noise_scale
         res = acq.greedy_select(

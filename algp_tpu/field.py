@@ -79,6 +79,8 @@ class FieldEnv:
         # them in an RMSE would overstate accuracy)
         if not hasattr(self, "observed_mask"):
             self.observed_mask = np.ones(self.n, bool)
+        if not hasattr(self, "observed_traits"):
+            self.observed_traits = np.ones((self.n, self.traits.shape[1]), bool)
         # held-out split for RMSE eval (drawn from observed cells only)
         observed = np.flatnonzero(self.observed_mask)
         test = self._rng.permutation(observed)[: max(1, len(observed) // 5)]
@@ -168,7 +170,10 @@ class FieldEnv:
             traits[idx[valid], t] = df[col].to_numpy()[valid]
         if feat_cols:
             feats[idx[valid]] = df[feat_cols].to_numpy(np.float32)[valid]
-        self.observed_mask = ~np.isnan(traits[:, 0])
+        # per-trait observation masks: a plot may have height but no width
+        # — each trait's imputed cells must be excluded from ITS RMSE
+        self.observed_traits = ~np.isnan(traits)
+        self.observed_mask = self.observed_traits[:, 0]
         # fill gaps with each trait's mean so the grid stays complete,
         # then standardize per trait (the GP assumes zero-mean-ish fields)
         mu = np.nanmean(traits, axis=0)
@@ -248,8 +253,17 @@ class FieldEnv:
         return float(np.sqrt(np.mean((m[mask] - self.f[mask]) ** 2)))
 
     def rmse_traits(self, means, test_only: bool = False) -> list[float]:
-        """Per-trait RMSE of posterior mean fields `means` (n, T)."""
+        """Per-trait RMSE of posterior mean fields `means` (n, T).
+
+        Each trait uses ITS OWN observation mask — a plot measured for
+        one trait but not another contributes only where truth exists.
+        """
         M = np.asarray(means, np.float64)
-        mask = self.test_mask if test_only else self.observed_mask
-        d = M[mask] - self.traits[mask]
-        return [float(v) for v in np.sqrt(np.mean(d * d, axis=0))]
+        out = []
+        for t in range(self.traits.shape[1]):
+            mask = self.observed_traits[:, t]
+            if test_only:
+                mask = mask & self.test_mask
+            d = M[mask, t] - self.traits[mask, t]
+            out.append(float(np.sqrt(np.mean(d * d))))
+        return out

@@ -184,7 +184,10 @@ def _batched_leaf_inv(D: jax.Array) -> jax.Array:
         S = S + jnp.einsum("bij,bjk->bik", P, S, precision=_H)
         P = jnp.einsum("bij,bjk->bik", P, P, precision=_H)
     W = S / d[:, None, :]  # (I+M)⁻¹ Dg⁻¹ (column scaling)
-    R = eye[None] - jnp.einsum("bij,bjk->bik", D, W, precision=_H)
+    # Newton residual against the CLEAN lower triangle: a caller's block
+    # buffer may hold junk above the diagonal (blocked factorizations do)
+    Dt = jnp.tril(D)
+    R = eye[None] - jnp.einsum("bij,bjk->bik", Dt, W, precision=_H)
     W = W + jnp.einsum("bij,bjk->bik", W, R, precision=_H)
     return jnp.tril(W)
 

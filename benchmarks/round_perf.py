@@ -47,12 +47,19 @@ def main() -> None:
     out = {"round": args.round,
            "date": datetime.date.today().isoformat()}
 
+    def pytest_ok(rc, lines):
+        """A SKIPPED suite must not count as a pass — skips happen when
+        the TPU plugin silently falls back to CPU, which is exactly the
+        failure this artifact exists to catch."""
+        summary = lines[-1] if lines else ""
+        return rc == 0 and "passed" in summary and "skipped" not in summary
+
     rc, lines = run(
         [py, "-m", "pytest", "tests/test_hw_fidelity.py", "-q"],
         env_extra={"ALGP_TPU_HW": "1"},
     )
     out["hw_fidelity"] = {
-        "ok": rc == 0,
+        "ok": pytest_ok(rc, lines),
         "summary": lines[-1] if lines else "",
     }
 
@@ -61,7 +68,7 @@ def main() -> None:
         env_extra={"ALGP_TPU_PERF": "1"},
     )
     out["perf_budget"] = {
-        "ok": rc == 0,
+        "ok": pytest_ok(rc, lines),
         "summary": lines[-1] if lines else "",
     }
 
@@ -77,7 +84,12 @@ def main() -> None:
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
-    ok = out["hw_fidelity"]["ok"] and out["perf_budget"]["ok"]
+    ok = (
+        out["hw_fidelity"]["ok"]
+        and out["perf_budget"]["ok"]
+        and "value" in out["bench"]
+        and "value" in out["episode10k"]
+    )
     sys.exit(0 if ok else 1)
 
 

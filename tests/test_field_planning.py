@@ -220,3 +220,35 @@ def test_cli_greedy_multi_trait(capsys):
     assert len(rec["trait_rmse"]) == 3
     assert len(rec["trait_rmse_test"]) == 3
     assert all(np.isfinite(rec["trait_rmse"]))
+
+
+def test_rmse_traits_per_trait_observation_masks(tmp_path):
+    """A plot with height but no width must not count its imputed width
+    in trait-1's RMSE (self code-review round 2)."""
+    import pandas as pd
+
+    from algp_tpu.config import FieldConfig
+    from algp_tpu.field import FieldEnv
+
+    rows, cols = 4, 5
+    rec = []
+    for r in range(rows):
+        for c in range(cols):
+            row = {"row": r, "range": c, "height": 10.0 + r + c}
+            if not (r == 0 and c < 3):  # width missing on 3 plots
+                row["width"] = 40.0 + 2 * r + c
+            rec.append(row)
+    path = tmp_path / "t.csv"
+    pd.DataFrame(rec).to_csv(path, index=False)
+    env = FieldEnv(FieldConfig(num_rows=rows, num_cols=cols,
+                               data_path=str(path),
+                               value_cols=("height", "width")))
+    assert env.observed_traits[:, 0].all()
+    assert env.observed_traits[:, 1].sum() == rows * cols - 3
+    # exact on every REAL cell, garbage on imputed width cells → RMSE 0
+    means = env.traits.copy()
+    means[:3, 1] = 99.0
+    r = env.rmse_traits(means)
+    assert r[0] == pytest.approx(0.0) and r[1] == pytest.approx(0.0)
+    rt = env.rmse_traits(means, test_only=True)
+    assert rt[1] == pytest.approx(0.0)

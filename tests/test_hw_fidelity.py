@@ -10,8 +10,8 @@ Opt-in (needs the axon device + remote compiles, ~1 min):
 
     ALGP_TPU_HW=1 python -m pytest tests/test_hw_fidelity.py -q
 
-The per-round ritual runs this and commits the result to
-benchmarks/fidelity_r{N}.json (see benchmarks/round_perf.py).
+The per-round ritual (benchmarks/round_perf.py) runs this and commits
+the result under the "hw_fidelity" key of benchmarks/round_r{N}.json.
 """
 
 import os
