@@ -463,6 +463,61 @@ def score_candidate_sets(
     return jax.vmap(lambda i, s: one(i, s, None))(sets, set_sizes)
 
 
+@partial(jax.jit, static_argnames=("spec", "strategy"))
+def plan_path_step(
+    spec: KernelSpec,
+    params: KernelParams,
+    x: jax.Array,
+    nv: jax.Array,
+    idx_pad: jax.Array,
+    count: jax.Array,
+    pilot_nv: jax.Array,
+    sets: jax.Array,
+    set_sizes: jax.Array,
+    costs: jax.Array,
+    W: Optional[jax.Array] = None,
+    WT: Optional[jax.Array] = None,
+    *,
+    strategy: str = "entropy",
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """The episode's ENTIRE per-replan device work as ONE program:
+    conditioning on everything sampled → (MI) fresh implicit-precision
+    corrections → joint path-set scoring → information-per-cost argmax.
+
+    Returns (best_set_index, post_var, scores).  Collapsing the separate
+    conditioning / corrections / scoring calls into one jit matters on
+    this environment: each device call through the TPU relay carries a
+    ~27 ms dispatch floor and the episode host code read results between
+    them, so a 10k planning step paid 3-4 round trips of pure overhead
+    (benchmarks/README.md).
+
+    idx_pad/count/pilot_nv: fixed-capacity padded sampled set and its
+    per-observation noise (as `greedy_select`'s pilot machinery).
+    costs: (num_sets,) path costs (entries with set_sizes == 0 ignored).
+    W/WT: the per-refit implicit-precision seed (strategy="mi" only).
+    """
+    d0 = gram_diag(spec, params, x)
+    C, d, taken = _batch_pilot_condition(
+        spec, params, x, pilot_nv, idx_pad, count, d0
+    )
+    if strategy == "mi":
+        F, ZT = implicit_corrections(W, WT, idx_pad, count)
+        scores = score_candidate_sets(
+            spec, params, x, nv, C, sets, set_sizes,
+            P_implicit=(WT, F, ZT, taken), strategy="mi",
+        )
+    else:
+        scores = score_candidate_sets(
+            spec, params, x, nv, C, sets, set_sizes, strategy="entropy",
+        )
+    # information gain per unit cost (clamped ≥ 0 so a tiny negative f32
+    # score can never make an expensive path beat a cheap one);
+    # jnp.argmax keeps the deterministic min-index tie-break
+    util = jnp.maximum(scores, 0.0) / (costs + 1e-6)
+    util = jnp.where(set_sizes > 0, util, -jnp.inf)
+    return jnp.argmax(util).astype(jnp.int32), d, scores
+
+
 # ---------------------------------------------------------------------------
 # Precision seeding / maintenance helpers for episode-level MI (config 5)
 # ---------------------------------------------------------------------------

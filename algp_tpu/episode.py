@@ -235,6 +235,9 @@ class Agent:
             self.spec, st.params, post, self._Xdev,
             use_pallas=self.env.n >= 4096,
         )
+        # one relay round trip for both fields (each separate transfer
+        # pays the ~27 ms dispatch floor)
+        mean, var = jax.device_get((mean, var))
         return np.asarray(mean), np.asarray(var)
 
     # ------------------------------------------------------- planning step
@@ -294,29 +297,31 @@ class Agent:
         P = self._pad_paths
         sets = np.zeros((P, self._k_max), np.int32)
         sizes = np.zeros((P,), np.int32)
+        costs = np.ones((P,), np.float32)
         sets[: len(batch)] = batch.sets
         sizes[: len(batch)] = batch.sizes
+        costs[: len(batch)] = batch.costs
 
-        basis, post_var = self._conditioning_state(st, nv)
-        self._step_post_var = np.asarray(post_var)
-        Pimp = None
+        # ONE device program for the whole replan (conditioning →
+        # corrections → set scoring → per-cost argmax) and ONE round trip:
+        # each separate call through this environment's TPU relay costs
+        # ~27 ms of dispatch, which dominated the 10k planning step
+        _, _, _, m, idx_pad = self._padded_train(st)
+        base = self._base_noise(st)
+        pnv = np.full(self._max_samples, 1.0, np.float32)
+        pnv[: len(st.sampled_idx)] = base * st.noise_scale
+        W = WT = None
         if strat == "mi":
-            Pimp = self._implicit_precision(st, nv)
-        scores = np.asarray(
-            acq.score_candidate_sets(
-                self.spec, st.params, self._Xdev, nv,
-                basis,
-                jnp.asarray(sets), jnp.asarray(sizes),
-                P_implicit=Pimp, strategy=strat,
-            )
-        )[: len(batch)]
-        # information gain per unit cost (gains are ≥ 0 up to f32 noise —
-        # clamp so a tiny negative score can never make an expensive path
-        # look better than a cheap one); deterministic min-index tie-break
-        eps = 1e-6
-        util = np.maximum(scores.astype(np.float32), 0.0) / (batch.costs + eps)
-        util[batch.sizes == 0] = -np.inf
-        best = int(np.argmax(util))
+            W, WT = self._precision_seed(st, nv)
+        best, post_var, _ = acq.plan_path_step(
+            self.spec, st.params, self._Xdev, nv,
+            idx_pad, m, jnp.asarray(pnv),
+            jnp.asarray(sets), jnp.asarray(sizes), jnp.asarray(costs),
+            W, WT, strategy=strat,
+        )
+        best = int(best)
+        # lazily transferred only if _sense('mixed') needs it
+        self._step_post_var = post_var
         sites = list(batch.sets[best][: batch.sizes[best]])
         return batch.node_seqs[best], float(batch.costs[best]), sites
 
@@ -331,7 +336,7 @@ class Agent:
         if policy != "mixed":
             raise ValueError(f"unknown modality policy {policy!r}")
         if self._step_post_var is not None:  # computed by plan_step already
-            post_var = self._step_post_var
+            post_var = np.asarray(self._step_post_var)  # lazy transfer
         else:
             _, pv = self._conditioning_state(st, nv)
             post_var = np.asarray(pv)
@@ -343,36 +348,23 @@ class Agent:
             out.append(self.env.collect(cheap_nodes, "cheap"))
         return out
 
-    def _implicit_precision(self, st: EpisodeState, nv):
-        """(WT, F, ZT) implicit complement precision over the unsampled
-        candidates: P = WᵀW − F·ZTᵀ, never materialised (the dense N×N P
-        costs 400 MB + a ~95 ms 2N³ seeding matmul at the 10k grid).
-
-        The seed W = L⁻¹ is cached per fitted params (one Cholesky +
-        blocked tri_inv per refit); the Schur corrections for the CURRENT
-        sampled set are rebuilt fresh each replan in one batched O(N²·C)
-        op — exact w.r.t. W, so hundreds of deletes over a long episode
-        cannot accumulate drift (no periodic refresh needed; see
-        acquisition.implicit_corrections and tests/test_acquisition.py's
-        long-horizon drift test).
-        """
+    def _precision_seed(self, st: EpisodeState, nv):
+        """(W, WT) implicit complement-precision seed, cached per fitted
+        params: P = WᵀW − F·ZTᵀ is never materialised (the dense N×N P
+        costs 400 MB + a ~95 ms 2N³ seeding matmul at the 10k grid).  One
+        Cholesky + blocked tri_inv per refit; the Schur corrections for
+        the CURRENT sampled set are rebuilt fresh inside each replan's
+        fused device program (acquisition.plan_path_step →
+        implicit_corrections) — exact w.r.t. W, so hundreds of deletes
+        over a long episode cannot accumulate drift (see the long-horizon
+        drift test in tests/test_acquisition.py)."""
         cached = self._P_cache
         if cached is None or cached[0] is not st.params:
             W, WT = acq.implicit_complement_precision(
                 self.spec, st.params, self._Xdev, nv
             )
             self._P_cache = (st.params, W, WT)
-        else:
-            _, W, WT = cached
-        m = len(st.sampled_idx)
-        idx_pad = np.zeros(self._max_samples, np.int32)
-        idx_pad[:m] = st.sampled_idx
-        F, ZT = acq.implicit_corrections(
-            W, WT, jnp.asarray(idx_pad), jnp.asarray(m, jnp.int32)
-        )
-        taken = np.zeros(self.env.n, bool)
-        taken[st.sampled_idx] = True
-        return WT, F, ZT, jnp.asarray(taken)
+        return self._P_cache[1], self._P_cache[2]
 
     # ------------------------------------------------------------ episode
 
