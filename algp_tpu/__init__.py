@@ -11,15 +11,23 @@ field simulator, path planning, and episode loop, calling only jitted
 device functions (BASELINE.json:5).
 
 Layer map (mirrors SURVEY.md §1):
-  L0  ops.linalg      — blocked Cholesky/solves, log-det, rank-1 up/downdates
+  L0  ops.linalg      — blocked Cholesky/solves, log-det, row-append factor
+                        growth, batched log-depth triangular inversion
+      ops.updates     — Pallas precision-column kernels (MI loop hot path)
+      ops.pallas_chol — native blocked Cholesky (measured design-space map)
   L1  ops.kernels     — RBF / Matérn / composite spatial×feature kernels
       ops.gram        — tiled Pallas Gram kernels (HBM-resident output)
-  L1b models.gp       — ExactGP state, MLL fitting (Adam / L-BFGS, vmap restarts)
-  L2  acquisition     — entropy & Krause-MI greedy selection, on-device loops
+  L1b models.gp       — ExactGP state, MLL fitting (Adam / L-BFGS, vmap
+                        restarts), multi-trait batched fitting
+      models.networks — deep feature kernels (MLP embedding, joint MLL fit)
+  L2  acquisition     — entropy & Krause-MI greedy selection, on-device loops;
+                        implicit complement precision; fused replan program
   L3  planning        — row-graph construction + budgeted path enumeration (host)
   L4  episode         — active-sampling episode orchestration (host)
-  env field           — row-structured field environment, noise modalities
-  L5  config          — typed dataclass configs, presets for the 5 baseline configs
+  env field           — row-structured field environment, noise modalities,
+                        multi-trait tables
+  par parallel        — DP×TP mesh sharding (GSPMD entropy, shard_map MI)
+  L5  config          — typed dataclass configs, presets incl. the 5 baseline configs
   L6  cli             — command-line experiment driver
 """
 

@@ -1,0 +1,122 @@
+"""Strategy-quality study — the reference's headline evaluation
+(SURVEY.md §6: RMSE learning curves, not throughput).
+
+Runs the full informative-path episode for every strategy (mi, entropy,
+uniform, naive) over multiple seeds on a mid-size grid and records the
+held-out-RMSE-vs-samples curves.  The scientific claim under test is the
+reference paper's: information-driven sampling reaches a given field
+accuracy with fewer measurements than uniform/boustrophedon baselines.
+
+    python benchmarks/strategy_curves.py [--rows 40] [--cols 40]
+        [--seeds 2] [--json benchmarks/strategy_curves_rNN.json]
+
+Prints one JSON line per (strategy, seed) episode and a final summary
+line with the mean final held-out RMSE per strategy.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=40)
+    ap.add_argument("--cols", type=int, default=40)
+    ap.add_argument("--seeds", type=int, default=2)
+    ap.add_argument("--budget", type=float, default=160.0)
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    from algp_tpu.config import (
+        AcquisitionConfig, EpisodeConfig, ExperimentConfig, FieldConfig,
+        FitConfig, KernelSpec,
+    )
+    from algp_tpu.episode import Agent
+    from algp_tpu.field import FieldEnv
+
+    records = []
+    for strategy in ("mi", "entropy", "uniform", "naive"):
+        for seed in range(args.seeds):
+            fieldc = FieldConfig(num_rows=args.rows, num_cols=args.cols,
+                                 true_ls_spatial=6.0, seed=seed)
+            cfg = ExperimentConfig(
+                kernel=KernelSpec("matern32", ds=2),
+                fit=FitConfig(iters=60, restarts=2),
+                acquisition=AcquisitionConfig(strategy=strategy),
+                field=fieldc,
+                episode=EpisodeConfig(num_pilot=24, budget=args.budget,
+                                      num_waypoints=8, samples_per_step=8,
+                                      refit_every=2, seed=seed),
+            )
+            env = FieldEnv(fieldc, cfg.kernel)
+            t0 = time.perf_counter()
+            result = Agent(env, cfg).run(max_steps=40)
+            wall = time.perf_counter() - t0
+            curve = [
+                (h["n_sampled"], h["rmse_test"]) for h in result.history
+            ]
+            rec = {
+                "strategy": strategy,
+                "seed": seed,
+                "final_rmse_test": round(result.rmse_test, 4),
+                "final_rmse": round(result.rmse, 4),
+                "n_sampled": int(len(result.state.sampled_idx)),
+                "steps": result.state.step,
+                "wall_s": round(wall, 2),
+                "curve": curve,
+            }
+            records.append(rec)
+            print(json.dumps({k: v for k, v in rec.items() if k != "curve"}))
+
+    # Two comparisons, because the baselines differ in KIND:
+    #  * budget-matched (the reference's claim): among strategies that
+    #    actually TRAVERSE the field (mi/entropy plan paths, naive sweeps
+    #    row by row), informative planning should reach lower RMSE for
+    #    the same travel budget.
+    #  * sample-matched: RMSE interpolated at a common sample count —
+    #    includes "uniform", which teleports to random plots (it pays no
+    #    realistic travel cost, so it is NOT budget-comparable; it bounds
+    #    what unconstrained random sampling achieves per sample).
+    summary = {"budget_matched_final_rmse_test": {},
+               "sample_matched_rmse_test": {}}
+    n_common = min(r["n_sampled"] for r in records)
+    for strategy in ("mi", "entropy", "uniform", "naive"):
+        recs = [r for r in records if r["strategy"] == strategy]
+        summary["budget_matched_final_rmse_test"][strategy] = round(
+            float(np.mean([r["final_rmse_test"] for r in recs])), 4
+        )
+        at_n = []
+        for r in recs:
+            ns = np.array([c[0] for c in r["curve"]], float)
+            vs = np.array([c[1] for c in r["curve"]], float)
+            at_n.append(float(np.interp(n_common, ns, vs)))
+        summary["sample_matched_rmse_test"][strategy] = round(
+            float(np.mean(at_n)), 4
+        )
+    summary["sample_matched_at_n"] = int(n_common)
+    summary["note"] = (
+        "uniform teleports (no travel cost) — compare it only in the "
+        "sample-matched view; the budget-matched view compares the "
+        "traversing strategies (mi/entropy/naive)"
+    )
+    print(json.dumps({"summary": summary}))
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump({"records": records, "summary": summary}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
