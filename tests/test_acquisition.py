@@ -333,3 +333,58 @@ def test_score_sets_implicit_matches_dense_after_deletes(rng):
     )
     np.testing.assert_allclose(scores_imp, scores_dense, rtol=1e-3, atol=1e-4)
     assert np.isfinite(scores_imp).all()
+
+
+def test_plan_path_step_matches_unfused_pipeline(rng):
+    """The fused replan program must reproduce the separate
+    conditioning → corrections → scoring → host-argmax pipeline."""
+    spec, params, x, K, nv = setup_field(rng, n=120)
+    x32 = jnp.asarray(x, jnp.float32)
+    nvec = jnp.full((120,), nv, jnp.float32)
+    cap = 16
+    sampled = np.array([3, 40, 77, 90], np.int32)
+    idx_pad = np.zeros(cap, np.int32)
+    idx_pad[: len(sampled)] = sampled
+    pnv = np.full(cap, 1.0, np.float32)
+    pnv[: len(sampled)] = nv
+    sets = rng.integers(0, 120, (12, 4)).astype(np.int32)
+    sizes = np.full(12, 4, np.int32)
+    sizes[-1] = 0  # a padded slot
+    costs = rng.uniform(2, 9, 12).astype(np.float32)
+
+    W, WT = acq.implicit_complement_precision(spec, params, x32, nvec)
+    for strategy in ("entropy", "mi"):
+        best, d, scores = acq.plan_path_step(
+            spec, params, x32, nvec,
+            jnp.asarray(idx_pad), jnp.asarray(4, jnp.int32),
+            jnp.asarray(pnv), jnp.asarray(sets), jnp.asarray(sizes),
+            jnp.asarray(costs),
+            W if strategy == "mi" else None,
+            WT if strategy == "mi" else None,
+            strategy=strategy,
+        )
+        # unfused reference
+        res = acq.greedy_select(
+            spec, params, x32, nvec, jnp.asarray(idx_pad),
+            rounds=0, num_pilot=cap, strategy="entropy",
+            pilot_count=jnp.asarray(4, jnp.int32), pilot_nv=jnp.asarray(pnv),
+        )
+        Pimp = None
+        if strategy == "mi":
+            F, ZT = acq.implicit_corrections(
+                W, WT, jnp.asarray(idx_pad), jnp.asarray(4, jnp.int32)
+            )
+            taken = jnp.zeros((120,), bool).at[jnp.asarray(sampled)].set(True)
+            Pimp = (WT, F, ZT, taken)
+        scores_ref = np.asarray(acq.score_candidate_sets(
+            spec, params, x32, nvec, res.basis,
+            jnp.asarray(sets), jnp.asarray(sizes),
+            P_implicit=Pimp, strategy=strategy,
+        ))
+        util = np.maximum(scores_ref.astype(np.float32), 0.0) / (costs + 1e-6)
+        util[sizes == 0] = -np.inf
+        assert int(best) == int(np.argmax(util)), strategy
+        np.testing.assert_allclose(np.asarray(scores), scores_ref,
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(d), np.asarray(res.post_var),
+                                   rtol=1e-5, atol=1e-5)
