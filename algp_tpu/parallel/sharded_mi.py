@@ -25,9 +25,20 @@ dense work + one small collective, riding ICI:
     B[:,j], G[:,j], d[j], pdiag[j]: one-hot masked row/scalar psum gathers
     rank-1 updates of B/F/G/d/pdiag: local
 
-  The O(N³) seed (Cholesky + blocked tri_inv) stays replicated under
-  GSPMD — a distributed Cholesky would need panel-ring pipelining over
-  ICI for a one-time 48 ms cost; the per-round loop is what scales.
+  The O(N³) seed (Cholesky + blocked tri_inv) stays REPLICATED under
+  GSPMD — a deliberate design point, not an omission:
+    * memory: W is N² f32 = 400 MB at N=10k; a 16 GB chip holds the
+      replicated seed comfortably to ~60k candidates, far beyond the
+      workload's field sizes — sharding W buys nothing until then;
+    * a distributed W build wouldn't stay distributed: the bisection
+      tri_inv's top-level combine (−W_c B W_a) needs a half-matrix
+      operand gathered per shard, re-replicating N²/4 anyway;
+    * avoiding W entirely (per-round u₀ via distributed triangular
+      SOLVES against a row-sharded L) turns a 0.3 ms coalesced matvec
+      into an nb-step sequential substitution with a collective per
+      panel — latency-bound and strictly worse.
+  What multi-chip actually buys here is per-ROUND scaling (the O(N²)
+  passes split N²/S per chip), and that is what this module shards.
 
 Fidelity: identical score arithmetic to the single-chip loop except that
 cross-shard sums reduce in shard-major order (vs the Pallas kernels'

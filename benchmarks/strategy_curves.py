@@ -37,6 +37,8 @@ def main() -> None:
     ap.add_argument("--seeds", type=int, default=2)
     ap.add_argument("--budget", type=float, default=160.0)
     ap.add_argument("--json", default=None)
+    ap.add_argument("--plot", default=None,
+                    help="write the held-out-RMSE-vs-samples figure here")
     args = ap.parse_args()
 
     from algp_tpu.config import (
@@ -116,6 +118,35 @@ def main() -> None:
     if args.json:
         with open(args.json, "w") as f:
             json.dump({"records": records, "summary": summary}, f, indent=1)
+
+    if args.plot:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(6.5, 4), constrained_layout=True)
+        for strategy in ("mi", "entropy", "naive", "uniform"):
+            recs = [r for r in records if r["strategy"] == strategy]
+            grid = np.arange(
+                min(c[0] for r in recs for c in r["curve"]),
+                min(r["n_sampled"] for r in recs) + 1,
+            )
+            curves = [
+                np.interp(grid, [c[0] for c in r["curve"]],
+                          [c[1] for c in r["curve"]])
+                for r in recs
+            ]
+            mean = np.mean(curves, axis=0)
+            label = strategy + (" (teleports)" if strategy == "uniform" else "")
+            ax.plot(grid, mean, label=label,
+                    linestyle="--" if strategy == "uniform" else "-")
+        ax.set_xlabel("samples collected")
+        ax.set_ylabel("held-out RMSE (mean over seeds)")
+        ax.set_title("Informative path planning vs baselines "
+                     f"({args.rows}x{args.cols} grid, budget {args.budget:g})")
+        ax.legend()
+        fig.savefig(args.plot, dpi=120)
 
 
 if __name__ == "__main__":
