@@ -185,11 +185,18 @@ class Agent:
 
         Built host-side: eager jnp ops whose shapes/values change per step
         would each trigger a fresh XLA mini-compile (seconds under this
-        environment's remote-compile TPU plugin)."""
+        environment's remote-compile TPU plugin).  Cached per fitted
+        params — the vector only changes on refit, and each transfer is
+        a relay dispatch."""
+        c = getattr(self, "_noise_vec_cache", None)
+        if c is not None and c[0] is st.params:
+            return c[1]
         base = self._base_noise(st)
         if self.cfg.episode.modality in ("cheap", "mixed"):
             base *= self.env.cfg.cheap_noise_mult**2
-        return jnp.asarray(np.full(self.env.n, base, np.float32))
+        nv = jnp.asarray(np.full(self.env.n, base, np.float32))
+        self._noise_vec_cache = (st.params, nv)
+        return nv
 
     def _posterior(self, st: EpisodeState):
         """Posterior over the padded training buffer, grown incrementally.
@@ -305,8 +312,14 @@ class Agent:
         # ONE device program for the whole replan (conditioning →
         # corrections → set scoring → per-cost argmax) and ONE round trip:
         # each separate call through this environment's TPU relay costs
-        # ~27 ms of dispatch, which dominated the 10k planning step
-        _, _, _, m, idx_pad = self._padded_train(st)
+        # ~27 ms of dispatch, which dominated the 10k planning step.
+        # (Indices/noise assembled host-side: _padded_train would also
+        # gather x on device — a dispatch this program doesn't need.)
+        n_samp = len(st.sampled_idx)
+        idx_np = np.zeros(self._max_samples, np.int32)
+        idx_np[:n_samp] = st.sampled_idx
+        idx_pad = jnp.asarray(idx_np)
+        m = jnp.asarray(n_samp, jnp.int32)
         base = self._base_noise(st)
         pnv = np.full(self._max_samples, 1.0, np.float32)
         pnv[: len(st.sampled_idx)] = base * st.noise_scale

@@ -90,3 +90,28 @@ def test_tpu_posterior_matches_f64_oracle():
     m_ref, v_ref = oracle.posterior(K, Kc, 1.5 * np.ones(200), y)
     np.testing.assert_allclose(np.asarray(mean), m_ref, atol=5e-3)
     np.testing.assert_allclose(np.asarray(var), v_ref, atol=5e-3)
+
+
+def test_tpu_composite_kernel_selection_equals_f64_oracle():
+    """Composite Matérn52×RBF (spatial × genotype features) 30-round MI
+    on the TPU vs the f64 oracle — exercises the composite Pallas Gram
+    tiles and the feature-ARD paths on hardware."""
+    rng = np.random.default_rng(23)
+    n = 180
+    x = np.concatenate(
+        [rng.uniform(0, 12, (n, 2)), rng.standard_normal((n, 3))], axis=1
+    )
+    spec = KernelSpec("matern52", "rbf", ds=2, df=3)
+    params = spec.init_params(ls_spatial=3.0, ls_feature=1.5,
+                              outputscale=1.2, noise=0.15)
+    pilot = np.linspace(0, n - 1, 6).round().astype(np.int32)
+    nv = 0.15**2
+    res = acq.greedy_select(
+        spec, params, jnp.asarray(x, jnp.float32),
+        jnp.full((n,), nv, jnp.float32),
+        jnp.asarray(pilot), rounds=30, num_pilot=6, strategy="mi",
+    )
+    K = oracle.gram(x, x, spatial_kind="matern52", feature_kind="rbf",
+                    ds=2, ls_spatial=3.0, ls_feature=1.5, outputscale=1.2)
+    sel_ref, _ = oracle.greedy_mi_selection(K, nv, 30, pilot)
+    np.testing.assert_array_equal(np.asarray(res.selected), sel_ref)
