@@ -11,16 +11,13 @@ let XLA insert the collectives):
     argmin (one tiny all-gather).
   * **grid** (tensor-parallel): candidate scoring state is sharded along
     the N candidate axis — X (N,d), noise (N,), posterior variance d (N,),
-    the conditioning basis B (T,N) on its second axis, and the Krause-MI
-    complement precision P (N,N) by rows.  Per greedy round XLA inserts:
-    an all-gather of the winning index (global argmax), a one-row
-    collective gather for the selected point's basis/precision column, and
-    local rank-1 updates — all riding ICI.
-
-Shardings are *annotated*, not hand-scheduled: the same jitted programs
-from models.gp / acquisition run unchanged; `jax.lax.with_sharding_
-constraint` pins the layouts and GSPMD partitions the loop body.  On one
-chip everything degrades to no-ops.
+    the conditioning basis B (T,N) on its second axis.  For ENTROPY the
+    shardings are *annotated*, not hand-scheduled: the same jitted loop
+    from acquisition runs unchanged and GSPMD inserts the global-argmax /
+    selected-column collectives over ICI.  For KRAUSE-MI (whose Pallas
+    kernels GSPMD cannot partition) the loop is an explicit `shard_map`
+    decomposition — see parallel.sharded_mi.  On one chip everything
+    degrades to no-ops.
 """
 
 from __future__ import annotations
