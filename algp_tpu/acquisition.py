@@ -463,6 +463,75 @@ def score_candidate_sets(
     return jax.vmap(lambda i, s: one(i, s, None))(sets, set_sizes)
 
 
+def fit_and_select(
+    spec: KernelSpec,
+    fitcfg,
+    x_train: jax.Array,
+    y_train: jax.Array,
+    x: jax.Array,
+    pilot_idx: jax.Array,
+    *,
+    rounds: int,
+    num_pilot: int,
+    strategy: str = "mi",
+    key: Optional[jax.Array] = None,
+):
+    """The north-star workload — multi-restart MLL fit + greedy selection
+    over all N candidates — as ONE fused device program (one dispatch,
+    one transfer; each separate call through this environment's TPU relay
+    costs ~27 ms).  Candidate noise is the FITTED base noise variance.
+    This is the public entry bench.py / tests/test_perf.py measure.
+
+    Returns (fit_result, SelectionResult).
+    """
+    N = x.shape[0]
+    x_pad, _ = pad_candidates(x, jnp.ones((N,), jnp.float32))
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    fit_res, sel = _fit_and_select_jit(
+        spec, fitcfg, x_train, y_train, x_pad, pilot_idx, key,
+        rounds=rounds, num_pilot=num_pilot, strategy=strategy, n_valid=N,
+    )
+    if x_pad.shape[0] != N:
+        sel = SelectionResult(
+            selected=sel.selected, post_var=sel.post_var[:N],
+            scores=sel.scores, basis=sel.basis[:, :N],
+        )
+    return fit_res, sel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "fitcfg", "rounds", "num_pilot", "strategy",
+                     "n_valid"),
+)
+def _fit_and_select_jit(spec, fitcfg, x_train, y_train, x_pad, pilot_idx,
+                        key, *, rounds, num_pilot, strategy, n_valid):
+    from algp_tpu.models import gp as gp_mod
+
+    # restart inits derived INSIDE the program: doing this eagerly in the
+    # wrapper costs several relay dispatches per episode (~40 ms measured)
+    inits = gp_mod.make_restart_inits(spec, fitcfg, key)
+    fit_res = gp_mod._fit_jit(
+        spec, fitcfg, x_train, y_train, None, inits, False
+    )
+    nv_base = jnp.maximum(
+        jnp.exp(2.0 * fit_res.params.log_noise), fitcfg.min_noise**2
+    )
+    # padded sentinel candidates keep the inert nv = 1 convention
+    nv = jnp.where(
+        jnp.arange(x_pad.shape[0]) < n_valid, nv_base, 1.0
+    ).astype(jnp.float32)
+    sel = _greedy_select_jit(
+        spec, fit_res.params, x_pad, nv, pilot_idx,
+        jnp.asarray(num_pilot, jnp.int32),
+        jnp.full((num_pilot,), nv_base, jnp.float32),
+        rounds=rounds, num_pilot=num_pilot, strategy=strategy,
+        return_scores=False, n_valid=n_valid,
+    )
+    return fit_res, sel
+
+
 @partial(jax.jit, static_argnames=("spec", "strategy"))
 def plan_path_step(
     spec: KernelSpec,
@@ -496,6 +565,11 @@ def plan_path_step(
     costs: (num_sets,) path costs (entries with set_sizes == 0 ignored).
     W/WT: the per-refit implicit-precision seed (strategy="mi" only).
     """
+    if strategy == "mi" and (W is None or WT is None):
+        raise ValueError(
+            "plan_path_step(strategy='mi') needs the implicit-precision "
+            "seed — build (W, WT) with implicit_complement_precision"
+        )
     d0 = gram_diag(spec, params, x)
     C, d, taken = _batch_pilot_condition(
         spec, params, x, pilot_nv, idx_pad, count, d0

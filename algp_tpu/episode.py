@@ -175,6 +175,21 @@ class Agent:
         self._base_noise_cache = (st.params, base)
         return base
 
+    def _padded_sampled(self, st: EpisodeState):
+        """(idx_pad, m, pilot_nv) — the sampled set padded to the static
+        capacity plus its per-OBSERVATION conditioning noise (fitted base
+        variance scaled by each measurement's RECORDED modality, per
+        occurrence).  The single source of the heteroscedastic
+        conditioning convention for both the fused replan and the
+        conditioning fallback."""
+        n_samp = len(st.sampled_idx)
+        idx_np = np.zeros(self._max_samples, np.int32)
+        idx_np[:n_samp] = st.sampled_idx
+        pnv = np.full(self._max_samples, 1.0, np.float32)
+        pnv[:n_samp] = self._base_noise(st) * st.noise_scale
+        return (jnp.asarray(idx_np), jnp.asarray(n_samp, jnp.int32),
+                jnp.asarray(pnv))
+
     def _noise_vec(self, st: EpisodeState) -> jnp.ndarray:
         """Effective per-candidate noise variance for FUTURE measurements
         under the episode's modality policy, from the fitted base noise.
@@ -253,19 +268,12 @@ class Agent:
         """Basis/post-var over all candidates given everything sampled —
         one jitted conditioning pass (rounds=0 greedy loop over a padded
         static pilot buffer; compiles once per episode)."""
-        _, _, _, m, idx_pad = self._padded_train(st)
-        # observed noise for conditioning: the fitted base variance scaled
-        # by each measurement's RECORDED modality, per occurrence (a node
-        # sampled twice with different sensors keeps both scales) —
-        # assembled host-side to avoid per-step mini-compiles
-        base = self._base_noise(st)
-        pnv = np.full(self._max_samples, 1.0, np.float32)
-        pnv[: len(st.sampled_idx)] = base * st.noise_scale
+        idx_pad, m, pnv = self._padded_sampled(st)
         res = acq.greedy_select(
             self.spec, st.params, self._Xdev, nv,
             idx_pad,
             rounds=0, num_pilot=self._max_samples, strategy="entropy",
-            pilot_count=m, pilot_nv=jnp.asarray(pnv),
+            pilot_count=m, pilot_nv=pnv,
         )
         return res.basis, res.post_var
 
@@ -315,20 +323,13 @@ class Agent:
         # ~27 ms of dispatch, which dominated the 10k planning step.
         # (Indices/noise assembled host-side: _padded_train would also
         # gather x on device — a dispatch this program doesn't need.)
-        n_samp = len(st.sampled_idx)
-        idx_np = np.zeros(self._max_samples, np.int32)
-        idx_np[:n_samp] = st.sampled_idx
-        idx_pad = jnp.asarray(idx_np)
-        m = jnp.asarray(n_samp, jnp.int32)
-        base = self._base_noise(st)
-        pnv = np.full(self._max_samples, 1.0, np.float32)
-        pnv[: len(st.sampled_idx)] = base * st.noise_scale
+        idx_pad, m, pnv = self._padded_sampled(st)
         W = WT = None
         if strat == "mi":
             W, WT = self._precision_seed(st, nv)
         best, post_var, _ = acq.plan_path_step(
             self.spec, st.params, self._Xdev, nv,
-            idx_pad, m, jnp.asarray(pnv),
+            idx_pad, m, pnv,
             jnp.asarray(sets), jnp.asarray(sizes), jnp.asarray(costs),
             W, WT, strategy=strat,
         )

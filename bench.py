@@ -40,28 +40,14 @@ def main() -> None:
     x_pilot = env.X[jnp.asarray(s.indices)]
     y_pilot = jnp.asarray(s.y, jnp.float32)
     pilot_j = jnp.asarray(s.indices, jnp.int32)
-    # the candidate grid padded ONCE to the selection paths' 512-aligned
-    # production shape (inert sentinels; acquisition.pad_candidates)
-    X_pad, _ = acq.pad_candidates(env.X, jnp.ones((n,), jnp.float32))
 
-    @jax.jit
     def episode(key):
         """Fit + 50 MI selections as ONE device program — a production
         deployment dispatches the episode once, so the benchmark should
         not pay the ~27 ms relay floor per stage."""
-        inits = gp_mod.make_restart_inits(spec, fitcfg, key)
-        fit_res = gp_mod._fit_jit(spec, fitcfg, x_pilot, y_pilot, None,
-                                  inits, False)
-        nv_base = jnp.maximum(
-            jnp.exp(2.0 * fit_res.params.log_noise), fitcfg.min_noise**2
-        )
-        nv = jnp.where(jnp.arange(X_pad.shape[0]) < n, nv_base, 1.0)
-        sel = acq._greedy_select_jit(
-            spec, fit_res.params, X_pad, nv.astype(jnp.float32), pilot_j,
-            jnp.asarray(num_pilot, jnp.int32),
-            jnp.full((num_pilot,), nv_base, jnp.float32),
-            rounds=rounds, num_pilot=num_pilot, strategy="mi",
-            return_scores=False, n_valid=n,
+        fit_res, sel = acq.fit_and_select(
+            spec, fitcfg, x_pilot, y_pilot, env.X, pilot_j,
+            rounds=rounds, num_pilot=num_pilot, strategy="mi", key=key,
         )
         return fit_res.nll, sel.selected
 
@@ -72,7 +58,7 @@ def main() -> None:
         nll, sel = episode(key)
         return float(np.asarray(nll)), np.asarray(sel)
 
-    # warm-up: compile both programs (first XLA compile is ~seconds)
+    # warm-up: compile the fused episode program (first compile ~seconds)
     keys = jax.random.split(jax.random.PRNGKey(0), 8)
     _, sel = run_forced(keys[0])
 

@@ -96,9 +96,10 @@ def main() -> None:
     n_common = min(r["n_sampled"] for r in records)
     for strategy in ("mi", "entropy", "uniform", "naive"):
         recs = [r for r in records if r["strategy"] == strategy]
-        summary["budget_matched_final_rmse_test"][strategy] = round(
-            float(np.mean([r["final_rmse_test"] for r in recs])), 4
-        )
+        if strategy != "uniform":  # teleports — not budget-comparable
+            summary["budget_matched_final_rmse_test"][strategy] = round(
+                float(np.mean([r["final_rmse_test"] for r in recs])), 4
+            )
         at_n = []
         for r in recs:
             ns = np.array([c[0] for c in r["curve"]], float)

@@ -44,22 +44,11 @@ def test_episode_under_one_second():
     pj = jnp.asarray(s.indices, jnp.int32)
     cfg = FitConfig(iters=100, restarts=4)
 
-    import jax as _jax
-
-    X_pad, nv_pad = acq.pad_candidates(
-        env.X, jnp.full((env.n,), 0.01, jnp.float32)
-    )
-
-    @_jax.jit
     def episode(key):
         # one device program, like bench.py (and a deployment) would run
-        inits = gp_mod.make_restart_inits(spec, cfg, key)
-        res = gp_mod._fit_jit(spec, cfg, x_p, y_p, None, inits, False)
-        sel = acq._greedy_select_jit(
-            spec, res.params, X_pad, nv_pad, pj,
-            jnp.asarray(32, jnp.int32), nv_pad[pj],
-            rounds=50, num_pilot=32, strategy="mi",
-            return_scores=False, n_valid=env.n,
+        res, sel = acq.fit_and_select(
+            spec, cfg, x_p, y_p, env.X, pj,
+            rounds=50, num_pilot=32, strategy="mi", key=key,
         )
         return res.nll, sel.selected
 
