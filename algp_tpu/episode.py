@@ -213,19 +213,23 @@ class Agent:
         self._noise_vec_cache = (st.params, nv)
         return nv
 
-    def _posterior(self, st: EpisodeState):
-        """Posterior over the padded training buffer, grown incrementally.
+    def predict_field(self, st: EpisodeState):
+        """Posterior mean/variance over the grid, ONE device program +
+        ONE transfer per step.
 
         While the hyperparameters are unchanged (between refits, i.e.
         `refit_every > 1`), the cached Cholesky factor is extended by the
         step's new samples via `chol_append_row` — O(k·n²) instead of the
-        O(n³) refactorization (SURVEY.md §2 C8).  A refit invalidates the
-        cache (params is a fresh object) and refactorizes once.
+        O(n³) refactorization (SURVEY.md §2 C8) — fused with the grid
+        prediction (gp.extend_and_predict).  A refit invalidates the
+        cache (params is a fresh object) and refactorizes once
+        (gp.posterior_and_predict).
         """
         x, y, ns, m, _ = self._padded_train(st)
         n_samp = len(st.sampled_idx)
         c = self._post_cache
         k_new = None if c is None else n_samp - c[1]
+        use_pallas = self.env.n >= 4096
         if (
             c is not None and c[0] is st.params
             and 0 < k_new <= self._k_max + 1
@@ -234,31 +238,27 @@ class Agent:
             base = self._base_noise(st)
             new_nv = np.full(self._k_max + 1, 1.0, np.float32)
             new_nv[:k_new] = base * st.noise_scale[c[1]:]
-            post = gp_mod.posterior_extend(
+            post, mean, var = gp_mod.extend_and_predict(
                 self.spec, st.params, c[2], x, y,
                 jnp.asarray(new_nv), jnp.asarray(c[1], jnp.int32),
-                jnp.asarray(k_new, jnp.int32),
-                jitter=self.cfg.fit.jitter,
+                jnp.asarray(k_new, jnp.int32), self._Xdev,
+                jitter=self.cfg.fit.jitter, use_pallas=use_pallas,
             )
         elif c is not None and c[0] is st.params and k_new == 0:
             post = c[2]
+            mean, var = gp_mod.predict(
+                self.spec, st.params, post, self._Xdev,
+                use_pallas=use_pallas,
+            )
         else:
-            post = gp_mod.posterior(
-                self.spec, st.params, x, y, ns,
+            post, mean, var = gp_mod.posterior_and_predict(
+                self.spec, st.params, x, y, ns, self._Xdev,
                 min_noise=self.cfg.fit.min_noise, jitter=self.cfg.fit.jitter,
-                num_valid=m,
+                use_pallas=use_pallas, has_noise_scale=True,
+                num_valid=m, has_num_valid=True,
             )
         self._post_cache = (st.params, n_samp, post)
-        return post
-
-    def predict_field(self, st: EpisodeState):
-        post = self._posterior(st)
-        mean, var = gp_mod.predict(
-            self.spec, st.params, post, self._Xdev,
-            use_pallas=self.env.n >= 4096,
-        )
-        # one relay round trip for both fields (each separate transfer
-        # pays the ~27 ms dispatch floor)
+        # one relay round trip for both fields
         mean, var = jax.device_get((mean, var))
         return np.asarray(mean), np.asarray(var)
 

@@ -440,6 +440,47 @@ def posterior_extend(
     return Posterior(L=L, alpha=alpha, x=x_pad, mask=mask)
 
 
+@partial(jax.jit, static_argnames=("spec", "min_noise", "jitter",
+                                   "use_pallas", "block", "has_noise_scale",
+                                   "has_num_valid"))
+def posterior_and_predict(
+    spec, params, x, y, noise_scale, x_test, *, min_noise=1e-3, jitter=1e-6,
+    use_pallas=False, block=512, has_noise_scale=False, num_valid=None,
+    has_num_valid=False,
+):
+    """posterior() + predict() as ONE device program.
+
+    The episode calls them back to back every step.  Measured: fusing is
+    TIME-NEUTRAL on this environment — back-to-back async dispatches
+    already pipeline; only host-SYNCHRONIZING reads pay the ~27 ms relay
+    floor (which is why plan_path_step's fusion, which removed host
+    reads between stages, did win).  Kept for the one-program structure
+    and the single cached-Posterior + mean/var return."""
+    post = _posterior_jit(
+        spec, params, x, y, noise_scale, min_noise, jitter,
+        has_noise_scale, num_valid, has_num_valid,
+    )
+    mean, var = predict(spec, params, post, x_test,
+                        use_pallas=use_pallas, block=block)
+    return post, mean, var
+
+
+@partial(jax.jit, static_argnames=("spec", "jitter", "use_pallas", "block"))
+def extend_and_predict(
+    spec, params, post, x_pad, y_pad, new_nv, m0, k_count, x_test, *,
+    jitter=1e-6, use_pallas=False, block=512,
+):
+    """posterior_extend() + predict() as ONE device program (the
+    between-refit episode step — see posterior_and_predict)."""
+    post = posterior_extend(
+        spec, params, post, x_pad, y_pad, new_nv, m0, k_count,
+        jitter=jitter,
+    )
+    mean, var = predict(spec, params, post, x_test,
+                        use_pallas=use_pallas, block=block)
+    return post, mean, var
+
+
 # ---------------------------------------------------------------------------
 # Convenience façade mirroring the reference's GPR.fit / .predict surface
 # ---------------------------------------------------------------------------

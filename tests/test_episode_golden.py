@@ -388,13 +388,13 @@ def test_c5_episode_incremental_posterior_refit_every_2():
 
     env_b = small_field(rows=6, cols=10, seed=31)
     agent_b = Agent(env_b, cfg)
-    orig = agent_b._posterior
+    orig = agent_b.predict_field
 
     def no_cache(st):
         agent_b._post_cache = None  # force the refactorization path
         return orig(st)
 
-    agent_b._posterior = no_cache
+    agent_b.predict_field = no_cache
     r_full = agent_b.run(max_steps=8)
     np.testing.assert_array_equal(
         r_inc.state.sampled_idx, r_full.state.sampled_idx
