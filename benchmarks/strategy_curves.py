@@ -36,6 +36,11 @@ def main() -> None:
     ap.add_argument("--cols", type=int, default=40)
     ap.add_argument("--seeds", type=int, default=2)
     ap.add_argument("--budget", type=float, default=160.0)
+    ap.add_argument("--ls", type=float, default=6.0,
+                    help="true spatial lengthscale (scale with the field: "
+                    "strategy differentiation needs coverage commensurate "
+                    "with the correlation length)")
+    ap.add_argument("--max-steps", type=int, default=40)
     ap.add_argument("--json", default=None)
     ap.add_argument("--plot", default=None,
                     help="write the held-out-RMSE-vs-samples figure here")
@@ -52,7 +57,7 @@ def main() -> None:
     for strategy in ("mi", "entropy", "uniform", "naive"):
         for seed in range(args.seeds):
             fieldc = FieldConfig(num_rows=args.rows, num_cols=args.cols,
-                                 true_ls_spatial=6.0, seed=seed)
+                                 true_ls_spatial=args.ls, seed=seed)
             cfg = ExperimentConfig(
                 kernel=KernelSpec("matern32", ds=2),
                 fit=FitConfig(iters=60, restarts=2),
@@ -64,7 +69,7 @@ def main() -> None:
             )
             env = FieldEnv(fieldc, cfg.kernel)
             t0 = time.perf_counter()
-            result = Agent(env, cfg).run(max_steps=40)
+            result = Agent(env, cfg).run(max_steps=args.max_steps)
             wall = time.perf_counter() - t0
             curve = [
                 (h["n_sampled"], h["rmse_test"]) for h in result.history
