@@ -19,14 +19,7 @@ import sys
 
 import numpy as np
 
-from algp_tpu.config import (
-    PRESETS,
-    AcquisitionConfig,
-    EpisodeConfig,
-    ExperimentConfig,
-    FieldConfig,
-    FitConfig,
-)
+from algp_tpu.config import PRESETS, ExperimentConfig
 from algp_tpu.episode import Agent
 from algp_tpu.field import FieldEnv
 from algp_tpu.ops.kernels import KernelSpec

@@ -35,13 +35,12 @@ bit-identical to the single-chip path at exact score ties.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from algp_tpu.ops import linalg as la
 

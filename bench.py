@@ -22,7 +22,6 @@ def main() -> None:
     from algp_tpu import acquisition as acq
     from algp_tpu.config import FieldConfig, FitConfig
     from algp_tpu.field import FieldEnv
-    from algp_tpu.models import gp as gp_mod
     from algp_tpu.ops.kernels import KernelSpec
 
     # 100×100 = 10k-point field grid (BASELINE.json:5), RBF GP

@@ -17,7 +17,6 @@ line with the mean final held-out RMSE per strategy.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import sys

@@ -20,7 +20,6 @@ from algp_tpu.field import FieldEnv
 from algp_tpu.models import gp as gp_mod
 from algp_tpu.ops.kernels import KernelSpec
 from algp_tpu.utils import checkpoint as ckpt
-from algp_tpu.utils.metrics import MetricsLogger
 
 import oracle
 

@@ -4,7 +4,6 @@ import numpy as np
 import pytest
 import scipy.linalg as sla
 
-import jax
 import jax.numpy as jnp
 
 from algp_tpu.ops import linalg as la

@@ -29,7 +29,6 @@ def test_episode_under_one_second():
     from algp_tpu import acquisition as acq
     from algp_tpu.config import FieldConfig, FitConfig
     from algp_tpu.field import FieldEnv
-    from algp_tpu.models import gp as gp_mod
     from algp_tpu.ops.kernels import KernelSpec
 
     spec = KernelSpec("rbf", ds=2)

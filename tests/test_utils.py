@@ -37,8 +37,7 @@ def test_assert_finite_tree_raises():
 
 
 def test_checked_catches_nan():
-    import jax
-
+    
     def f(x):
         return jnp.log(x)  # NaN for negative input
 
