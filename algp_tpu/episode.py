@@ -183,6 +183,8 @@ class Agent:
         conditioning convention for both the fused replan and the
         conditioning fallback."""
         n_samp = len(st.sampled_idx)
+        if n_samp > self._max_samples:  # same growth rule as _padded_train
+            self._max_samples = (n_samp + 63) // 64 * 64
         idx_np = np.zeros(self._max_samples, np.int32)
         idx_np[:n_samp] = st.sampled_idx
         pnv = np.full(self._max_samples, 1.0, np.float32)

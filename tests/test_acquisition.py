@@ -388,3 +388,41 @@ def test_plan_path_step_matches_unfused_pipeline(rng):
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(d), np.asarray(res.post_var),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_fit_and_select_matches_split_pipeline(rng):
+    """The fused public episode entry (bench.py's workload) must select
+    exactly what the split fit → greedy_select pipeline selects."""
+    import jax
+
+    from algp_tpu.config import FitConfig
+    from algp_tpu.models import gp as gp_mod
+
+    spec = KernelSpec("rbf", ds=2)
+    cfg = FitConfig(iters=40, restarts=2)
+    x_all = jnp.asarray(rng.uniform(0, 12, (200, 2)), jnp.float32)
+    pilot = jnp.asarray(np.linspace(0, 199, 12).round(), jnp.int32)
+    y_tr = jnp.asarray(rng.standard_normal(12), jnp.float32)
+    x_tr = x_all[pilot]
+    key = jax.random.PRNGKey(3)
+
+    fit_res, sel = acq.fit_and_select(
+        spec, cfg, x_tr, y_tr, x_all, pilot,
+        rounds=10, num_pilot=12, strategy="mi", key=key,
+    )
+    ref_fit = gp_mod.fit(spec, cfg, x_tr, y_tr, key=key)
+    np.testing.assert_allclose(
+        float(fit_res.nll), float(ref_fit.nll), rtol=1e-6
+    )
+    nv_base = float(np.maximum(
+        np.exp(2 * np.asarray(ref_fit.params.log_noise)), cfg.min_noise**2
+    ))
+    ref_sel = acq.greedy_select(
+        spec, ref_fit.params, x_all,
+        jnp.full((200,), nv_base, jnp.float32), pilot,
+        rounds=10, num_pilot=12, strategy="mi",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sel.selected), np.asarray(ref_sel.selected)
+    )
+    assert sel.post_var.shape == (200,)

@@ -399,3 +399,25 @@ def test_c5_episode_incremental_posterior_refit_every_2():
         r_inc.state.sampled_idx, r_full.state.sampled_idx
     )
     assert r_inc.rmse == pytest.approx(r_full.rmse, abs=1e-4)
+
+
+def test_episode_capacity_growth_stays_correct():
+    """Forcing the padded training buffer past its initial capacity must
+    trigger the growth path (one recompile) without corrupting results."""
+    env = small_field(rows=8, cols=12, seed=19)
+    cfg = ExperimentConfig(
+        fit=FitConfig(iters=20, restarts=1),
+        acquisition=AcquisitionConfig(strategy="mi"),
+        episode=EpisodeConfig(num_pilot=6, budget=200.0, num_waypoints=2,
+                              samples_per_step=6, seed=4),
+    )
+    agent = Agent(env, cfg)
+    agent._max_samples = 24  # shrink so the episode must outgrow it
+    cap0 = agent._max_samples
+    result = agent.run(max_steps=30)
+    assert len(result.state.sampled_idx) > cap0, (
+        "test did not exercise the growth path"
+    )
+    assert agent._max_samples > cap0
+    assert np.isfinite(result.rmse)
+    assert result.rmse < result.history[0]["rmse"] * 1.2
