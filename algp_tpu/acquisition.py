@@ -212,7 +212,7 @@ def _greedy_select_jit(
     # m×N trisolve conditions on all pilots at once — mathematically
     # identical to sequential rank-1 conditioning in pilot order
     if num_pilot:
-        C, d0, taken_pilot = _batch_pilot_condition(
+        C, d0, taken_pilot, _ = _batch_pilot_condition(
             spec, params, x, pilot_nv, pilot_idx, pilot_count, d0
         )
         taken0 = jnp.logical_or(taken0, taken_pilot)
@@ -336,11 +336,14 @@ def _implicit_pilot_delete(W, pilot_idx, pilot_count, F, G, pdiag, num_pilot):
 def _batch_pilot_condition(spec, params, x, pilot_nv, pilot_idx, pilot_count, d0):
     """Condition the candidate field on all pilots in ONE batched op.
 
-    Returns (C, d, taken): C (m_max, N) are the basis rows (row t is the
-    normalised posterior-covariance row of pilot t given pilots < t — the
-    rows of L_A⁻¹ K(X_A, X) where L_A factors K_AA + Σ_A in pilot order),
-    d the updated posterior variances, taken the pilot mask.  Padded pilot
-    slots (≥ pilot_count) are identity-padded and contribute exactly zero.
+    Returns (C, d, taken, LA): C (m_max, N) are the basis rows (row t is
+    the normalised posterior-covariance row of pilot t given pilots < t —
+    the rows of L_A⁻¹ K(X_A, X) where L_A factors K_AA + Σ_A in pilot
+    order), d the updated posterior variances, taken the pilot mask, LA
+    the (identity-padded) Cholesky factor of K_AA + Σ_A — returned so the
+    fused episode step can also form the posterior MEAN (μ = Cᵀ L_A⁻¹ y)
+    without a second factorization.  Padded pilot slots (≥ pilot_count)
+    are identity-padded and contribute exactly zero.
     """
     m_max = pilot_idx.shape[0]
     N = x.shape[0]
@@ -359,7 +362,7 @@ def _batch_pilot_condition(spec, params, x, pilot_nv, pilot_idx, pilot_count, d0
         .at[jnp.where(valid, pilot_idx, N)]
         .set(True, mode="drop")
     )
-    return C, d, taken
+    return C, d, taken, LA
 
 
 # ---------------------------------------------------------------------------
@@ -571,7 +574,7 @@ def plan_path_step(
             "seed — build (W, WT) with implicit_complement_precision"
         )
     d0 = gram_diag(spec, params, x)
-    C, d, taken = _batch_pilot_condition(
+    C, d, taken, _ = _batch_pilot_condition(
         spec, params, x, pilot_nv, idx_pad, count, d0
     )
     if strategy == "mi":
@@ -590,6 +593,98 @@ def plan_path_step(
     util = jnp.maximum(scores, 0.0) / (costs + 1e-6)
     util = jnp.where(set_sizes > 0, util, -jnp.inf)
     return jnp.argmax(util).astype(jnp.int32), d, scores
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "strategy", "min_noise", "nv_mult"),
+)
+def plan_episode_step(
+    spec: KernelSpec,
+    params: KernelParams,
+    x: jax.Array,
+    idx_pad: jax.Array,
+    count: jax.Array,
+    noise_scale_pad: jax.Array,
+    y_pad: jax.Array,
+    sets: jax.Array,
+    set_sizes: jax.Array,
+    costs: jax.Array,
+    W: Optional[jax.Array] = None,
+    WT: Optional[jax.Array] = None,
+    *,
+    strategy: str = "entropy",
+    min_noise: float = 1e-3,
+    nv_mult: float = 1.0,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """The episode's ENTIRE per-step device work as ONE program and ONE
+    host-synchronizing read: the posterior METRICS for the current state
+    (mean + variance over the whole grid) fused with the next-path choice
+    (plan_path_step's conditioning → corrections → set scoring → per-cost
+    argmax).
+
+    Why: on this environment every host-SYNCHRONIZING exchange through the
+    TPU relay costs ~27 ms.  The unfused step paid one sync to read the
+    plan argmax, a second to fetch the posterior field for metrics, and a
+    third per refit to read the fitted noise for host-side conditioning
+    buffers — this program returns (best, mean, var) in a single transfer
+    and derives the noise model from `params` ON DEVICE, so a planning
+    step costs exactly one sync.
+
+    The posterior mean/variance are byproducts of the conditioning pass
+    the plan needs anyway: with LA = chol(K_AA + Σ_A) and basis rows
+    C = L_A⁻¹ K(X_A, X),
+
+        σ²* = diag(K) − colsum(C²)      (the `d` the scorer conditions on)
+        μ*  = Cᵀ (L_A⁻¹ y_A)            (one extra small trisolve + matvec)
+
+    so no separate posterior factorization, growth, or predict program
+    runs on a planning step at all — the O(n³)-per-step refactorization
+    the reference performs (SURVEY.md §3.4) is replaced by ONE batched
+    conditioning whose cost is the cap×N trisolve the plan already pays.
+
+    Noise convention (C5): per-OBSERVATION conditioning noise is
+    base · noise_scale_pad with base = max(exp(2·log_noise), min_noise²)
+    — the fitted base variance scaled by each measurement's recorded
+    modality; FUTURE measurements are scored at base · nv_mult (the
+    episode's modality policy: cheap-sensor variance for "cheap"/"mixed").
+
+    idx_pad / noise_scale_pad / y_pad: fixed-capacity padded sampled set,
+    its per-observation noise SCALES, and its observations (invalid slots
+    ≥ count are ignored exactly).
+
+    Returns (best_set_index, mean, post_var, scores).
+    """
+    if strategy == "mi" and (W is None or WT is None):
+        raise ValueError(
+            "plan_episode_step(strategy='mi') needs the implicit-precision "
+            "seed — build (W, WT) with implicit_precision_seed"
+        )
+    cap = idx_pad.shape[0]
+    base = jnp.maximum(jnp.exp(2.0 * params.log_noise), min_noise * min_noise)
+    valid = jnp.arange(cap) < count
+    pnv = jnp.where(valid, base * noise_scale_pad, 1.0)
+    nv = jnp.full((x.shape[0],), nv_mult, jnp.float32) * base
+    d0 = gram_diag(spec, params, x)
+    C, d, taken, LA = _batch_pilot_condition(
+        spec, params, x, pnv, idx_pad, count, d0
+    )
+    u = la.solve_triangular(LA, jnp.where(valid, y_pad, 0.0))
+    mean = jnp.dot(C.T, u, precision=_HIGH)
+    if strategy == "mi":
+        F, ZT = implicit_corrections(W, WT, idx_pad, count)
+        scores = score_candidate_sets(
+            spec, params, x, nv, C, sets, set_sizes,
+            P_implicit=(WT, F, ZT, taken), strategy="mi",
+        )
+    else:
+        scores = score_candidate_sets(
+            spec, params, x, nv, C, sets, set_sizes, strategy="entropy",
+        )
+    util = jnp.maximum(scores, 0.0) / (costs + 1e-6)
+    util = jnp.where(set_sizes > 0, util, -jnp.inf)
+    best = jnp.argmax(util).astype(jnp.int32)
+    return best, mean, jnp.maximum(d, 0.0), scores
 
 
 # ---------------------------------------------------------------------------
@@ -624,6 +719,29 @@ def implicit_complement_precision(
     the same bytes as rows ≈ 1 ms (benchmarks/README.md).
     Valid per (params, nv); re-seeded by the episode after every refit.
     """
+    K = gram_pallas_with_noise(spec, params, x, nv / params.noise_var)
+    W = la.tri_inv(jnp.linalg.cholesky(K))
+    return W, W.T
+
+
+@partial(jax.jit, static_argnames=("spec", "min_noise", "nv_mult"))
+def implicit_precision_seed(
+    spec: KernelSpec,
+    params: KernelParams,
+    x: jax.Array,
+    *,
+    min_noise: float = 1e-3,
+    nv_mult: float = 1.0,
+) -> tuple[jax.Array, jax.Array]:
+    """`implicit_complement_precision` with the candidate noise derived
+    from the fitted params INSIDE the program — the episode's per-refit
+    seed.  Reading the fitted noise on the host just to rebuild the
+    constant nv vector costs a ~27 ms relay sync per refit; here
+    nv = nv_mult · max(exp(2·log_noise), min_noise²) stays on device
+    (nv_mult = the modality policy's future-measurement variance scale).
+    """
+    base = jnp.maximum(jnp.exp(2.0 * params.log_noise), min_noise * min_noise)
+    nv = jnp.full((x.shape[0],), nv_mult, jnp.float32) * base
     K = gram_pallas_with_noise(spec, params, x, nv / params.noise_var)
     W = la.tri_inv(jnp.linalg.cholesky(K))
     return W, W.T

@@ -10,11 +10,22 @@ baselines: "mi" / "entropy" (informative), "uniform" (random sampling),
 "naive" (boustrophedon sweep).
 
 Host/device split (BASELINE.json:5): this module is plain host Python and
-calls ONLY jitted device functions — `models.gp.fit/posterior/
-posterior_extend/predict`, `acquisition.greedy_select/
-score_candidate_sets/implicit_complement_precision/implicit_corrections`.
-All shapes the device sees are padded/static so each (strategy, grid,
-path-batch-shape) compiles once and is reused every replan step.
+calls ONLY jitted device functions.  All shapes the device sees are
+padded/static so each (strategy, grid, path-batch-shape) compiles once
+and is reused every replan step.
+
+Dispatch economics (this environment's TPU relay charges ~27 ms per
+host-SYNCHRONIZING exchange; async dispatches pipeline for free): an
+informative (mi/entropy) step performs exactly ONE synchronizing read —
+`acquisition.plan_episode_step` returns the next path choice AND the
+posterior mean/variance metrics for the current state in a single fused
+program, with the noise model derived from the fitted params on device.
+Refit steps additionally dispatch `models.gp.fit` and the implicit-
+precision seed (`acquisition.implicit_precision_seed`), both async —
+no host code reads their outputs before the next fused step consumes
+them.  The baseline strategies (uniform/naive) plan host-side and keep
+the `gp.posterior_and_predict` / `gp.extend_and_predict` metrics path
+(incremental chol_append_row growth between refits).
 """
 
 from __future__ import annotations
@@ -37,6 +48,22 @@ from algp_tpu.utils.checkpoint import EpisodeState
 from algp_tpu.utils.metrics import MetricsLogger
 
 STRATEGIES = ("mi", "entropy", "uniform", "naive")
+
+
+@dataclasses.dataclass
+class _PlanBundle:
+    """One step's plan + the posterior metrics of the state it was planned
+    from (mi/entropy: both from ONE fused device program / one sync)."""
+
+    nodes: list
+    cost: float
+    sites: list
+    mean: np.ndarray  # posterior mean over the grid (current state)
+    var: np.ndarray  # posterior variance over the grid (current state)
+
+    @property
+    def empty(self) -> bool:
+        return not self.nodes or self.cost <= 0 or not self.sites
 
 
 @dataclasses.dataclass
@@ -130,20 +157,26 @@ class Agent:
 
     # ------------------------------------------------------------ model
 
-    def fit_model(self, st: EpisodeState, key=None):
+    def fit_model(self, st: EpisodeState, base_key):
+        """Refit on the current (padded) training buffers.  The per-step
+        key derivation (fold_in(base_key, st.step)) happens INSIDE the
+        jitted fit program (gp.fit_step) so a refit is one async dispatch
+        — a resumed run derives EXACTLY the keys the uninterrupted run
+        would (a split chain would diverge after resume)."""
         x, y, ns, m, _ = self._padded_train(st, raw=True)
         if self.cfg.deep is not None:
             from algp_tpu.models import networks as nets
 
             res = nets.fit_deep(
                 self.cfg.kernel, self.cfg.deep, self.cfg.fit, x, y, ns,
-                key=key, num_valid=m,
+                key=jax.random.fold_in(base_key, st.step), num_valid=m,
             )
             self._set_mlp(res.mlp)
             st.mlp = res.mlp
         else:
-            res = gp_mod.fit(
-                self.spec, self.cfg.fit, x, y, ns, key=key, num_valid=m
+            res = gp_mod.fit_step(
+                self.spec, self.cfg.fit, x, y, ns, base_key, st.step,
+                num_valid=m,
             )
         st.params = res.params
         return res
@@ -279,13 +312,46 @@ class Agent:
         )
         return res.basis, res.post_var
 
-    def plan_step(
-        self, st: EpisodeState, nv
-    ) -> tuple[list[int], float, list[int]]:
-        """Choose the next path.  Returns (node sequence, cost,
-        sample_sites) — sample_sites is EXACTLY the candidate set the
-        utility scored (the thinned path subset), so what gets measured is
-        what was valued."""
+    @property
+    def _nv_mult(self) -> float:
+        """Future-measurement noise-VARIANCE scale under the modality
+        policy: "cheap"/"mixed" score candidates with the cheap sensor's
+        variance (mixed collects all-but-one sample cheap) so path
+        utilities and the MI complement precision use the noise model
+        that will actually generate the data."""
+        if self.cfg.episode.modality in ("cheap", "mixed"):
+            return float(self.env.cfg.cheap_noise_mult**2)
+        return 1.0
+
+    def _padded_obs(self, st: EpisodeState):
+        """(idx_pad, count, noise_scale_pad, y_pad) — the sampled set,
+        its per-observation modality scales, and its observations, padded
+        to the static capacity.  Pure host assembly: unlike
+        `_padded_sampled` this never reads the fitted params (the fused
+        step derives the noise model on device), so dispatching a step
+        costs zero host→device syncs."""
+        n_samp = len(st.sampled_idx)
+        if n_samp > self._max_samples:  # same growth rule as _padded_train
+            self._max_samples = (n_samp + 63) // 64 * 64
+        cap = self._max_samples
+        idx_np = np.zeros(cap, np.int32)
+        idx_np[:n_samp] = st.sampled_idx
+        ns = np.ones(cap, np.float32)
+        ns[:n_samp] = st.noise_scale
+        y = np.zeros(cap, np.float32)
+        y[:n_samp] = st.y
+        return (jnp.asarray(idx_np), jnp.asarray(n_samp, jnp.int32),
+                jnp.asarray(ns), jnp.asarray(y))
+
+    def _plan_and_metrics(self, st: EpisodeState) -> _PlanBundle:
+        """Plan the next path AND produce the posterior mean/variance
+        metrics for the CURRENT state.
+
+        mi/entropy: ONE fused device program + ONE synchronizing read
+        (acquisition.plan_episode_step) — the metrics are byproducts of
+        the conditioning pass the plan needs anyway.  uniform/naive plan
+        host-side and read the metrics from `predict_field` (which keeps
+        the incremental chol_append_row posterior between refits)."""
         strat = self.cfg.acquisition.strategy
         self._step_post_var = None  # cache for _sense('mixed')
         slice_budget = min(
@@ -296,19 +362,25 @@ class Agent:
             order = planning.boustrophedon_order(self.env)
             unsampled = order[~np.isin(order, st.sampled_idx)]
             take = list(unsampled[: self._k_max])
-            return take, float(len(take) * self.env.cfg.col_spacing), take
+            mean, var = self.predict_field(st)
+            return _PlanBundle(
+                take, float(len(take) * self.env.cfg.col_spacing), take,
+                mean, var,
+            )
         if strat == "uniform":
             unsampled = np.setdiff1d(np.arange(self.env.n), st.sampled_idx)
             take = list(np.sort(self.rng.choice(
                 unsampled, min(self._k_max, len(unsampled)), replace=False
             )))
-            return take, float(slice_budget), take
+            mean, var = self.predict_field(st)
+            return _PlanBundle(take, float(slice_budget), take, mean, var)
 
         paths = planning.enumerate_paths(
             self.env, st.pose, slice_budget, max_paths=self._pad_paths
         )
         if not paths:
-            return [], 0.0, []
+            mean, var = self.predict_field(st)
+            return _PlanBundle([], 0.0, [], mean, var)
         batch = planning.paths_to_batch(self.env, paths, k_max=self._k_max)
         # pad the batch to the static compile shape
         P = self._pad_paths
@@ -319,29 +391,28 @@ class Agent:
         sizes[: len(batch)] = batch.sizes
         costs[: len(batch)] = batch.costs
 
-        # ONE device program for the whole replan (conditioning →
-        # corrections → set scoring → per-cost argmax) and ONE round trip:
-        # each separate call through this environment's TPU relay costs
-        # ~27 ms of dispatch, which dominated the 10k planning step.
-        # (Indices/noise assembled host-side: _padded_train would also
-        # gather x on device — a dispatch this program doesn't need.)
-        idx_pad, m, pnv = self._padded_sampled(st)
+        idx_pad, m, ns_pad, y_pad = self._padded_obs(st)
         W = WT = None
         if strat == "mi":
-            W, WT = self._precision_seed(st, nv)
-        best, post_var, _ = acq.plan_path_step(
-            self.spec, st.params, self._Xdev, nv,
-            idx_pad, m, pnv,
+            W, WT = self._precision_seed(st)
+        best_d, mean_d, var_d, _ = acq.plan_episode_step(
+            self.spec, st.params, self._Xdev,
+            idx_pad, m, ns_pad, y_pad,
             jnp.asarray(sets), jnp.asarray(sizes), jnp.asarray(costs),
             W, WT, strategy=strat,
+            min_noise=self.cfg.fit.min_noise, nv_mult=self._nv_mult,
         )
+        # the step's single synchronizing read
+        best, mean, var = jax.device_get((best_d, mean_d, var_d))
         best = int(best)
-        # lazily transferred only if _sense('mixed') needs it
-        self._step_post_var = post_var
+        mean, var = np.asarray(mean), np.asarray(var)
+        self._step_post_var = var  # for _sense('mixed')
         sites = list(batch.sets[best][: batch.sizes[best]])
-        return batch.node_seqs[best], float(batch.costs[best]), sites
+        return _PlanBundle(
+            batch.node_seqs[best], float(batch.costs[best]), sites, mean, var,
+        )
 
-    def _sense(self, st: EpisodeState, nv, sample_nodes: list):
+    def _sense(self, st: EpisodeState, sample_nodes: list):
         """Collect measurements along a path under the modality policy
         (C5, BASELINE.json:11).  "mixed" spends the expensive sensor on the
         single highest-posterior-variance site of the path and the cheap
@@ -351,10 +422,10 @@ class Agent:
             return [self.env.collect(sample_nodes, policy)]
         if policy != "mixed":
             raise ValueError(f"unknown modality policy {policy!r}")
-        if self._step_post_var is not None:  # computed by plan_step already
-            post_var = np.asarray(self._step_post_var)  # lazy transfer
+        if self._step_post_var is not None:  # computed by the plan already
+            post_var = np.asarray(self._step_post_var)
         else:
-            _, pv = self._conditioning_state(st, nv)
+            _, pv = self._conditioning_state(st, self._noise_vec(st))
             post_var = np.asarray(pv)
         pv = post_var[np.asarray(sample_nodes)]
         best = int(np.argmax(pv))
@@ -364,20 +435,22 @@ class Agent:
             out.append(self.env.collect(cheap_nodes, "cheap"))
         return out
 
-    def _precision_seed(self, st: EpisodeState, nv):
+    def _precision_seed(self, st: EpisodeState):
         """(W, WT) implicit complement-precision seed, cached per fitted
         params: P = WᵀW − F·ZTᵀ is never materialised (the dense N×N P
         costs 400 MB + a ~95 ms 2N³ seeding matmul at the 10k grid).  One
-        Cholesky + blocked tri_inv per refit; the Schur corrections for
-        the CURRENT sampled set are rebuilt fresh inside each replan's
-        fused device program (acquisition.plan_path_step →
-        implicit_corrections) — exact w.r.t. W, so hundreds of deletes
-        over a long episode cannot accumulate drift (see the long-horizon
-        drift test in tests/test_acquisition.py)."""
+        Cholesky + blocked tri_inv per refit, dispatched ASYNC (the noise
+        model is derived from the params on device — no host read); the
+        Schur corrections for the CURRENT sampled set are rebuilt fresh
+        inside each step's fused device program (acquisition.
+        plan_episode_step → implicit_corrections) — exact w.r.t. W, so
+        hundreds of deletes over a long episode cannot accumulate drift
+        (see the long-horizon drift test in tests/test_acquisition.py)."""
         cached = self._P_cache
         if cached is None or cached[0] is not st.params:
-            W, WT = acq.implicit_complement_precision(
-                self.spec, st.params, self._Xdev, nv
+            W, WT = acq.implicit_precision_seed(
+                self.spec, st.params, self._Xdev,
+                min_noise=self.cfg.fit.min_noise, nv_mult=self._nv_mult,
             )
             self._P_cache = (st.params, W, WT)
         return self._P_cache[1], self._P_cache[2]
@@ -408,31 +481,31 @@ class Agent:
             self.cfg.deep is not None and st.mlp is None
         )
         if needs_fit:
-            self.fit_model(st, jax.random.fold_in(base_key, st.step))
+            self.fit_model(st, base_key)
         elif self.cfg.deep is not None:
             # resume: adopt the checkpointed embedding so the saved
             # hyperparameters stay consistent with the candidate matrix
             self._set_mlp(st.mlp)
-        mean, var = self.predict_field(st)
+        # the bundle carries the NEXT step's plan together with the
+        # CURRENT state's posterior metrics — one fused program / one
+        # synchronizing read per step (see _plan_and_metrics)
+        bundle = self._plan_and_metrics(st)
         self.logger.log(
             step=st.step, phase="pilot" if resume_from is None else "resume",
             n_sampled=len(st.sampled_idx),
-            rmse=self.env.rmse(mean),
-            rmse_test=self.env.rmse(mean, test_only=True),
-            mean_var=float(var.mean()),
+            rmse=self.env.rmse(bundle.mean),
+            rmse_test=self.env.rmse(bundle.mean, test_only=True),
+            mean_var=float(bundle.var.mean()),
             budget_left=st.budget_left,
             fit_s=round(time.perf_counter() - t0, 4),
         )
 
         while st.budget_left > 0 and st.step < max_steps:
-            st.step += 1
-            nv = self._noise_vec(st)
-            t0 = time.perf_counter()
-            nodes, cost, sample_nodes = self.plan_step(st, nv)
-            t_plan = time.perf_counter() - t0
-            if not nodes or cost <= 0 or not sample_nodes:
+            if bundle.empty:
                 break
-            samples = self._sense(st, nv, sample_nodes)
+            st.step += 1
+            nodes, cost, sample_nodes = bundle.nodes, bundle.cost, bundle.sites
+            samples = self._sense(st, sample_nodes)
             st.sampled_idx = np.concatenate(
                 [st.sampled_idx] + [s.indices for s in samples]
             )
@@ -445,28 +518,33 @@ class Agent:
 
             t0 = time.perf_counter()
             if st.step % self.cfg.episode.refit_every == 0:
-                self.fit_model(st, jax.random.fold_in(base_key, st.step))
+                self.fit_model(st, base_key)
                 self._P_cache = None  # params changed → re-seed precision
             t_fit = time.perf_counter() - t0
-            mean, var = self.predict_field(st)
             # keep rng states in the episode state so a checkpoint written
-            # after this step resumes noise draws exactly (SURVEY.md §5)
+            # after this step resumes exactly (SURVEY.md §5) — saved
+            # BEFORE the next plan is drawn, because _plan_and_metrics
+            # consumes agent rng (uniform strategy) and a resumed run
+            # re-plans from the checkpointed state
             st.rng_state = {
                 "agent": self.rng.bit_generator.state,
                 "env": self.env._rng.bit_generator.state,
             }
+            t0 = time.perf_counter()
+            bundle = self._plan_and_metrics(st)
+            t_plan = time.perf_counter() - t0
             self.logger.log(
                 step=st.step, phase="plan",
                 n_sampled=len(st.sampled_idx),
                 n_new=len(sample_nodes), path_cost=round(cost, 3),
-                rmse=self.env.rmse(mean),
-                rmse_test=self.env.rmse(mean, test_only=True),
-                mean_var=float(var.mean()),
+                rmse=self.env.rmse(bundle.mean),
+                rmse_test=self.env.rmse(bundle.mean, test_only=True),
+                mean_var=float(bundle.var.mean()),
                 budget_left=round(st.budget_left, 3),
                 plan_s=round(t_plan, 4), fit_s=round(t_fit, 4),
             )
 
-        mean, var = self.predict_field(st)
+        mean, var = bundle.mean, bundle.var
         return EpisodeResult(
             state=st, history=self.logger.history,
             mean=mean, var=var, rmse=self.env.rmse(mean),

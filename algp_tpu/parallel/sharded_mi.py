@@ -213,7 +213,7 @@ def _sharded_mi_jit(
     taken0 = jnp.arange(N) >= n_valid
     B0 = jnp.zeros((T, N), jnp.float32)
     if num_pilot:
-        C, d0, taken_pilot = acq._batch_pilot_condition(
+        C, d0, taken_pilot, _ = acq._batch_pilot_condition(
             spec, params, x, pilot_nv, pilot_idx, pilot_count, d0
         )
         taken0 = jnp.logical_or(taken0, taken_pilot)

@@ -372,18 +372,22 @@ def test_cli_checkpoint_multirun_naming(tmp_path):
 
 
 def test_c5_episode_incremental_posterior_refit_every_2():
-    """With refit_every > 1 the between-refit posterior grows by
-    chol_append_row instead of refactorizing; the episode must match a
-    run whose posterior cache is disabled (full refactorization)."""
+    """With refit_every > 1 the between-refit posterior (used by the
+    uniform/naive metrics path) grows by chol_append_row instead of
+    refactorizing; the episode must match a run whose posterior cache is
+    disabled (full refactorization).  The informative strategies never
+    call predict_field — their metrics come from the fused plan program
+    (covered by test_c5_fused_plan_metrics_match_posterior)."""
     cfg = ExperimentConfig(
         fit=FitConfig(iters=30, restarts=1),
-        acquisition=AcquisitionConfig(strategy="mi"),
+        acquisition=AcquisitionConfig(strategy="uniform"),
         episode=EpisodeConfig(num_pilot=6, budget=24.0, num_waypoints=4,
                               samples_per_step=4, seed=3, refit_every=2),
     )
     env_a = small_field(rows=6, cols=10, seed=31)
     agent_a = Agent(env_a, cfg)
     r_inc = agent_a.run(max_steps=8)
+    assert agent_a._post_cache is not None  # the extend path actually ran
 
     env_b = small_field(rows=6, cols=10, seed=31)
     agent_b = Agent(env_b, cfg)
@@ -399,6 +403,90 @@ def test_c5_episode_incremental_posterior_refit_every_2():
         r_inc.state.sampled_idx, r_full.state.sampled_idx
     )
     assert r_inc.rmse == pytest.approx(r_full.rmse, abs=1e-4)
+    # the per-step logged metrics agree between the two posterior paths
+    for ha, hb in zip(r_inc.history, r_full.history):
+        assert ha["rmse"] == pytest.approx(hb["rmse"], abs=1e-4)
+
+
+@pytest.mark.parametrize("strategy", ["mi", "entropy"])
+def test_c5_fused_plan_metrics_match_posterior(strategy):
+    """The fused plan program's posterior mean/variance (byproducts of its
+    conditioning pass) must match the standalone gp.posterior_and_predict
+    at every step of a real episode, and its path choice must equal the
+    unfused plan_path_step pipeline's."""
+    import jax.numpy as jnp
+    from algp_tpu import acquisition as acq
+
+    env = small_field(rows=6, cols=10, seed=37)
+    cfg = ExperimentConfig(
+        fit=FitConfig(iters=30, restarts=1),
+        acquisition=AcquisitionConfig(strategy=strategy),
+        episode=EpisodeConfig(num_pilot=6, budget=24.0, num_waypoints=4,
+                              samples_per_step=4, seed=5, refit_every=2,
+                              modality="mixed"),
+    )
+    agent = Agent(env, cfg)
+    checked = {"n": 0}
+    orig = agent._plan_and_metrics
+
+    def checking(st):
+        bundle = orig(st)
+        if not bundle.nodes:
+            return bundle
+        # reference posterior over the padded train buffers
+        from algp_tpu.models import gp as gp_mod
+
+        x, y, ns, m, _ = agent._padded_train(st)
+        _, mean_ref, var_ref = gp_mod.posterior_and_predict(
+            agent.spec, st.params, x, y, ns, agent._Xdev,
+            min_noise=cfg.fit.min_noise, jitter=cfg.fit.jitter,
+            has_noise_scale=True, num_valid=m, has_num_valid=True,
+        )
+        np.testing.assert_allclose(
+            bundle.mean, np.asarray(mean_ref), atol=2e-3
+        )
+        np.testing.assert_allclose(
+            bundle.var, np.asarray(var_ref), atol=2e-3
+        )
+        # the fused path choice equals the unfused plan_path_step's
+        from algp_tpu import planning
+
+        slice_budget = min(
+            st.budget_left,
+            cfg.episode.budget / max(1, cfg.episode.num_waypoints),
+        )
+        paths = planning.enumerate_paths(
+            env, st.pose, slice_budget, max_paths=agent._pad_paths
+        )
+        batch = planning.paths_to_batch(env, paths, k_max=agent._k_max)
+        P = agent._pad_paths
+        sets = np.zeros((P, agent._k_max), np.int32)
+        sizes = np.zeros((P,), np.int32)
+        costs = np.ones((P,), np.float32)
+        sets[: len(batch)] = batch.sets
+        sizes[: len(batch)] = batch.sizes
+        costs[: len(batch)] = batch.costs
+        nv = agent._noise_vec(st)
+        idx_pad, mm, pnv = agent._padded_sampled(st)
+        W = WT = None
+        if strategy == "mi":
+            W, WT = acq.implicit_complement_precision(
+                agent.spec, st.params, agent._Xdev, nv
+            )
+        best_ref, _, _ = acq.plan_path_step(
+            agent.spec, st.params, agent._Xdev, nv, idx_pad, mm, pnv,
+            jnp.asarray(sets), jnp.asarray(sizes), jnp.asarray(costs),
+            W, WT, strategy=strategy,
+        )
+        ref_sites = list(batch.sets[int(best_ref)][: batch.sizes[int(best_ref)]])
+        assert bundle.sites == ref_sites
+        checked["n"] += 1
+        return bundle
+
+    agent._plan_and_metrics = checking
+    result = agent.run(max_steps=5)
+    assert checked["n"] >= 3
+    assert np.isfinite(result.rmse)
 
 
 def test_episode_capacity_growth_stays_correct():

@@ -28,7 +28,7 @@ def test_batch_pilot_condition_matches_sequential(rng):
     nv = jnp.full((120,), 0.01, jnp.float32)
     d0 = jnp.full((120,), 1.0, jnp.float32)
     pilot = jnp.asarray([3, 50, 90, 7], jnp.int32)
-    C, d, taken = acq._batch_pilot_condition(
+    C, d, taken, _ = acq._batch_pilot_condition(
         spec, params, x, nv[pilot], pilot, jnp.asarray(4), d0
     )
     # sequential reference in f64
@@ -54,10 +54,10 @@ def test_batch_pilot_condition_padding_noop(rng):
     d0 = jnp.full((60,), 1.0, jnp.float32)
     pilot_full = jnp.asarray([3, 30], jnp.int32)
     pilot_pad = jnp.asarray([3, 30, 0, 0], jnp.int32)  # 2 padded slots
-    C1, d1, t1 = acq._batch_pilot_condition(
+    C1, d1, t1, _ = acq._batch_pilot_condition(
         spec, params, x, nv[pilot_full], pilot_full, jnp.asarray(2), d0
     )
-    C2, d2, t2 = acq._batch_pilot_condition(
+    C2, d2, t2, _ = acq._batch_pilot_condition(
         spec, params, x, nv[pilot_pad], pilot_pad, jnp.asarray(2), d0
     )
     np.testing.assert_allclose(np.array(d1), np.array(d2), atol=1e-6)
