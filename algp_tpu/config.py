@@ -171,6 +171,16 @@ PRESETS: dict[str, ExperimentConfig] = {
         episode=EpisodeConfig(num_pilot=64, budget=400.0, num_waypoints=8,
                               samples_per_step=10, refit_every=4),
     ),
+    # 5 at 2× north-star scale (140×140 = 19.6k points): headroom proof —
+    # the same implicit-precision machinery, nothing re-tuned but the
+    # field extents.  W/Wᵀ cost 2·19600²·4 B ≈ 3.1 GB HBM (of 16).
+    "c5_20k": ExperimentConfig(
+        kernel=KernelSpec(spatial_kind="matern32", ds=2, df=0),
+        field=FieldConfig(num_rows=140, num_cols=140, true_ls_spatial=11.0),
+        acquisition=AcquisitionConfig(strategy="mi"),
+        episode=EpisodeConfig(num_pilot=64, budget=560.0, num_waypoints=8,
+                              samples_per_step=10, refit_every=4),
+    ),
     # Real-table experiment (SURVEY.md §2 C10): phenotype CSV with genotype
     # features, composite spatial×feature kernel, mixed sensing modalities.
     "c10_table": ExperimentConfig(

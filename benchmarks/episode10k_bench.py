@@ -27,6 +27,9 @@ sys.path.insert(
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=12)
+    ap.add_argument("--preset", default="c5_10k",
+                    help="episode preset (c5_10k, or c5_20k for the "
+                    "2x-scale headroom run)")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -34,7 +37,7 @@ def main() -> None:
     from algp_tpu.episode import Agent
     from algp_tpu.field import FieldEnv
 
-    base = PRESETS["c5_10k"]
+    base = PRESETS[args.preset]
 
     def run(seed: int):
         fieldc = dataclasses.replace(base.field, seed=seed)
@@ -56,7 +59,8 @@ def main() -> None:
     plan_s = [h["plan_s"] for h in result.history if "plan_s" in h]
     fit_s = [h["fit_s"] for h in result.history[1:] if "fit_s" in h]
     rec = {
-        "metric": "episode10k_wall_s",
+        "metric": f"episode_{args.preset}_wall_s"
+        if args.preset != "c5_10k" else "episode10k_wall_s",
         "value": round(wall, 3),
         "unit": "s",
         "steps": steps,
