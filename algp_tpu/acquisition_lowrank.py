@@ -1,0 +1,389 @@
+"""L2c — large-N greedy Krause-MI via a low-rank (Nyström/FITC)
+complement precision.
+
+Why this exists (SURVEY.md §2 C7, §3.4 — scaled past the exact ceiling):
+the exact MI path seeds W = L⁻¹ over the full N×N candidate Gram —
+O(N³) flops and O(N²) HBM.  That is 47 ms + 400 MB at N = 10k and
+~50 s + 40 GB at N = 100k: off the chip.  This module replaces only the
+complement-precision REPRESENTATION with an inducing-point factorization;
+every selection-fidelity convention (f32 score resolution, min-index
+argmax, exact incremental numerator conditioning, batched Schur deletes
+of the sampled set) is shared with `acquisition.py`.
+
+    Σ = K + diag(nv) ≈ U Uᵀ + D                  (FITC / DTC with exact
+                                                  diagonal)
+    U = K_xz L_zz⁻ᵀ                               (N×M Nyström factor)
+    D = diag( clamp(k_diag − rowsum U², 0) + nv ) (Σ's diagonal is exact)
+
+and by Woodbury the precision is itself low-rank-minus-diagonal:
+
+    P̃ = Σ⁻¹ = D⁻¹ − Vᵀ V,   V = L_B⁻¹ Uᵀ D⁻¹  (M×N),
+    B = I + Uᵀ D⁻¹ U         (M×M)
+
+so the seed costs O(N M²) MXU matmuls + one M×M Cholesky, O(N M) HBM,
+and the per-round precision column  P̃[:, j] = d⁻¹ⱼ eⱼ − Vᵀ (V eⱼ)  is a
+single (N×M)·(M,) matvec.  With Z = X the factorization is exact up to
+the Kzz jitter, and selections coincide with the exact path / the f64
+oracle (tests/test_lowrank.py).
+
+Approximation placement: the numerator σ²(y|A) + nv stays EXACT — the
+incremental basis conditioning is O(N·T) regardless of N.  Only the
+conditioning-on-the-complement denominator (the "everything else"
+background term, which is naturally tolerant of a low-rank summary)
+flows through the inducing points.
+
+TPU notes: all heavy ops are tall-skinny (N×M)·(M×M) matmuls — ideal
+MXU shapes; Vᵀ is materialised (like WT in the exact path) so the
+per-round gather of row j is coalesced; the candidate axis keeps the
+512 alignment contract of `acquisition.pad_candidates`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from algp_tpu.acquisition import (
+    SelectionResult,
+    _batch_pilot_condition,
+    _condition,
+    _posterior_col,
+    pad_candidates,
+)
+from algp_tpu.ops import linalg as la
+from algp_tpu.ops.gram import gram_pallas
+from algp_tpu.ops.kernels import KernelParams, KernelSpec, gram, gram_diag
+
+_HIGH = lax.Precision.HIGHEST
+
+#: relative jitter on K_zz (scaled by the outputscale = diag of K) — keeps
+#: the inducing Cholesky PD even with duplicated/near-duplicate centers.
+_Z_JITTER = 1e-6
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LowRankPrecision:
+    """Implicit prior precision  P̃ = diag(dinv) − VT · VTᵀ  over candidates.
+
+    VT    : (N, M)  Vᵀ — row-gatherable low-rank factor
+    dinv  : (N,)    1 / D  (FITC diagonal of Σ, inverted)
+    pdiag : (N,)    diag P̃ (precomputed: dinv − rowsum VT²)
+    """
+
+    VT: jax.Array
+    dinv: jax.Array
+    pdiag: jax.Array
+
+
+@partial(jax.jit, static_argnames=("m",))
+def kcenter_indices(
+    x: jax.Array, m: int, n_valid: Optional[jax.Array] = None
+) -> jax.Array:
+    """Greedy k-center (maximin) inducing-point selection, deterministic.
+
+    Starts from index 0, then repeatedly takes the candidate farthest (in
+    raw input space) from the chosen set.  O(N·m) — one fused distance
+    update per round.  `n_valid` masks alignment-padding candidates
+    (`pad_candidates` sentinels sit at far-away coordinates and would
+    otherwise win every maximin round).
+    """
+    N = x.shape[0]
+    if n_valid is None:
+        n_valid = jnp.asarray(N, jnp.int32)
+    live = jnp.arange(N) < n_valid
+
+    def sq(a, b):
+        d = a - b[None, :]
+        return jnp.sum(d * d, axis=1)
+
+    d0 = jnp.where(live, sq(x, x[0]), -jnp.inf)
+    idx0 = jnp.zeros((m,), jnp.int32)
+
+    def body(t, state):
+        idx, d = state
+        j = jnp.argmax(d).astype(jnp.int32)
+        idx = lax.dynamic_update_slice(idx, j[None], (t,))
+        xj = lax.dynamic_slice_in_dim(x, j, 1, axis=0)[0]
+        d = jnp.minimum(d, jnp.where(live, sq(x, xj), -jnp.inf))
+        return idx, d
+
+    idx, _ = lax.fori_loop(1, m, body, (idx0, d0))
+    return idx
+
+
+@partial(jax.jit, static_argnames=("spec", "use_pallas"))
+def lowrank_precision_seed(
+    spec: KernelSpec,
+    params: KernelParams,
+    x: jax.Array,
+    nv: jax.Array,
+    z: jax.Array,
+    *,
+    use_pallas: bool = False,
+) -> LowRankPrecision:
+    """Build the low-rank implicit precision over all N candidates.
+
+    O(N M²) flops, O(N M) memory — the large-N replacement for the exact
+    `acquisition.implicit_complement_precision` seed.  Valid per
+    (params, nv, z); re-seed after every hyperparameter refit.
+    """
+    M = z.shape[0]
+    os_ = jnp.exp(params.log_outputscale)
+    Kzz = gram(spec, params, z, z) + _Z_JITTER * os_ * jnp.eye(M, dtype=jnp.float32)
+    Lzz = jnp.linalg.cholesky(Kzz)
+    if use_pallas:
+        Kzx = gram_pallas(spec, params, z, x)
+    else:
+        Kzx = gram(spec, params, z, x)
+    Ut = la.solve_triangular(Lzz, Kzx)  # (M, N) = L_zz⁻¹ K_zx
+    qdiag = jnp.sum(Ut * Ut, axis=0)
+    d = jnp.maximum(gram_diag(spec, params, x) - qdiag, 0.0) + nv
+    dinv = 1.0 / d
+    A = Ut * dinv[None, :]  # (M, N) = Uᵀ D⁻¹
+    B = jnp.eye(M, dtype=jnp.float32) + jnp.dot(A, Ut.T, precision=_HIGH)
+    LB = jnp.linalg.cholesky(B)
+    V = la.solve_triangular(LB, A)  # (M, N)
+    VT = V.T
+    pdiag = dinv - jnp.sum(VT * VT, axis=1)
+    return LowRankPrecision(VT=VT, dinv=dinv, pdiag=pdiag)
+
+
+def _precision_col(lr: LowRankPrecision, j: jax.Array) -> jax.Array:
+    """P̃[:, j] = d⁻¹ⱼ eⱼ − VT · VT[j]  — one coalesced row gather + one
+    (N×M)·(M,) matvec (the low-rank analogue of `ops.updates.wtw_column`)."""
+    vj = lax.dynamic_slice_in_dim(lr.VT, j, 1, axis=0)[0]  # (M,)
+    u0 = -jnp.dot(lr.VT, vj, precision=_HIGH)
+    return u0.at[j].add(lr.dinv[j])
+
+
+def _pilot_delete_lowrank(lr, pilot_idx, pilot_count, F, G, pdiag, num_pilot):
+    """Batch-remove the pilot block from the implicit precision.
+
+    Identical Schur algebra to `acquisition._implicit_pilot_delete`
+    (including the duplicate-index dedup that keeps PA nonsingular), with
+    U0 = P̃0[:, A] assembled from the low-rank factors instead of WᵀW."""
+    N = lr.VT.shape[0]
+    m = num_pilot
+    valid = jnp.arange(m) < pilot_count
+    same = (
+        (pilot_idx[:, None] == pilot_idx[None, :])
+        & valid[:, None]
+        & valid[None, :]
+    )
+    dup = jnp.tril(same, k=-1).any(axis=1)
+    valid = valid & ~dup
+    idx_safe = jnp.where(valid, pilot_idx, 0)
+    VA = lr.VT[idx_safe]  # (m, M) coalesced row gathers
+    U0 = -jnp.dot(lr.VT, VA.T, precision=_HIGH)  # (N, m)
+    U0 = U0.at[idx_safe, jnp.arange(m)].add(lr.dinv[idx_safe])
+    U0 = U0 * valid[None, :].astype(jnp.float32)
+    PA = U0[idx_safe, :] * valid[:, None].astype(jnp.float32)
+    pair = valid[:, None] & valid[None, :]
+    PA = jnp.where(pair, PA, jnp.eye(m, dtype=jnp.float32))
+    LA = jnp.linalg.cholesky(PA)
+    Z = la.cho_solve(LA, U0.T)  # (m, N) = PA⁻¹ U0ᵀ
+    Z = Z * valid[:, None].astype(jnp.float32)
+    F = lax.dynamic_update_slice(F, U0, (0, 0))
+    G = lax.dynamic_update_slice(G, Z, (0, 0))
+    pdiag = pdiag - jnp.sum(U0 * Z.T, axis=1)
+    taken_mask = (
+        jnp.zeros((N,), bool)
+        .at[jnp.where(valid, pilot_idx, N)]
+        .set(True, mode="drop")
+    )
+    pdiag = jnp.where(taken_mask, 1.0, pdiag)
+    return F, G, pdiag
+
+
+def greedy_select_lowrank(
+    spec: KernelSpec,
+    params: KernelParams,
+    x: jax.Array,
+    nv: jax.Array,
+    pilot_idx: jax.Array,
+    z: jax.Array,
+    *,
+    rounds: int,
+    num_pilot: int,
+    return_scores: bool = False,
+    pilot_count: Optional[jax.Array] = None,
+    pilot_nv: Optional[jax.Array] = None,
+    use_pallas: bool = False,
+) -> SelectionResult:
+    """Greedy Krause-MI over N candidates with an M-inducing-point
+    complement precision — `acquisition.greedy_select(strategy="mi")`
+    for N far past the exact N³/N² ceiling.
+
+    z : (M, dim) inducing locations (`kcenter_indices` + a gather, a
+        coarse sub-grid, or any other design).  With z = x the selections
+        coincide with the exact path.
+
+    All other arguments and the selection-fidelity conventions match
+    `acquisition.greedy_select` — entropy needs no approximation at any N
+    (its state is O(N·T)); use the exact entry for it.
+    """
+    if pilot_count is None:
+        pilot_count = jnp.asarray(num_pilot, jnp.int32)
+    if pilot_nv is None:
+        pilot_nv = nv[pilot_idx] if num_pilot else jnp.zeros((0,), jnp.float32)
+    N = x.shape[0]
+    x, nv = pad_candidates(x, nv, align=512)
+    res = _greedy_select_lowrank_jit(
+        spec, params, x, nv, pilot_idx, pilot_count, pilot_nv, z,
+        rounds=rounds, num_pilot=num_pilot, return_scores=return_scores,
+        n_valid=N, use_pallas=use_pallas,
+    )
+    if x.shape[0] != N:
+        res = SelectionResult(
+            selected=res.selected,
+            post_var=res.post_var[:N],
+            scores=res.scores[:, :N],
+            basis=res.basis[:, :N],
+        )
+    return res
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "rounds", "num_pilot", "return_scores", "n_valid", "spec",
+        "use_pallas",
+    ),
+)
+def _greedy_select_lowrank_jit(
+    spec, params, x, nv, pilot_idx, pilot_count, pilot_nv, z, *,
+    rounds, num_pilot, return_scores, n_valid=None, use_pallas=False,
+):
+    N = x.shape[0]
+    if n_valid is None:
+        n_valid = N
+    T = num_pilot + rounds
+    d0 = gram_diag(spec, params, x)
+    B0 = jnp.zeros((T, N), jnp.float32)
+    taken0 = jnp.arange(N) >= n_valid
+    sel0 = jnp.zeros((rounds,), jnp.int32)
+
+    if num_pilot:
+        C, d0, taken_pilot, _ = _batch_pilot_condition(
+            spec, params, x, pilot_nv, pilot_idx, pilot_count, d0
+        )
+        taken0 = jnp.logical_or(taken0, taken_pilot)
+        B0 = lax.dynamic_update_slice(B0, C, (0, 0))
+
+    lr = lowrank_precision_seed(spec, params, x, nv, z, use_pallas=use_pallas)
+    pdiag0 = lr.pdiag
+    F0 = jnp.zeros((N, T), jnp.float32)
+    G0 = jnp.zeros((T, N), jnp.float32)
+    if num_pilot:
+        F0, G0, pdiag0 = _pilot_delete_lowrank(
+            lr, pilot_idx, pilot_count, F0, G0, pdiag0, num_pilot
+        )
+
+    n_scores = rounds if return_scores else 0
+    scores0 = jnp.full((n_scores, N), -jnp.inf, jnp.float32)
+
+    def body(r, state):
+        B, d, F, G, pdiag, taken, sel, scores = state
+        s = (d + nv) * pdiag
+        s = jnp.where(taken, -jnp.inf, s)
+        j = s.argmax().astype(jnp.int32)
+        if return_scores:
+            scores = lax.dynamic_update_slice(scores, s[None, :], (r, 0))
+        t = num_pilot + r
+        col = _posterior_col(spec, params, x, j, B)
+        B, d = _condition(B, d, col, j, nv[j], t)
+        u0 = _precision_col(lr, j)
+        g_j = lax.dynamic_slice_in_dim(G, j, 1, axis=1)[:, 0]
+        u = u0 - jnp.dot(F, g_j, precision=_HIGH)
+        pjj = pdiag[j]
+        F = lax.dynamic_update_slice(F, u[:, None], (0, t))
+        G = lax.dynamic_update_slice(G, (u / pjj)[None, :], (t, 0))
+        pdiag = pdiag - (u * u) / pjj
+        pdiag = pdiag.at[j].set(1.0)
+        taken = taken.at[j].set(True)
+        sel = lax.dynamic_update_slice(sel, j[None], (r,))
+        return B, d, F, G, pdiag, taken, sel, scores
+
+    state = (B0, d0, F0, G0, pdiag0, taken0, sel0, scores0)
+    if rounds:
+        state = lax.fori_loop(0, rounds, body, state)
+    return SelectionResult(
+        selected=state[6], post_var=state[1], scores=state[7], basis=state[0]
+    )
+
+
+def fit_and_select_lowrank(
+    spec: KernelSpec,
+    fitcfg,
+    x_train: jax.Array,
+    y_train: jax.Array,
+    x: jax.Array,
+    pilot_idx: jax.Array,
+    *,
+    rounds: int,
+    num_pilot: int,
+    num_inducing: int,
+    key: Optional[jax.Array] = None,
+    use_pallas: bool = False,
+):
+    """The north-star workload at 100k scale: multi-restart MLL fit +
+    greedy low-rank MI selection — ONE fused device program, mirroring
+    `acquisition.fit_and_select` (one dispatch, one transfer; the k-center
+    inducing design is computed inside the program too).
+
+    Returns (fit_result, SelectionResult).
+    """
+    N = x.shape[0]
+    x_pad, _ = pad_candidates(x, jnp.ones((N,), jnp.float32))
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    fit_res, sel = _fit_and_select_lowrank_jit(
+        spec, fitcfg, x_train, y_train, x_pad, pilot_idx, key,
+        rounds=rounds, num_pilot=num_pilot, num_inducing=num_inducing,
+        n_valid=N, use_pallas=use_pallas,
+    )
+    if x_pad.shape[0] != N:
+        sel = SelectionResult(
+            selected=sel.selected, post_var=sel.post_var[:N],
+            scores=sel.scores, basis=sel.basis[:, :N],
+        )
+    return fit_res, sel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "fitcfg", "rounds", "num_pilot", "num_inducing",
+                     "n_valid", "use_pallas"),
+)
+def _fit_and_select_lowrank_jit(spec, fitcfg, x_train, y_train, x_pad,
+                                pilot_idx, key, *, rounds, num_pilot,
+                                num_inducing, n_valid, use_pallas):
+    from algp_tpu.models import gp as gp_mod
+
+    inits = gp_mod.make_restart_inits(spec, fitcfg, key)
+    fit_res = gp_mod._fit_jit(
+        spec, fitcfg, x_train, y_train, None, inits, False
+    )
+    nv_base = jnp.maximum(
+        jnp.exp(2.0 * fit_res.params.log_noise), fitcfg.min_noise**2
+    )
+    nv = jnp.where(
+        jnp.arange(x_pad.shape[0]) < n_valid, nv_base, 1.0
+    ).astype(jnp.float32)
+    zidx = kcenter_indices(x_pad, num_inducing,
+                           jnp.asarray(n_valid, jnp.int32))
+    z = x_pad[zidx]
+    sel = _greedy_select_lowrank_jit(
+        spec, fit_res.params, x_pad, nv, pilot_idx,
+        jnp.asarray(num_pilot, jnp.int32),
+        jnp.full((num_pilot,), nv_base, jnp.float32), z,
+        rounds=rounds, num_pilot=num_pilot, return_scores=False,
+        n_valid=n_valid, use_pallas=use_pallas,
+    )
+    return fit_res, sel

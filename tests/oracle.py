@@ -201,3 +201,57 @@ def _precision_delete(P, j):
     P[:, j] = 0.0
     P[j, j] = 1.0
     return P
+
+
+def lowrank_precision(K, zidx, noise_var, z_jitter=1e-6):
+    """FITC/Nyström prior precision over all candidates, dense f64.
+
+    Mirrors algp_tpu.acquisition_lowrank.lowrank_precision_seed: inducing
+    set = candidate subset `zidx`, Q = K[:,Z](K[Z,Z]+jI)⁻¹K[Z,:], diagonal
+    corrected to Σ's exact diagonal (clamped ≥ 0), then P̃ = Σ̃⁻¹ dense.
+    The jitter is relative to the outputscale (= diag K for stationary
+    kernels), matching the device formula.
+    """
+    N = K.shape[0]
+    nv = np.broadcast_to(np.asarray(noise_var, np.float64), (N,))
+    zidx = np.asarray(zidx, int)
+    os_ = float(np.mean(np.diag(K)))
+    Kzz = K[np.ix_(zidx, zidx)] + z_jitter * os_ * np.eye(len(zidx))
+    Kxz = K[:, zidx]
+    Q = Kxz @ np.linalg.solve(Kzz, Kxz.T)
+    d = np.maximum(np.diag(K) - np.diag(Q), 0.0) + nv
+    Sigma = Q + np.diag(d)  # diag = q + d = k + nv (Σ's diagonal is exact)
+    return np.linalg.inv(Sigma)
+
+
+def greedy_mi_selection_lowrank(K, zidx, noise_var, rounds, pilot_idx=()):
+    """Greedy Krause-MI with a low-rank complement precision, dense f64.
+
+    Same algorithm as greedy_mi_selection but the complement precision is
+    seeded from the FITC factorization over inducing subset `zidx` — the
+    oracle for algp_tpu.acquisition_lowrank.greedy_select_lowrank.  The
+    numerator conditioning stays exact (as on device).
+    """
+    N = K.shape[0]
+    nv = np.broadcast_to(np.asarray(noise_var, np.float64), (N,))
+    C = K.astype(np.float64).copy()
+    taken = np.zeros(N, bool)
+    P = lowrank_precision(K, zidx, noise_var)
+    for j in pilot_idx:
+        c = C[:, j] / np.sqrt(C[j, j] + nv[j])
+        C -= np.outer(c, c)
+        taken[j] = True
+        P = _precision_delete(P, j)
+    sel, traces = [], []
+    for _ in range(rounds):
+        num = np.diag(C) + nv
+        score = num * np.diag(P)
+        score[taken] = -np.inf
+        traces.append(score.copy())
+        j = int(np.argmax(score.astype(np.float32)))  # f32 score resolution
+        sel.append(j)
+        c = C[:, j] / np.sqrt(C[j, j] + nv[j])
+        C -= np.outer(c, c)
+        P = _precision_delete(P, j)
+        taken[j] = True
+    return np.array(sel), traces

@@ -1,0 +1,201 @@
+"""Low-rank (inducing-point) MI acquisition vs the f64 oracle and the
+exact path (SURVEY.md §2 C7 scaled past the exact N³ ceiling).
+
+Fidelity ladder:
+  1. the seed's precision diagonal/columns match a dense f64 Woodbury;
+  2. with Z = X the low-rank selections coincide with the EXACT device
+     path and the exact f64 oracle (the factorization is exact up to the
+     K_zz jitter);
+  3. with a proper subset Z the selections match the low-rank f64 oracle
+     index-for-index (same approximation, two implementations);
+  4. quality: with a modest inducing set on a smooth field, round-0 MI
+     scores stay close to the exact scores (the approximation is in the
+     denominator background term only).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from algp_tpu import acquisition as acq
+from algp_tpu import acquisition_lowrank as lr
+from algp_tpu.ops.kernels import KernelParams, KernelSpec
+
+import oracle
+
+from test_acquisition import setup_field
+
+
+def _params(ls, os_, noise, dim=2):
+    return KernelParams(
+        log_ls_spatial=jnp.full((dim,), np.log(ls), jnp.float32),
+        log_ls_feature=jnp.zeros((0,), jnp.float32),
+        log_outputscale=jnp.asarray(np.log(os_), jnp.float32),
+        log_noise=jnp.asarray(np.log(noise), jnp.float32),
+    )
+
+
+def test_seed_matches_dense_woodbury(rng):
+    spec, params, x, K, nv = setup_field(rng, n=200)
+    zidx = np.arange(0, 200, 4)
+    P_ref = oracle.lowrank_precision(K, zidx, nv)
+    seed = lr.lowrank_precision_seed(
+        spec, params, jnp.asarray(x, jnp.float32),
+        jnp.full((200,), nv, jnp.float32), jnp.asarray(x[zidx], jnp.float32),
+    )
+    np.testing.assert_allclose(
+        np.array(seed.pdiag), np.diag(P_ref), rtol=3e-3, atol=1e-3
+    )
+    # spot-check full columns via the implicit form
+    for j in (0, 57, 131):
+        col = np.array(lr._precision_col(seed, jnp.asarray(j, jnp.int32)))
+        np.testing.assert_allclose(col, P_ref[:, j], rtol=3e-3, atol=3e-3)
+
+
+@pytest.mark.parametrize("num_pilot", [0, 5])
+def test_full_inducing_matches_exact_path(rng, num_pilot):
+    """Z = X ⇒ the low-rank path must reproduce the exact MI selections
+    (and hence the exact f64 oracle)."""
+    spec, params, x, K, nv = setup_field(rng, n=220)
+    rounds = 15
+    pilot = rng.choice(len(x), size=num_pilot, replace=False).astype(np.int32)
+    xj = jnp.asarray(x, jnp.float32)
+    nvj = jnp.full((len(x),), nv, jnp.float32)
+    res_exact = acq.greedy_select(
+        spec, params, xj, nvj, jnp.asarray(pilot),
+        rounds=rounds, num_pilot=num_pilot, strategy="mi",
+    )
+    res_lr = lr.greedy_select_lowrank(
+        spec, params, xj, nvj, jnp.asarray(pilot), xj,
+        rounds=rounds, num_pilot=num_pilot,
+    )
+    np.testing.assert_array_equal(
+        np.array(res_lr.selected), np.array(res_exact.selected)
+    )
+    sel_ref, _ = oracle.greedy_mi_selection(K, nv, rounds, pilot)
+    np.testing.assert_array_equal(np.array(res_lr.selected), sel_ref)
+    np.testing.assert_allclose(
+        np.array(res_lr.post_var), np.array(res_exact.post_var),
+        rtol=1e-3, atol=1e-3,
+    )
+
+
+@pytest.mark.parametrize("num_pilot", [0, 6])
+def test_subset_inducing_matches_lowrank_oracle(rng, num_pilot):
+    spec, params, x, K, nv = setup_field(rng, n=240)
+    rounds = 18
+    pilot = rng.choice(len(x), size=num_pilot, replace=False).astype(np.int32)
+    zidx = np.asarray(
+        lr.kcenter_indices(jnp.asarray(x, jnp.float32), 60)
+    )
+    res = lr.greedy_select_lowrank(
+        spec, params, jnp.asarray(x, jnp.float32),
+        jnp.full((len(x),), nv, jnp.float32), jnp.asarray(pilot),
+        jnp.asarray(x[zidx], jnp.float32),
+        rounds=rounds, num_pilot=num_pilot, return_scores=True,
+    )
+    sel_ref, traces = oracle.greedy_mi_selection_lowrank(
+        K, zidx, nv, rounds, pilot
+    )
+    dev_scores = np.array(res.scores)
+    for r in range(rounds):
+        live = np.isfinite(traces[r])
+        np.testing.assert_allclose(
+            dev_scores[r][live], traces[r][live], rtol=2e-3, atol=2e-3
+        )
+    np.testing.assert_array_equal(np.array(res.selected), sel_ref)
+
+
+def test_duplicate_pilot_indices_stay_finite(rng):
+    spec, params, x, K, nv = setup_field(rng, n=150)
+    pilot = np.array([3, 17, 3, 99], np.int32)  # node 3 measured twice
+    res = lr.greedy_select_lowrank(
+        spec, params, jnp.asarray(x, jnp.float32),
+        jnp.full((len(x),), nv, jnp.float32), jnp.asarray(pilot),
+        jnp.asarray(x[:: 3], jnp.float32),
+        rounds=10, num_pilot=4, return_scores=True,
+    )
+    assert np.isfinite(np.array(res.post_var)).all()
+    sel = np.array(res.selected)
+    assert len(np.unique(sel)) == len(sel)
+    assert not np.isin(sel, pilot).any()
+
+
+def test_kcenter_indices_deterministic_and_spread(rng):
+    x = rng.uniform(0, 10, (500, 2)).astype(np.float32)
+    i1 = np.array(lr.kcenter_indices(jnp.asarray(x), 32))
+    i2 = np.array(lr.kcenter_indices(jnp.asarray(x), 32))
+    np.testing.assert_array_equal(i1, i2)
+    assert len(np.unique(i1)) == 32  # maximin never repeats while N > m
+    # coverage: every point within a modest radius of an inducing center
+    d = np.sqrt(((x[:, None, :] - x[i1][None, :, :]) ** 2).sum(-1)).min(1)
+    assert d.max() < 2.5  # 500 pts in a 10×10 box, 32 centers
+
+    # alignment-padding sentinels must never be chosen
+    xp, _ = acq.pad_candidates(jnp.asarray(x), jnp.ones((500,)), align=512)
+    ip = np.array(lr.kcenter_indices(xp, 32, jnp.asarray(500, jnp.int32)))
+    assert (ip < 500).all()
+
+
+def test_round0_scores_close_to_exact_on_smooth_field(rng):
+    """Quality gate: on a field whose lengthscale the inducing design
+    resolves, the low-rank MI scores stay within a few percent of exact."""
+    spec, params, x, K, nv = setup_field(rng, n=300, ls=3.0)
+    xj = jnp.asarray(x, jnp.float32)
+    nvj = jnp.full((300,), nv, jnp.float32)
+    exact = acq.greedy_select(
+        spec, params, xj, nvj, jnp.zeros((0,), jnp.int32),
+        rounds=1, num_pilot=0, strategy="mi", return_scores=True,
+    )
+    zidx = np.asarray(lr.kcenter_indices(xj, 75))
+    approx = lr.greedy_select_lowrank(
+        spec, params, xj, nvj, jnp.zeros((0,), jnp.int32),
+        jnp.asarray(x[zidx], jnp.float32),
+        rounds=1, num_pilot=0, return_scores=True,
+    )
+    s_e = np.array(exact.scores[0])
+    s_a = np.array(approx.scores[0])
+    live = np.isfinite(s_e)
+    rel = np.abs(s_a[live] - s_e[live]) / np.abs(s_e[live])
+    assert np.median(rel) < 0.05
+    assert rel.max() < 0.35
+
+
+def test_fused_fit_and_select_lowrank_matches_split(rng):
+    from algp_tpu.config import FitConfig
+    from algp_tpu.models import gp as gp_mod
+
+    spec, params, x, K, nv = setup_field(rng, n=260)
+    xj = jnp.asarray(x, jnp.float32)
+    n_train = 40
+    tr = rng.choice(260, size=n_train, replace=False).astype(np.int32)
+    f = rng.standard_normal(260)
+    y = jnp.asarray(f[tr], jnp.float32)
+    x_train = xj[jnp.asarray(tr)]
+    fitcfg = FitConfig(iters=30, restarts=2)
+
+    fit_res, sel = lr.fit_and_select_lowrank(
+        spec, fitcfg, x_train, y, xj, jnp.asarray(tr),
+        rounds=12, num_pilot=n_train, num_inducing=64,
+    )
+    # split pipeline with the same fitted params / nv / inducing design
+    fit_ref = gp_mod.fit(spec, fitcfg, x_train, y)
+    np.testing.assert_allclose(
+        float(fit_res.nll), float(fit_ref.nll), rtol=1e-5
+    )
+    nv_base = float(
+        np.maximum(np.exp(2.0 * fit_ref.params.log_noise),
+                   fitcfg.min_noise**2)
+    )
+    xp, _ = acq.pad_candidates(xj, jnp.ones((260,)))
+    zidx = lr.kcenter_indices(xp, 64, jnp.asarray(260, jnp.int32))
+    sel_ref = lr.greedy_select_lowrank(
+        spec, fit_ref.params, xj, jnp.full((260,), nv_base, jnp.float32),
+        jnp.asarray(tr), xp[zidx],
+        rounds=12, num_pilot=n_train,
+        pilot_nv=jnp.full((n_train,), nv_base, jnp.float32),
+    )
+    np.testing.assert_array_equal(
+        np.array(sel.selected), np.array(sel_ref.selected)
+    )
