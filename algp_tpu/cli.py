@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iters", type=int)
     p.add_argument("--restarts", type=int)
     p.add_argument("--acq-rounds", type=int, help="greedy rounds (configs 3-4)")
+    p.add_argument("--num-inducing", type=int,
+                   help="MI complement precision via M k-center inducing "
+                   "points (low-rank path for very large grids); 0/unset "
+                   "= exact")
     p.add_argument("--runs", type=int, default=1, help="independent episodes")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--metrics-jsonl", help="stream per-round metrics to file")
@@ -95,7 +99,8 @@ def config_from_args(args) -> ExperimentConfig:
     )
     fit = rep(fit, optimizer=args.optimizer, learning_rate=args.lr,
               iters=args.iters, restarts=args.restarts)
-    acqc = rep(acqc, strategy=args.strategy, rounds=args.acq_rounds)
+    acqc = rep(acqc, strategy=args.strategy, rounds=args.acq_rounds,
+               num_inducing=args.num_inducing)
     field = rep(field, num_rows=args.rows, num_cols=args.cols,
                 num_features=args.features, noise_std=args.noise_std,
                 cheap_noise_mult=args.cheap_noise_mult,
@@ -173,13 +178,27 @@ def run_greedy(cfg: ExperimentConfig, runs: int, stream=None) -> list[dict]:
         nv_base = float(np.maximum(
             np.exp(2 * np.asarray(res.params.log_noise)), cfg.fit.min_noise**2
         ))
-        sel = acq.greedy_select(
-            spec_eff, res.params, X_eff,
-            jnp.full((env.n,), nv_base, jnp.float32),
-            jnp.asarray(s.indices, jnp.int32),
-            rounds=cfg.acquisition.rounds, num_pilot=len(s.indices),
-            strategy=cfg.acquisition.strategy,
-        )
+        m_ind = cfg.acquisition.num_inducing
+        if cfg.acquisition.strategy == "mi" and m_ind:
+            # large-grid MI: low-rank complement precision over a k-center
+            # inducing design (acquisition_lowrank)
+            from algp_tpu import acquisition_lowrank as acq_lr
+
+            zidx = acq_lr.kcenter_indices(X_eff, m_ind)
+            sel = acq_lr.greedy_select_lowrank(
+                spec_eff, res.params, X_eff,
+                jnp.full((env.n,), nv_base, jnp.float32),
+                jnp.asarray(s.indices, jnp.int32), X_eff[zidx],
+                rounds=cfg.acquisition.rounds, num_pilot=len(s.indices),
+            )
+        else:
+            sel = acq.greedy_select(
+                spec_eff, res.params, X_eff,
+                jnp.full((env.n,), nv_base, jnp.float32),
+                jnp.asarray(s.indices, jnp.int32),
+                rounds=cfg.acquisition.rounds, num_pilot=len(s.indices),
+                strategy=cfg.acquisition.strategy,
+            )
         chosen = np.asarray(sel.selected)
         s2 = env.collect(chosen, "precise")
         all_idx = np.concatenate([s.indices, s2.indices])

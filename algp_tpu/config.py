@@ -60,6 +60,11 @@ class AcquisitionConfig:
 
     strategy: str = "mi"  # "mi" | "entropy" | "uniform" | "naive"
     rounds: int = 50  # BASELINE.json:9 — 50 greedy rounds
+    # Low-rank complement precision for strategy="mi" at large N
+    # (acquisition_lowrank): 0 = exact N×N implicit precision (the
+    # fidelity-contract path, N ≲ 20k); M > 0 = FITC/Nyström with M
+    # k-center inducing points — O(N·M) state, validated to 100k+.
+    num_inducing: int = 0
     # NOTE: no refresh knob — the episode's Krause-MI complement
     # precision rebuilds its Schur corrections from the per-refit seed
     # inverse in one batched op per replan (acquisition.

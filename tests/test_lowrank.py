@@ -199,3 +199,20 @@ def test_fused_fit_and_select_lowrank_matches_split(rng):
     np.testing.assert_array_equal(
         np.array(sel.selected), np.array(sel_ref.selected)
     )
+
+
+def test_cli_greedy_lowrank_smoke(capsys):
+    """--num-inducing routes the greedy MI driver through the low-rank
+    path end-to-end (fit → k-center design → selection → refit → RMSE)."""
+    import json
+
+    from algp_tpu.cli import main
+
+    rc = main([
+        "--mode", "greedy", "--rows", "10", "--cols", "12",
+        "--acq-rounds", "8", "--num-pilot", "10", "--iters", "25",
+        "--restarts", "2", "--strategy", "mi", "--num-inducing", "24",
+    ])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["n_sampled"] >= 18 and np.isfinite(rec["final_rmse"])
