@@ -381,6 +381,7 @@ def score_candidate_sets(
     set_sizes: jax.Array,
     P: Optional[jax.Array] = None,
     P_implicit: Optional[tuple] = None,
+    P_lowrank: Optional[tuple] = None,
     *,
     strategy: str = "entropy",
 ) -> jax.Array:
@@ -403,6 +404,11 @@ def score_candidate_sets(
                 dense path's inert marker (zero row/col, diag 1 ⇒ zero
                 log-det contribution) — path sets MAY revisit sampled
                 nodes
+    P_lowrank : (VT, dinv, F, ZT, taken) — same contract as P_implicit
+                but the prior precision is the inducing-point
+                factorization P̃0 = diag(dinv) − VT·VTᵀ
+                (acquisition_lowrank; large-N episodes): per-set blocks
+                come from row gathers of VT
 
     entropy:  the INFORMATION GAIN of the measurements about the field,
               I(f_S; z_S | A) = ½[log det(Cov_S|A + Σ_S) − log det(Σ_S)]
@@ -415,20 +421,34 @@ def score_candidate_sets(
     Padded slots contribute identity rows ⇒ zero log-det contribution.
     One small k_max×k_max Cholesky per set, vmapped over the path batch.
     """
-    if strategy == "mi" and P is None and P_implicit is None:
+    if strategy == "mi" and P is None and P_implicit is None \
+            and P_lowrank is None:
         raise ValueError(
             "score_candidate_sets(strategy='mi') needs the complement "
             "precision — implicit_complement_precision + "
-            "implicit_corrections (production) or complement_precision "
+            "implicit_corrections (production), lowrank_precision_seed + "
+            "lowrank_corrections (large N), or complement_precision "
             "(dense reference)"
         )
     k_max = sets.shape[1]
 
-    if strategy == "mi" and P_implicit is not None:
-        WT, F, ZT, taken = P_implicit
+    if strategy == "mi" and (P_implicit is not None or P_lowrank is not None):
         idx_flat = sets.reshape(-1)
-        Wr = WT[idx_flat].reshape(*sets.shape, -1)  # (S, k, N) row gathers
-        P0 = jnp.einsum("skn,sln->skl", Wr, Wr, precision=_HIGH)
+        if P_implicit is not None:
+            WT, F, ZT, taken = P_implicit
+            Wr = WT[idx_flat].reshape(*sets.shape, -1)  # (S, k, N) row gathers
+            P0 = jnp.einsum("skn,sln->skl", Wr, Wr, precision=_HIGH)
+        else:
+            VT, dinv, F, ZT, taken = P_lowrank
+            Vr = VT[idx_flat].reshape(*sets.shape, -1)  # (S, k, M)
+            P0 = -jnp.einsum("skm,slm->skl", Vr, Vr, precision=_HIGH)
+            dr = dinv[idx_flat].reshape(sets.shape)  # (S, k)
+            # the diagonal D⁻¹ term lands wherever two set slots reference
+            # the SAME candidate (paths may revisit a node) — exactly as
+            # the dense/WᵀW forms place P̃_ii there naturally
+            idx2 = sets  # (S, k)
+            same = (idx2[:, :, None] == idx2[:, None, :]).astype(jnp.float32)
+            P0 = P0 + same * dr[:, :, None]
         Fr = F[idx_flat].reshape(*sets.shape, -1)  # (S, k, C)
         Zr = ZT[idx_flat].reshape(*sets.shape, -1)
         Pblk = P0 - jnp.einsum("skc,slc->skl", Fr, Zr, precision=_HIGH)

@@ -162,23 +162,17 @@ def _precision_col(lr: LowRankPrecision, j: jax.Array) -> jax.Array:
     return u0.at[j].add(lr.dinv[j])
 
 
-def _pilot_delete_lowrank(lr, pilot_idx, pilot_count, F, G, pdiag, num_pilot):
-    """Batch-remove the pilot block from the implicit precision.
-
-    Identical Schur algebra to `acquisition._implicit_pilot_delete`
-    (including the duplicate-index dedup that keeps PA nonsingular), with
-    U0 = P̃0[:, A] assembled from the low-rank factors instead of WᵀW."""
-    N = lr.VT.shape[0]
-    m = num_pilot
-    valid = jnp.arange(m) < pilot_count
-    same = (
-        (pilot_idx[:, None] == pilot_idx[None, :])
-        & valid[:, None]
-        & valid[None, :]
-    )
+def _lowrank_schur(lr: LowRankPrecision, idx: jax.Array, count: jax.Array):
+    """Schur factors for deleting set A from P̃:  U0 = P̃0[:, A] (N, m) and
+    Z = PA⁻¹ U0ᵀ (m, N), with the duplicate-index dedup that keeps PA
+    nonsingular — identical algebra to `acquisition.implicit_corrections`
+    but with U0 assembled from the low-rank factors instead of WᵀW."""
+    m = idx.shape[0]
+    valid = jnp.arange(m) < count
+    same = (idx[:, None] == idx[None, :]) & valid[:, None] & valid[None, :]
     dup = jnp.tril(same, k=-1).any(axis=1)
     valid = valid & ~dup
-    idx_safe = jnp.where(valid, pilot_idx, 0)
+    idx_safe = jnp.where(valid, idx, 0)
     VA = lr.VT[idx_safe]  # (m, M) coalesced row gathers
     U0 = -jnp.dot(lr.VT, VA.T, precision=_HIGH)  # (N, m)
     U0 = U0.at[idx_safe, jnp.arange(m)].add(lr.dinv[idx_safe])
@@ -189,6 +183,26 @@ def _pilot_delete_lowrank(lr, pilot_idx, pilot_count, F, G, pdiag, num_pilot):
     LA = jnp.linalg.cholesky(PA)
     Z = la.cho_solve(LA, U0.T)  # (m, N) = PA⁻¹ U0ᵀ
     Z = Z * valid[:, None].astype(jnp.float32)
+    return U0, Z, valid
+
+
+@jax.jit
+def lowrank_corrections(
+    lr: LowRankPrecision, idx: jax.Array, count: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Low-rank analogue of `acquisition.implicit_corrections`:
+    P̃_V∖A = P̃0 − F · ZTᵀ restricted off A, rebuilt from the per-refit
+    seed in ONE batched op — so episode delete-chain drift is
+    structurally impossible, exactly as in the exact path."""
+    U0, Z, _ = _lowrank_schur(lr, idx, count)
+    return U0, Z.T
+
+
+def _pilot_delete_lowrank(lr, pilot_idx, pilot_count, F, G, pdiag, num_pilot):
+    """Batch-remove the pilot block from the implicit precision
+    (greedy-loop state update around `_lowrank_schur`)."""
+    N = lr.VT.shape[0]
+    U0, Z, valid = _lowrank_schur(lr, pilot_idx, pilot_count)
     F = lax.dynamic_update_slice(F, U0, (0, 0))
     G = lax.dynamic_update_slice(G, Z, (0, 0))
     pdiag = pdiag - jnp.sum(U0 * Z.T, axis=1)
@@ -316,6 +330,77 @@ def _greedy_select_lowrank_jit(
     return SelectionResult(
         selected=state[6], post_var=state[1], scores=state[7], basis=state[0]
     )
+
+
+@partial(jax.jit, static_argnames=("spec", "num_inducing", "min_noise",
+                                   "nv_mult", "use_pallas"))
+def lowrank_seed_episode(
+    spec: KernelSpec,
+    params: KernelParams,
+    x: jax.Array,
+    *,
+    num_inducing: int,
+    min_noise: float = 1e-3,
+    nv_mult: float = 1.0,
+    use_pallas: bool = False,
+) -> LowRankPrecision:
+    """`lowrank_precision_seed` with the candidate noise AND the k-center
+    inducing design derived INSIDE the program — the episode's per-refit
+    seed (one async dispatch; mirrors `acquisition.implicit_precision_seed`
+    dispatch economics)."""
+    base = jnp.maximum(jnp.exp(2.0 * params.log_noise), min_noise * min_noise)
+    nv = jnp.full((x.shape[0],), nv_mult, jnp.float32) * base
+    zidx = kcenter_indices(x, num_inducing)
+    return lowrank_precision_seed(spec, params, x, nv, x[zidx],
+                                  use_pallas=use_pallas)
+
+
+@partial(jax.jit, static_argnames=("spec", "min_noise", "nv_mult"))
+def plan_episode_step_lowrank(
+    spec: KernelSpec,
+    params: KernelParams,
+    x: jax.Array,
+    idx_pad: jax.Array,
+    count: jax.Array,
+    noise_scale_pad: jax.Array,
+    y_pad: jax.Array,
+    sets: jax.Array,
+    set_sizes: jax.Array,
+    costs: jax.Array,
+    lr: LowRankPrecision,
+    *,
+    min_noise: float = 1e-3,
+    nv_mult: float = 1.0,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """`acquisition.plan_episode_step(strategy="mi")` with the low-rank
+    complement precision — the large-N informative episode's ENTIRE
+    per-step device work as ONE program and ONE synchronizing read:
+    posterior metrics (μ, σ² from the conditioning pass) fused with
+    corrections → joint path-set scoring → per-cost argmax.
+
+    Returns (best_set_index, mean, post_var, scores)."""
+    from algp_tpu.acquisition import score_candidate_sets
+
+    cap = idx_pad.shape[0]
+    base = jnp.maximum(jnp.exp(2.0 * params.log_noise), min_noise * min_noise)
+    valid = jnp.arange(cap) < count
+    pnv = jnp.where(valid, base * noise_scale_pad, 1.0)
+    nv = jnp.full((x.shape[0],), nv_mult, jnp.float32) * base
+    d0 = gram_diag(spec, params, x)
+    C, d, taken, LA = _batch_pilot_condition(
+        spec, params, x, pnv, idx_pad, count, d0
+    )
+    u = la.solve_triangular(LA, jnp.where(valid, y_pad, 0.0))
+    mean = jnp.dot(C.T, u, precision=_HIGH)
+    F, ZT = lowrank_corrections(lr, idx_pad, count)
+    scores = score_candidate_sets(
+        spec, params, x, nv, C, sets, set_sizes,
+        P_lowrank=(lr.VT, lr.dinv, F, ZT, taken), strategy="mi",
+    )
+    util = jnp.maximum(scores, 0.0) / (costs + 1e-6)
+    util = jnp.where(set_sizes > 0, util, -jnp.inf)
+    best = jnp.argmax(util).astype(jnp.int32)
+    return best, mean, jnp.maximum(d, 0.0), scores
 
 
 def fit_and_select_lowrank(

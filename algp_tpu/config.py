@@ -87,6 +87,11 @@ class FieldConfig:
     noise_std: float = 0.1  # precise-sensor noise std
     cheap_noise_mult: float = 5.0  # cheap/noisy modality multiplier (C5)
     data_path: Optional[str] = None  # real phenotype table (CSV) if given
+    # synthetic ground truth past the dense-Cholesky ceiling: M > 0 draws
+    # the field from the FITC approximation N(0, Q + diag(k − q)) over M
+    # k-center inducing points — O(n·M) instead of the O(n³)/O(n²) dense
+    # factor (field.py _synthesize; enables 100k-point grids)
+    synth_inducing: int = 0
     # multi-trait phenotyping: >1 synthetic traits (independent GP draws),
     # or the table value columns to load (first is the planning trait);
     # fitted jointly by models.gp.fit_multi (one batched program)
@@ -184,6 +189,18 @@ PRESETS: dict[str, ExperimentConfig] = {
         field=FieldConfig(num_rows=140, num_cols=140, true_ls_spatial=11.0),
         acquisition=AcquisitionConfig(strategy="mi"),
         episode=EpisodeConfig(num_pilot=64, budget=560.0, num_waypoints=8,
+                              samples_per_step=10, refit_every=4),
+    ),
+    # 5 at 10× north-star scale (320×320 = 102.4k points): the low-rank
+    # regime — FITC field synthesis (synth_inducing) + inducing-point MI
+    # complement precision (num_inducing); the exact machinery's N² seed
+    # would need ~40 GB HBM here.
+    "c5_100k": ExperimentConfig(
+        kernel=KernelSpec(spatial_kind="matern32", ds=2, df=0),
+        field=FieldConfig(num_rows=320, num_cols=320, true_ls_spatial=25.0,
+                          synth_inducing=2048),
+        acquisition=AcquisitionConfig(strategy="mi", num_inducing=1024),
+        episode=EpisodeConfig(num_pilot=128, budget=1280.0, num_waypoints=8,
                               samples_per_step=10, refit_every=4),
     ),
     # Real-table experiment (SURVEY.md §2 C10): phenotype CSV with genotype

@@ -392,16 +392,30 @@ class Agent:
         costs[: len(batch)] = batch.costs
 
         idx_pad, m, ns_pad, y_pad = self._padded_obs(st)
-        W = WT = None
-        if strat == "mi":
-            W, WT = self._precision_seed(st)
-        best_d, mean_d, var_d, _ = acq.plan_episode_step(
-            self.spec, st.params, self._Xdev,
-            idx_pad, m, ns_pad, y_pad,
-            jnp.asarray(sets), jnp.asarray(sizes), jnp.asarray(costs),
-            W, WT, strategy=strat,
-            min_noise=self.cfg.fit.min_noise, nv_mult=self._nv_mult,
-        )
+        if strat == "mi" and self.cfg.acquisition.num_inducing:
+            # large-N MI: inducing-point complement precision
+            # (acquisition_lowrank) — same one-program/one-sync step shape
+            from algp_tpu import acquisition_lowrank as acq_lr
+
+            lrseed = self._lowrank_seed(st)
+            best_d, mean_d, var_d, _ = acq_lr.plan_episode_step_lowrank(
+                self.spec, st.params, self._Xdev,
+                idx_pad, m, ns_pad, y_pad,
+                jnp.asarray(sets), jnp.asarray(sizes), jnp.asarray(costs),
+                lrseed,
+                min_noise=self.cfg.fit.min_noise, nv_mult=self._nv_mult,
+            )
+        else:
+            W = WT = None
+            if strat == "mi":
+                W, WT = self._precision_seed(st)
+            best_d, mean_d, var_d, _ = acq.plan_episode_step(
+                self.spec, st.params, self._Xdev,
+                idx_pad, m, ns_pad, y_pad,
+                jnp.asarray(sets), jnp.asarray(sizes), jnp.asarray(costs),
+                W, WT, strategy=strat,
+                min_noise=self.cfg.fit.min_noise, nv_mult=self._nv_mult,
+            )
         # the step's single synchronizing read
         best, mean, var = jax.device_get((best_d, mean_d, var_d))
         best = int(best)
@@ -454,6 +468,24 @@ class Agent:
             )
             self._P_cache = (st.params, W, WT)
         return self._P_cache[1], self._P_cache[2]
+
+    def _lowrank_seed(self, st: EpisodeState):
+        """LowRankPrecision seed for large-N episode MI
+        (cfg.acquisition.num_inducing > 0), cached per fitted params —
+        the O(N·M²) analogue of `_precision_seed`, dispatched async with
+        the k-center design and the noise model derived on device."""
+        cached = self._P_cache
+        if cached is None or cached[0] is not st.params:
+            from algp_tpu import acquisition_lowrank as acq_lr
+
+            lr = acq_lr.lowrank_seed_episode(
+                self.spec, st.params, self._Xdev,
+                num_inducing=self.cfg.acquisition.num_inducing,
+                min_noise=self.cfg.fit.min_noise, nv_mult=self._nv_mult,
+                use_pallas=self.env.n >= 4096,
+            )
+            self._P_cache = (st.params, lr)
+        return self._P_cache[1]
 
     # ------------------------------------------------------------ episode
 

@@ -110,23 +110,59 @@ class FieldEnv:
         x_all = jnp.asarray(
             np.concatenate([xy, feats], axis=1) if df else xy, jnp.float32
         )
-        K = gram_pallas(spec, params, x_all, x_all)
-        L, jit_used = la.safe_cholesky(K, initial_jitter=1e-5)
         T = max(1, cfg.num_traits)
-        z = jax.random.normal(jax.random.PRNGKey(cfg.seed), (self.n, T))
-        traits = np.asarray(L @ z, dtype=np.float64)  # (n, T) indep. draws
+        if cfg.synth_inducing and cfg.synth_inducing < self.n:
+            traits = np.asarray(
+                self._synthesize_lowrank(spec, params, x_all, T),
+                dtype=np.float64,
+            )
+        else:
+            K = gram_pallas(spec, params, x_all, x_all)
+            L, jit_used = la.safe_cholesky(K, initial_jitter=1e-5)
+            z = jax.random.normal(jax.random.PRNGKey(cfg.seed), (self.n, T))
+            traits = np.asarray(L @ z, dtype=np.float64)  # (n, T) indep.
         self.traits = traits
         f = traits[:, 0]
         if not np.isfinite(f).all():
             # safe_cholesky exhausts its jitter ladder silently; a NaN
             # ground truth would poison every downstream metric
             raise ValueError(
-                "synthetic field covariance failed to factor even with "
-                f"jitter {float(jit_used):.3g} — kernel config is "
-                f"pathological (ls_spatial={cfg.true_ls_spatial}, "
-                f"outputscale={cfg.true_outputscale}, n={self.n})"
+                "synthetic field covariance failed to factor — kernel "
+                f"config is pathological (ls_spatial={cfg.true_ls_spatial}, "
+                f"outputscale={cfg.true_outputscale}, n={self.n}, "
+                f"synth_inducing={cfg.synth_inducing})"
             )
         return feats, f
+
+    def _synthesize_lowrank(self, spec, params, x_all, T: int):
+        """Draw the field from the FITC approximation of the true GP:
+        f = U·ε_M + √(k_diag − rowsum U²)·ε_n with U = K_xz L_zz⁻ᵀ over
+        M k-center inducing points — an EXACT sample from
+        N(0, Q + diag(k − q)), the same family the low-rank acquisition
+        conditions on (acquisition_lowrank).  O(n·M²) instead of the
+        dense O(n³) factor, enabling 100k-point grids."""
+        from algp_tpu.acquisition_lowrank import kcenter_indices
+        from algp_tpu.ops import linalg as ops_la
+        from algp_tpu.ops.kernels import gram, gram_diag
+
+        cfg = self.cfg
+        m = cfg.synth_inducing
+        zidx = kcenter_indices(x_all, m)
+        z = x_all[zidx]
+        os_ = float(cfg.true_outputscale)
+        Kzz = gram(spec, params, z, z) + 1e-6 * os_ * jnp.eye(
+            m, dtype=jnp.float32
+        )
+        Lzz = jnp.linalg.cholesky(Kzz)
+        Kzx = gram_pallas(spec, params, z, x_all)
+        Ut = ops_la.solve_triangular(Lzz, Kzx)  # (m, n)
+        resid = jnp.maximum(
+            gram_diag(spec, params, x_all) - jnp.sum(Ut * Ut, axis=0), 0.0
+        )
+        k1, k2 = jax.random.split(jax.random.PRNGKey(cfg.seed))
+        zm = jax.random.normal(k1, (m, T))
+        zn = jax.random.normal(k2, (self.n, T))
+        return Ut.T @ zm + jnp.sqrt(resid)[:, None] * zn
 
     def _load_table(self, path: str):
         """Load a phenotype table: CSV with `row`, `range`, a value column

@@ -148,6 +148,13 @@ def _fit_single(
             jitter=cfg.jitter, num_valid=num_valid,
         )
 
+    return _opt_loop(cfg, loss, params0)
+
+
+def _opt_loop(cfg: FitConfig, loss, params0: KernelParams):
+    """The shared one-restart optimizer loop (scan over `cfg.iters` steps,
+    best-ever tracking, non-finite guard) — `loss` is any differentiable
+    objective over KernelParams (exact -MLL, sparse -ELBO, …)."""
     if cfg.optimizer == "adam":
         opt = optax.adam(cfg.learning_rate)
 
