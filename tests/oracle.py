@@ -255,3 +255,30 @@ def greedy_mi_selection_lowrank(K, zidx, noise_var, rounds, pilot_idx=()):
         P = _precision_delete(P, j)
         taken[j] = True
     return np.array(sel), traces
+
+
+def sgpr_reference(K, zidx, y, noise_var, z_jitter=1e-6):
+    """Dense f64 SGPR (Titsias collapsed bound) reference: returns
+    (neg_elbo, mean, var) with inducing set = candidate subset `zidx`,
+    evaluated/predicted over all candidates.  Mirrors
+    algp_tpu.models.sparse_gp (relative K_zz jitter included).
+    """
+    N = K.shape[0]
+    lam = np.broadcast_to(np.asarray(noise_var, np.float64), (N,))
+    zidx = np.asarray(zidx, int)
+    os_ = float(np.mean(np.diag(K)))
+    Kzz = K[np.ix_(zidx, zidx)] + z_jitter * os_ * np.eye(len(zidx))
+    Kxz = K[:, zidx]
+    Q = Kxz @ np.linalg.solve(Kzz, Kxz.T)
+    Sigma = Q + np.diag(lam)
+    _, ld = np.linalg.slogdet(Sigma)
+    nelbo = 0.5 * (
+        N * np.log(2 * np.pi) + ld + y @ np.linalg.solve(Sigma, y)
+    ) + 0.5 * np.sum(np.maximum(np.diag(K) - np.diag(Q), 0.0) / lam)
+    Sm = Kzz + Kxz.T @ (Kxz / lam[:, None])
+    mean = Kxz @ np.linalg.solve(Sm, Kxz.T @ (y / lam))
+    var = (
+        np.diag(K) - np.diag(Q)
+        + np.einsum("ij,ji->i", Kxz, np.linalg.solve(Sm, Kxz.T))
+    )
+    return float(nelbo), mean, var

@@ -1,0 +1,146 @@
+"""SGPR (sparse variational GP) vs the f64 oracle and the exact model.
+
+Fidelity ladder mirrors tests/test_lowrank.py:
+  1. −ELBO matches a dense f64 Titsias reference;
+  2. the bound property holds (−ELBO ≥ −MLL) with equality at Z = X;
+  3. the sparse posterior matches the dense reference, and at Z = X the
+     exact posterior;
+  4. the multi-restart fit runs as one program and recovers the exact
+     fit's objective at Z = X;
+  5. identity-padding (`num_valid`) is exact.
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from algp_tpu.config import FitConfig
+from algp_tpu.models import gp as gp_mod
+from algp_tpu.models import sparse_gp as sgp
+
+import oracle
+
+from test_acquisition import setup_field
+
+
+def test_neg_elbo_matches_oracle(rng):
+    spec, params, x, K, nv = setup_field(rng, n=180)
+    y = rng.standard_normal(180)
+    zidx = np.arange(0, 180, 3)
+    ref, _, _ = oracle.sgpr_reference(K, zidx, y, nv)
+    dev = float(sgp.neg_elbo(
+        spec, params, jnp.asarray(x, jnp.float32),
+        jnp.asarray(y, jnp.float32), jnp.asarray(x[zidx], jnp.float32),
+    ))
+    np.testing.assert_allclose(dev, ref, rtol=2e-4)
+
+
+def test_bound_property_and_equality_at_full_z(rng):
+    spec, params, x, K, nv = setup_field(rng, n=150)
+    y = rng.standard_normal(150)
+    xj = jnp.asarray(x, jnp.float32)
+    yj = jnp.asarray(y, jnp.float32)
+    exact = float(gp_mod.neg_mll(spec, params, xj, yj))
+    for step in (5, 2):
+        lower = float(sgp.neg_elbo(spec, params, xj, yj, xj[::step]))
+        assert lower >= exact - 5e-3  # −ELBO ≥ −MLL up to f32 slack
+    full = float(sgp.neg_elbo(spec, params, xj, yj, xj))
+    np.testing.assert_allclose(full, exact, rtol=2e-3)
+
+
+def test_sparse_posterior_matches_oracle_and_exact(rng):
+    spec, params, x, K, nv = setup_field(rng, n=160)
+    y = rng.standard_normal(160)
+    xj = jnp.asarray(x, jnp.float32)
+    yj = jnp.asarray(y, jnp.float32)
+    zidx = np.arange(0, 160, 2)
+    _, mean_ref, var_ref = oracle.sgpr_reference(K, zidx, y, nv)
+    post = sgp.posterior_sparse(spec, params, xj, yj,
+                                jnp.asarray(x[zidx], jnp.float32))
+    mean, var = sgp.predict_sparse(spec, params, post, xj)
+    np.testing.assert_allclose(np.array(mean), mean_ref, rtol=2e-3,
+                               atol=2e-3)
+    np.testing.assert_allclose(np.array(var), var_ref, rtol=3e-3, atol=3e-3)
+
+    # Z = X: matches the EXACT posterior
+    post_f = sgp.posterior_sparse(spec, params, xj, yj, xj)
+    mean_f, var_f = sgp.predict_sparse(spec, params, post_f, xj)
+    post_e = gp_mod.posterior(spec, params, xj, yj)
+    mean_e, var_e = gp_mod.predict(spec, params, post_e, xj)
+    np.testing.assert_allclose(np.array(mean_f), np.array(mean_e),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.array(var_f), np.array(var_e),
+                               rtol=3e-3, atol=3e-3)
+
+
+def test_fit_sparse_one_program_matches_exact_at_full_z(rng):
+    spec, params, x, K, nv = setup_field(rng, n=120)
+    # observations from the true field
+    L = np.linalg.cholesky(K + 1e-8 * np.eye(120))
+    y = L @ rng.standard_normal(120) + np.sqrt(nv) * rng.standard_normal(120)
+    xj = jnp.asarray(x, jnp.float32)
+    yj = jnp.asarray(y, jnp.float32)
+    cfg = FitConfig(iters=40, restarts=2)
+    res_exact = gp_mod.fit(spec, cfg, xj, yj)
+    res_full = sgp.fit_sparse(spec, cfg, xj, yj, xj)
+    # same objective at Z = X ⇒ same optimum (tolerances: two f32 paths)
+    np.testing.assert_allclose(float(res_full.nll), float(res_exact.nll),
+                               rtol=5e-3)
+    # subset Z still fits something sensible (finite, bounded below by MLL)
+    res_sub = sgp.fit_sparse(spec, cfg, xj, yj, xj[::3])
+    assert np.isfinite(float(res_sub.nll))
+    assert float(res_sub.nll) >= float(res_exact.nll) - 0.5
+
+
+def test_num_valid_padding_exact(rng):
+    spec, params, x, K, nv = setup_field(rng, n=90)
+    y = rng.standard_normal(90)
+    z = jnp.asarray(x[::4], jnp.float32)
+    full = float(sgp.neg_elbo(
+        spec, params, jnp.asarray(x[:60], jnp.float32),
+        jnp.asarray(y[:60], jnp.float32), z,
+    ))
+    xp = np.zeros((90, x.shape[1]), np.float32)
+    xp[:60] = x[:60]
+    yp = np.zeros(90, np.float32)
+    yp[:60] = y[:60]
+    padded = float(sgp.neg_elbo(
+        spec, params, jnp.asarray(xp), jnp.asarray(yp), z,
+        num_valid=jnp.asarray(60, jnp.int32),
+    ))
+    np.testing.assert_allclose(padded, full, rtol=1e-5)
+
+
+def test_heteroscedastic_noise_scale(rng):
+    spec, params, x, K, nv = setup_field(rng, n=100)
+    y = rng.standard_normal(100)
+    xj = jnp.asarray(x, jnp.float32)
+    yj = jnp.asarray(y, jnp.float32)
+    z = xj[::2]
+    scale = np.ones(100)
+    scale[50:] = 25.0  # second half measured with a 5× noisier sensor
+    ref, _, _ = oracle.sgpr_reference(K, np.arange(0, 100, 2), y, nv * scale)
+    dev = float(sgp.neg_elbo(
+        spec, params, xj, yj, z, jnp.asarray(scale, jnp.float32),
+    ))
+    np.testing.assert_allclose(dev, ref, rtol=2e-4)
+
+
+def test_sparsegp_facade_end_to_end(rng):
+    """SparseGP.fit/.predict on data from a known GP: the posterior mean
+    tracks the latent field far better than the prior does."""
+    n = 400
+    x = rng.uniform(0, 12, (n, 2))
+    K = oracle.gram(x, x, ls_spatial=2.0, outputscale=1.5)
+    f = np.linalg.cholesky(K + 1e-8 * np.eye(n)) @ rng.standard_normal(n)
+    y = f + 0.1 * rng.standard_normal(n)
+    from algp_tpu.ops.kernels import KernelSpec
+
+    model = sgp.SparseGP(KernelSpec("rbf", ds=2), num_inducing=80,
+                         fit_config=FitConfig(iters=60, restarts=2))
+    model.fit(x, y)
+    mean, var = model.predict(x)
+    rmse = float(np.sqrt(np.mean((np.array(mean) - f) ** 2)))
+    prior_rmse = float(np.sqrt(np.mean(f**2)))
+    assert rmse < 0.35 * prior_rmse
+    assert np.isfinite(np.array(var)).all()
