@@ -2,10 +2,13 @@
 VERDICT r1 next-round #3/#8).
 
 Runs, on the real TPU:
-  1. the on-hardware fidelity suite (50-round selections ≡ f64 oracle),
+  1. the on-hardware fidelity suite (50-round selections ≡ f64 oracle,
+     exact + low-rank + SGPR),
   2. the perf-budget suite (episode < 1 s assertion),
   3. bench.py (the headline number),
   4. the 10k-grid config-5 episode benchmark,
+  5. the 100k low-rank selection benchmark,
+  6. the 100k config-5 episode benchmark,
 and writes one committed artifact benchmarks/round_r{N}.json so perf and
 fidelity regressions leave a paper trail per round, not just in driver
 logs.
@@ -80,6 +83,21 @@ def main() -> None:
         json.loads(lines[-1]) if rc == 0 and lines else {"ok": False}
     )
 
+    rc, lines = run(
+        [py, "benchmarks/lowrank_bench.py"], timeout=2400
+    )
+    out["lowrank100k"] = (
+        json.loads(lines[-1]) if rc == 0 and lines else {"ok": False}
+    )
+
+    rc, lines = run(
+        [py, "benchmarks/episode10k_bench.py", "--preset", "c5_100k",
+         "--steps", "10"], timeout=2400,
+    )
+    out["episode100k"] = (
+        json.loads(lines[-1]) if rc == 0 and lines else {"ok": False}
+    )
+
     path = os.path.join(REPO, "benchmarks", f"round_r{args.round:02d}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
@@ -89,6 +107,8 @@ def main() -> None:
         and out["perf_budget"]["ok"]
         and "value" in out["bench"]
         and "value" in out["episode10k"]
+        and "value" in out["lowrank100k"]
+        and "value" in out["episode100k"]
     )
     sys.exit(0 if ok else 1)
 

@@ -115,3 +115,58 @@ def test_tpu_composite_kernel_selection_equals_f64_oracle():
                     ds=2, ls_spatial=3.0, ls_feature=1.5, outputscale=1.2)
     sel_ref, _ = oracle.greedy_mi_selection(K, nv, 30, pilot)
     np.testing.assert_array_equal(np.asarray(res.selected), sel_ref)
+
+
+def test_tpu_lowrank_selection_equals_f64_oracle():
+    """Low-rank (inducing-point) MI on the TPU vs the low-rank f64
+    oracle, index-for-index — exercises the FITC seed's MXU matmul
+    chain and the V-factor row gathers on hardware."""
+    from algp_tpu import acquisition_lowrank as lr
+
+    x = _jittered_grid(10, 15, seed=29)
+    spec = KernelSpec("rbf", ds=2)
+    params = spec.init_params(ls_spatial=3.0, outputscale=1.0, noise=0.15)
+    pilot = np.linspace(0, len(x) - 1, 8).round().astype(np.int32)
+    nv = 0.15**2
+    zidx = np.asarray(lr.kcenter_indices(jnp.asarray(x, jnp.float32), 50))
+    res = lr.greedy_select_lowrank(
+        spec, params, jnp.asarray(x, jnp.float32),
+        jnp.full((len(x),), nv, jnp.float32),
+        jnp.asarray(pilot), jnp.asarray(x[zidx], jnp.float32),
+        rounds=40, num_pilot=8,
+    )
+    K = oracle.gram(x, x, ls_spatial=3.0, outputscale=1.0)
+    sel_ref, _ = oracle.greedy_mi_selection_lowrank(K, zidx, nv, 40, pilot)
+    np.testing.assert_array_equal(np.asarray(res.selected), sel_ref)
+
+
+def test_tpu_sgpr_matches_f64_oracle():
+    """SGPR −ELBO and predictive marginals computed ON the TPU vs the
+    dense f64 Titsias reference."""
+    from algp_tpu.models import sparse_gp as sgp
+
+    rng = np.random.default_rng(31)
+    x = rng.uniform(0, 12, (200, 2))
+    y = rng.standard_normal(200)
+    spec = KernelSpec("rbf", ds=2)
+    params = spec.init_params(ls_spatial=2.0, outputscale=1.5, noise=0.2)
+    nv = np.maximum(0.2**2, 1e-6)
+    zidx = np.arange(0, 200, 3)
+    ref_nelbo, m_ref, v_ref = oracle.sgpr_reference(x_K := oracle.gram(
+        x, x, ls_spatial=2.0, outputscale=1.5), zidx, y, nv)
+    dev = float(sgp.neg_elbo(
+        spec, params, jnp.asarray(x, jnp.float32),
+        jnp.asarray(y, jnp.float32), jnp.asarray(x[zidx], jnp.float32),
+    ))
+    np.testing.assert_allclose(dev, ref_nelbo, rtol=2e-3)
+    post = sgp.posterior_sparse(
+        spec, params, jnp.asarray(x, jnp.float32),
+        jnp.asarray(y, jnp.float32), jnp.asarray(x[zidx], jnp.float32),
+    )
+    mean, var = sgp.predict_sparse(spec, params, post,
+                                   jnp.asarray(x, jnp.float32))
+    # wider than the exact-posterior test: the M x M solve against
+    # B = I + A A^T (norm ~ K/lambda) amplifies f32 reduction-order
+    # differences between the MXU and CPU chains
+    np.testing.assert_allclose(np.asarray(mean), m_ref, atol=2.5e-2)
+    np.testing.assert_allclose(np.asarray(var), v_ref, atol=2.5e-2)
