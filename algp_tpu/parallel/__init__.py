@@ -9,3 +9,7 @@ from algp_tpu.parallel.sharded import (  # noqa: F401
 from algp_tpu.parallel.sharded_mi import (  # noqa: F401
     sharded_greedy_select_mi,
 )
+from algp_tpu.parallel import sharded_lowrank as sharded_lowrank  # noqa: F401
+from algp_tpu.parallel.sharded_lowrank import (  # noqa: F401
+    sharded_greedy_select_mi_lowrank,
+)

@@ -205,3 +205,43 @@ def test_sharded_mi_distributed_seed_matches_single_device(rng, num_pilot):
     np.testing.assert_allclose(
         np.asarray(r_d.post_var), np.asarray(r_1.post_var), atol=2e-4
     )
+
+
+def test_sharded_lowrank_mi_matches_single_device_and_oracle(rng):
+    """The shard_map low-rank MI loop must reproduce the single-device
+    low-rank path index-for-index on a tie-free field — and hence the
+    low-rank f64 oracle."""
+    import oracle
+    from algp_tpu import acquisition_lowrank as lr
+    from algp_tpu.parallel import sharded_greedy_select_mi_lowrank
+
+    spec = KernelSpec("rbf", ds=2)
+    params = spec.init_params(ls_spatial=2.0, outputscale=1.4, noise=0.12)
+    n = 260
+    x_np = rng.uniform(0, 11, (n, 2))
+    x = jnp.asarray(x_np, jnp.float32)
+    nv = jnp.full((n,), 0.12**2, jnp.float32)
+    pilot = np.array([3, 77, 3, 201], np.int32)  # incl. a duplicate
+    zidx = np.asarray(lr.kcenter_indices(x, 64))
+    z = x[jnp.asarray(zidx)]
+    mesh = make_mesh(8)
+    r_s = sharded_greedy_select_mi_lowrank(
+        mesh, spec, params, x, nv, jnp.asarray(pilot), z,
+        rounds=15, num_pilot=4,
+    )
+    r_1 = lr.greedy_select_lowrank(
+        spec, params, x, nv, jnp.asarray(pilot), z,
+        rounds=15, num_pilot=4,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_s.selected), np.asarray(r_1.selected)
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_s.post_var), np.asarray(r_1.post_var),
+        rtol=2e-3, atol=2e-3,
+    )
+    K = oracle.gram(x_np, x_np, ls_spatial=2.0, outputscale=1.4)
+    sel_ref, _ = oracle.greedy_mi_selection_lowrank(
+        K, zidx, 0.12**2, 15, pilot
+    )
+    np.testing.assert_array_equal(np.asarray(r_s.selected), sel_ref)
