@@ -40,32 +40,53 @@ def main() -> None:
                     "strategy differentiation needs coverage commensurate "
                     "with the correlation length)")
     ap.add_argument("--max-steps", type=int, default=40)
+    ap.add_argument("--preset", default=None,
+                    help="start from a config preset (e.g. c5_100k for the "
+                    "low-rank regime) instead of the ad-hoc grid flags; "
+                    "--seeds still applies, strategy is swept")
+    ap.add_argument("--strategies", default="mi,entropy,uniform,naive",
+                    help="comma-separated strategies to sweep")
     ap.add_argument("--json", default=None)
     ap.add_argument("--plot", default=None,
                     help="write the held-out-RMSE-vs-samples figure here")
     args = ap.parse_args()
 
+    import dataclasses
+
     from algp_tpu.config import (
-        AcquisitionConfig, EpisodeConfig, ExperimentConfig, FieldConfig,
-        FitConfig, KernelSpec,
+        PRESETS, AcquisitionConfig, EpisodeConfig, ExperimentConfig,
+        FieldConfig, FitConfig, KernelSpec,
     )
     from algp_tpu.episode import Agent
     from algp_tpu.field import FieldEnv
 
+    strategies = tuple(args.strategies.split(","))
     records = []
-    for strategy in ("mi", "entropy", "uniform", "naive"):
+    for strategy in strategies:
         for seed in range(args.seeds):
-            fieldc = FieldConfig(num_rows=args.rows, num_cols=args.cols,
-                                 true_ls_spatial=args.ls, seed=seed)
-            cfg = ExperimentConfig(
-                kernel=KernelSpec("matern32", ds=2),
-                fit=FitConfig(iters=60, restarts=2),
-                acquisition=AcquisitionConfig(strategy=strategy),
-                field=fieldc,
-                episode=EpisodeConfig(num_pilot=24, budget=args.budget,
-                                      num_waypoints=8, samples_per_step=8,
-                                      refit_every=2, seed=seed),
-            )
+            if args.preset:
+                base = PRESETS[args.preset]
+                fieldc = dataclasses.replace(base.field, seed=seed)
+                cfg = dataclasses.replace(
+                    base,
+                    field=fieldc,
+                    acquisition=dataclasses.replace(
+                        base.acquisition, strategy=strategy
+                    ),
+                    episode=dataclasses.replace(base.episode, seed=seed),
+                )
+            else:
+                fieldc = FieldConfig(num_rows=args.rows, num_cols=args.cols,
+                                     true_ls_spatial=args.ls, seed=seed)
+                cfg = ExperimentConfig(
+                    kernel=KernelSpec("matern32", ds=2),
+                    fit=FitConfig(iters=60, restarts=2),
+                    acquisition=AcquisitionConfig(strategy=strategy),
+                    field=fieldc,
+                    episode=EpisodeConfig(num_pilot=24, budget=args.budget,
+                                          num_waypoints=8, samples_per_step=8,
+                                          refit_every=2, seed=seed),
+                )
             env = FieldEnv(fieldc, cfg.kernel)
             t0 = time.perf_counter()
             result = Agent(env, cfg).run(max_steps=args.max_steps)
@@ -98,7 +119,7 @@ def main() -> None:
     summary = {"budget_matched_final_rmse_test": {},
                "sample_matched_rmse_test": {}}
     n_common = min(r["n_sampled"] for r in records)
-    for strategy in ("mi", "entropy", "uniform", "naive"):
+    for strategy in strategies:
         recs = [r for r in records if r["strategy"] == strategy]
         if strategy != "uniform":  # teleports — not budget-comparable
             summary["budget_matched_final_rmse_test"][strategy] = round(
@@ -131,8 +152,10 @@ def main() -> None:
         import matplotlib.pyplot as plt
 
         fig, ax = plt.subplots(figsize=(6.5, 4), constrained_layout=True)
-        for strategy in ("mi", "entropy", "naive", "uniform"):
+        for strategy in strategies:
             recs = [r for r in records if r["strategy"] == strategy]
+            if not recs:
+                continue
             grid = np.arange(
                 min(c[0] for r in recs for c in r["curve"]),
                 min(r["n_sampled"] for r in recs) + 1,
@@ -148,8 +171,11 @@ def main() -> None:
                     linestyle="--" if strategy == "uniform" else "-")
         ax.set_xlabel("samples collected")
         ax.set_ylabel("held-out RMSE (mean over seeds)")
-        ax.set_title("Informative path planning vs baselines "
-                     f"({args.rows}x{args.cols} grid, budget {args.budget:g})")
+        where = (
+            f"preset {args.preset}" if args.preset
+            else f"{args.rows}x{args.cols} grid, budget {args.budget:g}"
+        )
+        ax.set_title(f"Informative path planning vs baselines ({where})")
         ax.legend()
         fig.savefig(args.plot, dpi=120)
 
