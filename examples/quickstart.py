@@ -96,3 +96,20 @@ res7 = nets.fit_deep(
 )
 print(f"7. deep kernel:   MLP embedding + hypers jointly fit, "
       f"NLL {float(res7.nll):.1f}")
+
+# 8. Large-N regime: low-rank MI + sparse GP (beyond the reference) ---------
+from algp_tpu import acquisition_lowrank as acq_lr
+from algp_tpu.models.sparse_gp import SparseGP
+
+zidx = acq_lr.kcenter_indices(env.X, 60)          # inducing design
+sel8 = acq_lr.greedy_select_lowrank(
+    gp.spec, params, env.X, nv, pilot, env.X[zidx],
+    rounds=25, num_pilot=20,
+)  # same MI semantics, O(N·M) state — scales to 100k+ candidates
+sgp = SparseGP(KernelSpec("rbf", ds=2), num_inducing=60,
+               fit_config=FitConfig(iters=80, restarts=2))
+sgp.fit(np.asarray(env.X)[s.indices], s.y)
+mean8, _ = sgp.predict(env.X)
+print(f"8. large-N:       low-rank MI picked "
+      f"{len(set(np.asarray(sel8.selected).tolist()))} distinct sites; "
+      f"SGPR RMSE {env.rmse(np.asarray(mean8)):.3f}")
