@@ -77,10 +77,11 @@ def neg_elbo(
     Mirrors `models.gp.neg_mll`'s conventions: heteroscedastic
     `noise_scale` multiplies the fitted noise VARIANCE per sample;
     `num_valid` identity-pads the training buffers (padded entries
-    contribute exactly zero to every term).  `jitter` additionally pads
-    Λ's diagonal like the exact path pads K's.
+    contribute exactly zero to every term).  `jitter` is accepted for
+    signature parity with `neg_mll` but unused: Λ is already bounded
+    below by min_noise², and K_zz carries its own relative jitter.
     """
-    del jitter  # Λ is noise-bounded below via min_noise; K_zz gets _Z_JITTER
+    del jitter
     n = x.shape[0]
     M = z.shape[0]
     nv = effective_noise_var(params, min_noise, noise_scale)

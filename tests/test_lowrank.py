@@ -314,3 +314,41 @@ def test_episode_lowrank_smoke(rng):
     # asserted — refits re-scale the posterior between steps)
     assert len(result.state.sampled_idx) > 16
     assert result.state.budget_left < cfg.episode.budget
+
+
+def test_episode_lowrank_resume_continues_exactly(tmp_path):
+    """Resume exactness for the LOW-RANK episode path: the inducing-point
+    precision seed is rebuilt from the checkpointed params, so a resumed
+    run must reproduce the uninterrupted one decision-for-decision."""
+    import dataclasses
+
+    from algp_tpu.config import (
+        AcquisitionConfig, EpisodeConfig, ExperimentConfig, FieldConfig,
+        FitConfig,
+    )
+    from algp_tpu.episode import Agent
+    from algp_tpu.field import FieldEnv
+    from algp_tpu.utils import checkpoint as ckpt
+
+    cfg = ExperimentConfig(
+        fit=FitConfig(iters=25, restarts=1),
+        acquisition=AcquisitionConfig(strategy="mi", num_inducing=32),
+        episode=EpisodeConfig(num_pilot=8, budget=30.0, num_waypoints=4,
+                              samples_per_step=4, seed=5, refit_every=2),
+        field=FieldConfig(num_rows=7, num_cols=11, seed=13,
+                          true_ls_spatial=2.5),
+    )
+
+    def fresh_env():
+        return FieldEnv(cfg.field, cfg.kernel)
+
+    full = Agent(fresh_env(), cfg).run(max_steps=8)
+    half = Agent(fresh_env(), cfg).run(max_steps=3)
+    path = str(tmp_path / "mid_lr.npz")
+    ckpt.save(path, half.state)
+    st = ckpt.load(path)
+    resumed = Agent(fresh_env(), cfg).run(max_steps=8, resume_from=st)
+    np.testing.assert_array_equal(
+        resumed.state.sampled_idx, full.state.sampled_idx
+    )
+    assert abs(resumed.rmse - full.rmse) < 1e-5
