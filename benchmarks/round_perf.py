@@ -59,7 +59,7 @@ def main() -> None:
 
     rc, lines = run(
         [py, "-m", "pytest", "tests/test_hw_fidelity.py", "-q"],
-        env_extra={"ALGP_TPU_HW": "1"},
+        env_extra={"ALGP_TPU_HW": "1"}, timeout=3000,
     )
     out["hw_fidelity"] = {
         "ok": pytest_ok(rc, lines),
@@ -68,7 +68,7 @@ def main() -> None:
 
     rc, lines = run(
         [py, "-m", "pytest", "tests/test_perf.py", "-q"],
-        env_extra={"ALGP_TPU_PERF": "1"},
+        env_extra={"ALGP_TPU_PERF": "1"}, timeout=1800,
     )
     out["perf_budget"] = {
         "ok": pytest_ok(rc, lines),
