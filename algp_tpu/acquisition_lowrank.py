@@ -332,6 +332,30 @@ def _greedy_select_lowrank_jit(
     )
 
 
+@partial(jax.jit, static_argnames=("spec", "min_noise", "nv_mult",
+                                   "use_pallas"))
+def lowrank_seed_with_z(
+    spec: KernelSpec,
+    params: KernelParams,
+    x: jax.Array,
+    z: jax.Array,
+    *,
+    min_noise: float = 1e-3,
+    nv_mult: float = 1.0,
+    use_pallas: bool = False,
+) -> LowRankPrecision:
+    """`lowrank_precision_seed` with the candidate noise derived from the
+    fitted params INSIDE the program and the inducing design passed in —
+    the episode's per-refit seed (the k-center design depends only on
+    the candidate matrix, so the episode computes it ONCE and re-seeds
+    with it after every refit instead of re-running the O(N·M) maximin
+    chain each time)."""
+    base = jnp.maximum(jnp.exp(2.0 * params.log_noise), min_noise * min_noise)
+    nv = jnp.full((x.shape[0],), nv_mult, jnp.float32) * base
+    return lowrank_precision_seed(spec, params, x, nv, z,
+                                  use_pallas=use_pallas)
+
+
 @partial(jax.jit, static_argnames=("spec", "num_inducing", "min_noise",
                                    "nv_mult", "use_pallas"))
 def lowrank_seed_episode(

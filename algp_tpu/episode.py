@@ -469,18 +469,33 @@ class Agent:
             self._P_cache = (st.params, W, WT)
         return self._P_cache[1], self._P_cache[2]
 
+    def _lowrank_z(self):
+        """Inducing design for the low-rank episode MI — depends only on
+        the (embedded) candidate matrix, so it is computed once per
+        episode (recomputed only if a deep-kernel refit re-embeds the
+        candidates) instead of per refit."""
+        c = getattr(self, "_z_cache", None)
+        if c is None or c[0] is not self._Xdev:
+            from algp_tpu import acquisition_lowrank as acq_lr
+
+            zidx = acq_lr.kcenter_indices(
+                self._Xdev, self.cfg.acquisition.num_inducing
+            )
+            self._z_cache = (self._Xdev, self._Xdev[zidx])
+        return self._z_cache[1]
+
     def _lowrank_seed(self, st: EpisodeState):
         """LowRankPrecision seed for large-N episode MI
         (cfg.acquisition.num_inducing > 0), cached per fitted params —
         the O(N·M²) analogue of `_precision_seed`, dispatched async with
-        the k-center design and the noise model derived on device."""
+        the noise model derived on device and the episode-cached
+        k-center design."""
         cached = self._P_cache
         if cached is None or cached[0] is not st.params:
             from algp_tpu import acquisition_lowrank as acq_lr
 
-            lr = acq_lr.lowrank_seed_episode(
-                self.spec, st.params, self._Xdev,
-                num_inducing=self.cfg.acquisition.num_inducing,
+            lr = acq_lr.lowrank_seed_with_z(
+                self.spec, st.params, self._Xdev, self._lowrank_z(),
                 min_noise=self.cfg.fit.min_noise, nv_mult=self._nv_mult,
                 use_pallas=self.env.n >= 4096,
             )
