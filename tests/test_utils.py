@@ -113,3 +113,27 @@ def test_plotting_smoke(tmp_path):
     assert (tmp_path / "maps.png").exists()
     assert (tmp_path / "curves.png").exists()
     assert (tmp_path / "paths.png").exists()
+
+
+def test_all_presets_construct_coherently():
+    """Every named preset builds, and its knobs are mutually coherent:
+    MI-at-scale presets carry a low-rank budget, table presets point at
+    an existing file, synthetic grids match num_points."""
+    import os
+
+    from algp_tpu.config import PRESETS
+
+    for name, cfg in PRESETS.items():
+        assert cfg.field.num_points == cfg.field.num_rows * cfg.field.num_cols
+        assert cfg.acquisition.strategy in ("mi", "entropy", "uniform",
+                                            "naive")
+        if cfg.field.data_path is not None:
+            assert os.path.exists(cfg.field.data_path), name
+        if cfg.field.num_points > 50_000:
+            # past the exact ceiling both the synthesis and (for MI) the
+            # planner must run low-rank
+            assert cfg.field.synth_inducing > 0, name
+            if cfg.acquisition.strategy == "mi":
+                assert cfg.acquisition.num_inducing > 0, name
+        if cfg.field.synth_inducing:
+            assert cfg.field.synth_inducing < cfg.field.num_points, name
