@@ -176,6 +176,38 @@ def main():
         results=r,
     )
 
+    # ---- low-rank (inducing-point) components at 10× the exact scale
+    from algp_tpu import acquisition_lowrank as acq_lr
+
+    side_lr = 320
+    N_lr = side_lr * side_lr
+    gx2, gy2 = np.meshgrid(np.arange(float(side_lr)), np.arange(float(side_lr)))
+    X_lr = jnp.asarray(np.stack([gx2.ravel(), gy2.ravel()], 1), jnp.float32)
+    nv_lr = jnp.full((N_lr,), 0.01, jnp.float32)
+    M = 1024
+    bench(
+        f"kcenter_design_M{M}_N{N_lr}",
+        lambda: acq_lr.kcenter_indices(X_lr, M), results=r,
+    )
+    z_lr = X_lr[acq_lr.kcenter_indices(X_lr, M)]
+    params_lr = spec.init_params(ls_spatial=25.0, noise=0.1)
+    bench(
+        f"lowrank_seed_M{M}_N{N_lr}",
+        lambda: acq_lr.lowrank_precision_seed(
+            spec, params_lr, X_lr, nv_lr, z_lr, use_pallas=True
+        ).pdiag,
+        results=r,
+    )
+    pilot_lr = jnp.asarray(np.linspace(0, N_lr - 1, 64).round(), jnp.int32)
+    bench(
+        f"greedy_mi_lowrank_50r_M{M}_N{N_lr}",
+        lambda: acq_lr.greedy_select_lowrank(
+            spec, params_lr, X_lr, nv_lr, pilot_lr, z_lr,
+            rounds=50, num_pilot=64, use_pallas=True,
+        ).selected,
+        results=r,
+    )
+
     if args.json:
         with open(args.json, "w") as f:
             json.dump(results, f, indent=1)
