@@ -352,3 +352,40 @@ def test_episode_lowrank_resume_continues_exactly(tmp_path):
         resumed.state.sampled_idx, full.state.sampled_idx
     )
     assert abs(resumed.rmse - full.rmse) < 1e-5
+
+
+def test_episode_lowrank_with_deep_kernel(rng):
+    """Deep feature kernel + low-rank MI planning combined: each refit
+    re-embeds the candidate matrix, which must refresh BOTH the
+    precision seed and the episode-cached k-center design."""
+    import dataclasses
+
+    from algp_tpu.config import (
+        AcquisitionConfig, EpisodeConfig, ExperimentConfig, FieldConfig,
+        FitConfig, KernelSpec, MLPSpec,
+    )
+    from algp_tpu.episode import Agent
+    from algp_tpu.field import FieldEnv
+
+    cfg = ExperimentConfig(
+        kernel=KernelSpec("matern32", "rbf", ds=2, df=2),
+        deep=MLPSpec(hidden=(8,), out=3),
+        fit=FitConfig(iters=20, restarts=1),
+        acquisition=AcquisitionConfig(strategy="mi", num_inducing=32),
+        episode=EpisodeConfig(num_pilot=10, budget=30.0, num_waypoints=4,
+                              samples_per_step=4, seed=1, refit_every=2),
+        field=FieldConfig(num_rows=8, num_cols=10, num_features=2, seed=4,
+                          true_ls_spatial=2.5),
+    )
+    env = FieldEnv(cfg.field, cfg.kernel)
+    agent = Agent(env, cfg)
+    result = agent.run(max_steps=6)
+    assert result.state.step >= 2
+    assert np.isfinite(result.rmse_test)
+    # a k-center design was computed over an EMBEDDED candidate matrix
+    # ([spatial | φ(features)]), and stays in sync with the matrix it was
+    # computed from (the cache may lag one refit if the episode ends on
+    # an empty-plan step, which skips the MI planner)
+    z_src, z = agent._z_cache
+    assert z.shape == (32, 2 + 3)  # ds + MLP out dims
+    assert z_src.shape == agent._Xdev.shape
