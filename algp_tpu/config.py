@@ -203,6 +203,19 @@ PRESETS: dict[str, ExperimentConfig] = {
         episode=EpisodeConfig(num_pilot=128, budget=1280.0, num_waypoints=8,
                               samples_per_step=10, refit_every=4),
     ),
+    # 5 at 100× north-star scale (1024×1024 ≈ 1.05M points): the
+    # million-candidate regime on ONE chip — M = 512 keeps the low-rank
+    # working set (~10 GB incl. the padded conditioning/correction
+    # buffers) inside a 16 GB HBM.
+    "c5_1m": ExperimentConfig(
+        kernel=KernelSpec(spatial_kind="matern32", ds=2, df=0),
+        field=FieldConfig(num_rows=1024, num_cols=1024,
+                          true_ls_spatial=80.0, synth_inducing=1024),
+        acquisition=AcquisitionConfig(strategy="mi", num_inducing=512),
+        episode=EpisodeConfig(num_pilot=128, budget=4096.0,
+                              num_waypoints=8, samples_per_step=10,
+                              refit_every=4),
+    ),
     # Real-table experiment (SURVEY.md §2 C10): phenotype CSV with genotype
     # features, composite spatial×feature kernel, mixed sensing modalities.
     "c10_table": ExperimentConfig(
