@@ -707,6 +707,60 @@ def plan_episode_step(
     return best, mean, jnp.maximum(d, 0.0), scores
 
 
+@partial(jax.jit, static_argnames=("spec", "strategy", "min_noise",
+                                   "nv_mult"))
+def plan_episode_step_metrics(
+    spec: KernelSpec,
+    params: KernelParams,
+    x: jax.Array,
+    idx_pad: jax.Array,
+    count: jax.Array,
+    noise_scale_pad: jax.Array,
+    y_pad: jax.Array,
+    sets: jax.Array,
+    set_sizes: jax.Array,
+    costs: jax.Array,
+    f_true: jax.Array,
+    obs_mask: jax.Array,
+    test_mask: jax.Array,
+    W: Optional[jax.Array] = None,
+    WT: Optional[jax.Array] = None,
+    *,
+    strategy: str = "entropy",
+    min_noise: float = 1e-3,
+    nv_mult: float = 1.0,
+) -> tuple[jax.Array, ...]:
+    """`plan_episode_step` with the posterior METRICS reduced ON DEVICE
+    against the (simulator-resident) ground truth: returns only scalars
+    plus the chosen path's site variances, so the step's synchronizing
+    read moves a few dozen bytes instead of two full N-vectors.
+
+    Why: the relay tunnel moves ~8 MB of mean/var per step at N = 1M —
+    measured ~190 ms of pure transfer inside the ~27 ms-floor sync.
+    The full field is still available on demand (the episode fetches it
+    once at the end via the posterior path).
+
+    f_true/obs_mask/test_mask: truth and masks (f32 0/1), device-resident
+    for the whole episode.  Returns
+    (best, rmse, rmse_test, mean_var, var_sites) with var_sites the
+    posterior variances at sets[best] (ordered as the set)."""
+    best, mean, d, _ = plan_episode_step(
+        spec, params, x, idx_pad, count, noise_scale_pad, y_pad,
+        sets, set_sizes, costs, W, WT,
+        strategy=strategy, min_noise=min_noise, nv_mult=nv_mult,
+    )
+    err = mean - f_true
+    rmse = jnp.sqrt(
+        jnp.sum(obs_mask * err * err) / jnp.maximum(jnp.sum(obs_mask), 1.0)
+    )
+    rmse_test = jnp.sqrt(
+        jnp.sum(test_mask * err * err) / jnp.maximum(jnp.sum(test_mask), 1.0)
+    )
+    mean_var = jnp.mean(d)
+    var_sites = d[sets[best]]
+    return best, rmse, rmse_test, mean_var, var_sites
+
+
 # ---------------------------------------------------------------------------
 # Precision seeding / maintenance helpers for episode-level MI (config 5)
 # ---------------------------------------------------------------------------

@@ -427,6 +427,47 @@ def plan_episode_step_lowrank(
     return best, mean, jnp.maximum(d, 0.0), scores
 
 
+@partial(jax.jit, static_argnames=("spec", "min_noise", "nv_mult"))
+def plan_episode_step_lowrank_metrics(
+    spec: KernelSpec,
+    params: KernelParams,
+    x: jax.Array,
+    idx_pad: jax.Array,
+    count: jax.Array,
+    noise_scale_pad: jax.Array,
+    y_pad: jax.Array,
+    sets: jax.Array,
+    set_sizes: jax.Array,
+    costs: jax.Array,
+    lr: LowRankPrecision,
+    f_true: jax.Array,
+    obs_mask: jax.Array,
+    test_mask: jax.Array,
+    *,
+    min_noise: float = 1e-3,
+    nv_mult: float = 1.0,
+) -> tuple[jax.Array, ...]:
+    """`plan_episode_step_lowrank` with device-reduced metrics (see
+    `acquisition.plan_episode_step_metrics`): the step's one
+    synchronizing read returns (best, rmse, rmse_test, mean_var,
+    var_sites) — bytes, not the two full N-vectors (~190 ms of tunnel
+    transfer per step at N = 1M, measured)."""
+    best, mean, d, _ = plan_episode_step_lowrank(
+        spec, params, x, idx_pad, count, noise_scale_pad, y_pad,
+        sets, set_sizes, costs, lr, min_noise=min_noise, nv_mult=nv_mult,
+    )
+    err = mean - f_true
+    rmse = jnp.sqrt(
+        jnp.sum(obs_mask * err * err) / jnp.maximum(jnp.sum(obs_mask), 1.0)
+    )
+    rmse_test = jnp.sqrt(
+        jnp.sum(test_mask * err * err) / jnp.maximum(jnp.sum(test_mask), 1.0)
+    )
+    mean_var = jnp.mean(d)
+    var_sites = d[sets[best]]
+    return best, rmse, rmse_test, mean_var, var_sites
+
+
 def fit_and_select_lowrank(
     spec: KernelSpec,
     fitcfg,

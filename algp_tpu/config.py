@@ -120,6 +120,12 @@ class EpisodeConfig:
     #               path's highest-variance site (the paper's two-modality
     #               phenotyping story)
     modality: str = "precise"
+    # Per-step posterior metrics reduced ON DEVICE (episode returns
+    # scalars instead of the full mean/var fields each sync; the field is
+    # fetched once at episode end).  None = auto: on for grids ≥ 16 384
+    # points, where the per-step mean/var transfer through the relay
+    # tunnel stops hiding in the sync floor (~190 ms/step at 1M points).
+    device_metrics: Optional[bool] = None
     seed: int = 0
 
 

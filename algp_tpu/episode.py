@@ -53,13 +53,23 @@ STRATEGIES = ("mi", "entropy", "uniform", "naive")
 @dataclasses.dataclass
 class _PlanBundle:
     """One step's plan + the posterior metrics of the state it was planned
-    from (mi/entropy: both from ONE fused device program / one sync)."""
+    from (mi/entropy: both from ONE fused device program / one sync).
+
+    On large grids the metrics are reduced ON DEVICE (see
+    `Agent._use_device_metrics`): `mean`/`var` are then None (the step's
+    sync moves bytes, not two N-vectors) and `var_sites` carries the
+    posterior variances at the chosen path's sites for the mixed-modality
+    policy; the full field is fetched once at episode end."""
 
     nodes: list
     cost: float
     sites: list
-    mean: np.ndarray  # posterior mean over the grid (current state)
-    var: np.ndarray  # posterior variance over the grid (current state)
+    mean: Optional[np.ndarray]  # posterior mean over the grid, or None
+    var: Optional[np.ndarray]  # posterior variance over the grid, or None
+    rmse: float
+    rmse_test: float
+    mean_var: float
+    var_sites: Optional[np.ndarray] = None
 
     @property
     def empty(self) -> bool:
@@ -343,6 +353,41 @@ class Agent:
         return (jnp.asarray(idx_np), jnp.asarray(n_samp, jnp.int32),
                 jnp.asarray(ns), jnp.asarray(y))
 
+    @property
+    def _use_device_metrics(self) -> bool:
+        """Reduce the per-step posterior metrics ON DEVICE for large
+        grids: the relay tunnel moves mean+var (8 MB at N = 1M) through
+        every step's synchronizing read otherwise — measured ~190 ms of
+        pure transfer per step at 1M.  Config override via
+        `EpisodeConfig.device_metrics`; auto-on past 16 384 points
+        (below that the transfer hides in the ~27 ms sync floor, and
+        the 10k-artifact path keeps its bit-identical host metrics)."""
+        dm = self.cfg.episode.device_metrics
+        if dm is not None:
+            return bool(dm)
+        return self.env.n >= 16384
+
+    def _truth(self):
+        """(f_true, obs_mask, test_mask) device-resident, f32 — shipped
+        once per episode for the device-side metric reductions."""
+        c = getattr(self, "_truth_cache", None)
+        if c is None:
+            c = (
+                jnp.asarray(self.env.f, jnp.float32),
+                jnp.asarray(self.env.observed_mask, jnp.float32),
+                jnp.asarray(self.env.test_mask, jnp.float32),
+            )
+            self._truth_cache = c
+        return c
+
+    def _host_bundle(self, nodes, cost, sites, mean, var) -> _PlanBundle:
+        return _PlanBundle(
+            nodes, cost, sites, mean, var,
+            rmse=self.env.rmse(mean),
+            rmse_test=self.env.rmse(mean, test_only=True),
+            mean_var=float(var.mean()),
+        )
+
     def _plan_and_metrics(self, st: EpisodeState) -> _PlanBundle:
         """Plan the next path AND produce the posterior mean/variance
         metrics for the CURRENT state.
@@ -353,7 +398,8 @@ class Agent:
         host-side and read the metrics from `predict_field` (which keeps
         the incremental chol_append_row posterior between refits)."""
         strat = self.cfg.acquisition.strategy
-        self._step_post_var = None  # cache for _sense('mixed')
+        self._step_post_var = None  # caches for _sense('mixed')
+        self._step_site_var = None
         slice_budget = min(
             st.budget_left,
             self.cfg.episode.budget / max(1, self.cfg.episode.num_waypoints),
@@ -363,7 +409,7 @@ class Agent:
             unsampled = order[~np.isin(order, st.sampled_idx)]
             take = list(unsampled[: self._k_max])
             mean, var = self.predict_field(st)
-            return _PlanBundle(
+            return self._host_bundle(
                 take, float(len(take) * self.env.cfg.col_spacing), take,
                 mean, var,
             )
@@ -373,14 +419,14 @@ class Agent:
                 unsampled, min(self._k_max, len(unsampled)), replace=False
             )))
             mean, var = self.predict_field(st)
-            return _PlanBundle(take, float(slice_budget), take, mean, var)
+            return self._host_bundle(take, float(slice_budget), take, mean, var)
 
         paths = planning.enumerate_paths(
             self.env, st.pose, slice_budget, max_paths=self._pad_paths
         )
         if not paths:
             mean, var = self.predict_field(st)
-            return _PlanBundle([], 0.0, [], mean, var)
+            return self._host_bundle([], 0.0, [], mean, var)
         batch = planning.paths_to_batch(self.env, paths, k_max=self._k_max)
         # pad the batch to the static compile shape
         P = self._pad_paths
@@ -392,27 +438,60 @@ class Agent:
         costs[: len(batch)] = batch.costs
 
         idx_pad, m, ns_pad, y_pad = self._padded_obs(st)
-        if strat == "mi" and self.cfg.acquisition.num_inducing:
+        lowrank = strat == "mi" and bool(self.cfg.acquisition.num_inducing)
+        if lowrank:
             # large-N MI: inducing-point complement precision
             # (acquisition_lowrank) — same one-program/one-sync step shape
             from algp_tpu import acquisition_lowrank as acq_lr
 
             lrseed = self._lowrank_seed(st)
-            best_d, mean_d, var_d, _ = acq_lr.plan_episode_step_lowrank(
-                self.spec, st.params, self._Xdev,
-                idx_pad, m, ns_pad, y_pad,
-                jnp.asarray(sets), jnp.asarray(sizes), jnp.asarray(costs),
-                lrseed,
-                min_noise=self.cfg.fit.min_noise, nv_mult=self._nv_mult,
-            )
         else:
             W = WT = None
             if strat == "mi":
                 W, WT = self._precision_seed(st)
+
+        sets_d = jnp.asarray(sets)
+        sizes_d = jnp.asarray(sizes)
+        costs_d = jnp.asarray(costs)
+        if self._use_device_metrics:
+            f_true, obs_m, test_m = self._truth()
+            if lowrank:
+                out = acq_lr.plan_episode_step_lowrank_metrics(
+                    self.spec, st.params, self._Xdev,
+                    idx_pad, m, ns_pad, y_pad, sets_d, sizes_d, costs_d,
+                    lrseed, f_true, obs_m, test_m,
+                    min_noise=self.cfg.fit.min_noise, nv_mult=self._nv_mult,
+                )
+            else:
+                out = acq.plan_episode_step_metrics(
+                    self.spec, st.params, self._Xdev,
+                    idx_pad, m, ns_pad, y_pad, sets_d, sizes_d, costs_d,
+                    f_true, obs_m, test_m, W, WT, strategy=strat,
+                    min_noise=self.cfg.fit.min_noise, nv_mult=self._nv_mult,
+                )
+            # the step's single synchronizing read — a few dozen bytes
+            best, rmse, rmse_test, mean_var, var_sites = jax.device_get(out)
+            best = int(best)
+            sites = list(batch.sets[best][: batch.sizes[best]])
+            self._step_site_var = np.asarray(var_sites)  # for _sense('mixed')
+            return _PlanBundle(
+                batch.node_seqs[best], float(batch.costs[best]), sites,
+                None, None, rmse=float(rmse), rmse_test=float(rmse_test),
+                mean_var=float(mean_var),
+                var_sites=np.asarray(var_sites),
+            )
+
+        if lowrank:
+            best_d, mean_d, var_d, _ = acq_lr.plan_episode_step_lowrank(
+                self.spec, st.params, self._Xdev,
+                idx_pad, m, ns_pad, y_pad, sets_d, sizes_d, costs_d,
+                lrseed,
+                min_noise=self.cfg.fit.min_noise, nv_mult=self._nv_mult,
+            )
+        else:
             best_d, mean_d, var_d, _ = acq.plan_episode_step(
                 self.spec, st.params, self._Xdev,
-                idx_pad, m, ns_pad, y_pad,
-                jnp.asarray(sets), jnp.asarray(sizes), jnp.asarray(costs),
+                idx_pad, m, ns_pad, y_pad, sets_d, sizes_d, costs_d,
                 W, WT, strategy=strat,
                 min_noise=self.cfg.fit.min_noise, nv_mult=self._nv_mult,
             )
@@ -422,7 +501,7 @@ class Agent:
         mean, var = np.asarray(mean), np.asarray(var)
         self._step_post_var = var  # for _sense('mixed')
         sites = list(batch.sets[best][: batch.sizes[best]])
-        return _PlanBundle(
+        return self._host_bundle(
             batch.node_seqs[best], float(batch.costs[best]), sites, mean, var,
         )
 
@@ -436,12 +515,14 @@ class Agent:
             return [self.env.collect(sample_nodes, policy)]
         if policy != "mixed":
             raise ValueError(f"unknown modality policy {policy!r}")
-        if self._step_post_var is not None:  # computed by the plan already
-            post_var = np.asarray(self._step_post_var)
+        site_var = getattr(self, "_step_site_var", None)
+        if site_var is not None:  # device-metrics plan: var at the path's
+            pv = site_var[: len(sample_nodes)]  # sites, in site order
+        elif self._step_post_var is not None:  # computed by the plan already
+            pv = np.asarray(self._step_post_var)[np.asarray(sample_nodes)]
         else:
-            _, pv = self._conditioning_state(st, self._noise_vec(st))
-            post_var = np.asarray(pv)
-        pv = post_var[np.asarray(sample_nodes)]
+            _, pvar = self._conditioning_state(st, self._noise_vec(st))
+            pv = np.asarray(pvar)[np.asarray(sample_nodes)]
         best = int(np.argmax(pv))
         cheap_nodes = [n for i, n in enumerate(sample_nodes) if i != best]
         out = [self.env.collect([sample_nodes[best]], "precise")]
@@ -540,9 +621,9 @@ class Agent:
         self.logger.log(
             step=st.step, phase="pilot" if resume_from is None else "resume",
             n_sampled=len(st.sampled_idx),
-            rmse=self.env.rmse(bundle.mean),
-            rmse_test=self.env.rmse(bundle.mean, test_only=True),
-            mean_var=float(bundle.var.mean()),
+            rmse=bundle.rmse,
+            rmse_test=bundle.rmse_test,
+            mean_var=bundle.mean_var,
             budget_left=st.budget_left,
             fit_s=round(time.perf_counter() - t0, 4),
         )
@@ -584,14 +665,18 @@ class Agent:
                 step=st.step, phase="plan",
                 n_sampled=len(st.sampled_idx),
                 n_new=len(sample_nodes), path_cost=round(cost, 3),
-                rmse=self.env.rmse(bundle.mean),
-                rmse_test=self.env.rmse(bundle.mean, test_only=True),
-                mean_var=float(bundle.var.mean()),
+                rmse=bundle.rmse,
+                rmse_test=bundle.rmse_test,
+                mean_var=bundle.mean_var,
                 budget_left=round(st.budget_left, 3),
                 plan_s=round(t_plan, 4), fit_s=round(t_fit, 4),
             )
 
         mean, var = bundle.mean, bundle.var
+        if mean is None:
+            # device-metrics mode never shipped the field per step —
+            # fetch it ONCE for the final result/plots
+            mean, var = self.predict_field(st)
         return EpisodeResult(
             state=st, history=self.logger.history,
             mean=mean, var=var, rmse=self.env.rmse(mean),

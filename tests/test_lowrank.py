@@ -389,3 +389,47 @@ def test_episode_lowrank_with_deep_kernel(rng):
     z_src, z = agent._z_cache
     assert z.shape == (32, 2 + 3)  # ds + MLP out dims
     assert z_src.shape == agent._Xdev.shape
+
+
+@pytest.mark.parametrize("num_inducing", [0, 40])
+def test_device_metrics_equivalent_to_host(rng, num_inducing):
+    """Forcing device-reduced metrics must not change any DECISION, and
+    the logged RMSE/mean-var must agree with the host-computed values
+    to f32 tolerance — for both the exact and low-rank MI planners,
+    mixed modality included (the precise-site choice now reads the
+    path's site variances instead of the full field)."""
+    import dataclasses
+
+    from algp_tpu.config import (
+        AcquisitionConfig, EpisodeConfig, ExperimentConfig, FieldConfig,
+        FitConfig,
+    )
+    from algp_tpu.episode import Agent
+    from algp_tpu.field import FieldEnv
+
+    base = ExperimentConfig(
+        fit=FitConfig(iters=20, restarts=1),
+        acquisition=AcquisitionConfig(strategy="mi",
+                                      num_inducing=num_inducing),
+        episode=EpisodeConfig(num_pilot=10, budget=36.0, num_waypoints=4,
+                              samples_per_step=5, seed=3, refit_every=2,
+                              modality="mixed"),
+        field=FieldConfig(num_rows=8, num_cols=12, seed=9,
+                          true_ls_spatial=2.5),
+    )
+    results = {}
+    for dm in (False, True):
+        cfg = dataclasses.replace(
+            base, episode=dataclasses.replace(base.episode,
+                                              device_metrics=dm),
+        )
+        env = FieldEnv(cfg.field, cfg.kernel)
+        results[dm] = Agent(env, cfg).run(max_steps=6)
+    np.testing.assert_array_equal(
+        results[True].state.sampled_idx, results[False].state.sampled_idx
+    )
+    for ha, hb in zip(results[False].history, results[True].history):
+        assert abs(ha["rmse"] - hb["rmse"]) < 2e-4
+        assert abs(ha["rmse_test"] - hb["rmse_test"]) < 2e-4
+        assert abs(ha["mean_var"] - hb["mean_var"]) < 2e-4
+    assert abs(results[True].rmse - results[False].rmse) < 2e-4
