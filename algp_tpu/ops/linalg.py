@@ -120,8 +120,14 @@ def blocked_solve_triangular(
     trisolve; at n=m=10k that OOMs a v5e's 16 GB HBM (SURVEY.md §7.6).
     Solving ≤`block`-column panels keeps the footprint bounded while each
     panel still saturates the device.
+
+    Panel-sized factors (n ≤ 512) are never blocked: each RHS column's
+    arithmetic is independent of the panelling, so results are identical,
+    but chopping a small-factor solve into thousands of sequential
+    panels is pure dispatch-chain overhead — measured 218 ms vs 25 ms
+    for a (352, 1M) cho_solve on a v5e (the 1M-episode corrections).
     """
-    if B.ndim == 1 or B.shape[1] <= block:
+    if B.ndim == 1 or B.shape[1] <= block or L.shape[0] <= 512:
         return solve_triangular(L, B, lower=lower, trans=trans)
     n, m = B.shape
     pad = (-m) % block
