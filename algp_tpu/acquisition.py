@@ -449,8 +449,15 @@ def score_candidate_sets(
             idx2 = sets  # (S, k)
             same = (idx2[:, :, None] == idx2[:, None, :]).astype(jnp.float32)
             P0 = P0 + same * dr[:, :, None]
-        Fr = F[idx_flat].reshape(*sets.shape, -1)  # (S, k, C)
-        Zr = ZT[idx_flat].reshape(*sets.shape, -1)
+        if F.shape[0] == idx_flat.shape[0]:
+            # correction factors arrive PRE-GATHERED at the flattened set
+            # rows (acquisition_lowrank.lowrank_corrections_at — the full
+            # (N, C) factors are never built at large N)
+            Fr = F.reshape(*sets.shape, -1)
+            Zr = ZT.reshape(*sets.shape, -1)
+        else:
+            Fr = F[idx_flat].reshape(*sets.shape, -1)  # (S, k, C)
+            Zr = ZT[idx_flat].reshape(*sets.shape, -1)
         Pblk = P0 - jnp.einsum("skc,slc->skl", Fr, Zr, precision=_HIGH)
         # inert marker for already-deleted entries (see docstring)
         tk = taken[idx_flat].reshape(sets.shape)  # (S, k)

@@ -198,6 +198,49 @@ def lowrank_corrections(
     return U0, Z.T
 
 
+@jax.jit
+def lowrank_corrections_at(
+    lr: LowRankPrecision,
+    idx: jax.Array,
+    count: jax.Array,
+    rows: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """`lowrank_corrections` restricted to candidate `rows` — (R, C)
+    slices of F and ZT with identical per-row arithmetic.
+
+    The fused episode step only ever READS the correction factors at
+    the path sets' candidate indices (≤ a few thousand rows), so
+    building the full (N, C) factors — an O(N·M·C) matmul plus an
+    O(C²·N) solve and ~2·N·C·4 B of HBM churn per replan (2.8 GB at
+    N = 1M) — is wasted work.  Here everything is O(R·(M+C)·C):
+
+        F_rows  = P̃0[rows, A] = −VT[rows]·VAᵀ (+ d⁻¹ at own rows)
+        ZT_rows = (PA⁻¹ U0ᵀ)ᵀ[rows] = F_rows · PA⁻¹   (PA symmetric)
+
+    with PA = P̃0[A, A] assembled the same way (dup-dedup included)."""
+    m = idx.shape[0]
+    valid = jnp.arange(m) < count
+    same = (idx[:, None] == idx[None, :]) & valid[:, None] & valid[None, :]
+    dup = jnp.tril(same, k=-1).any(axis=1)
+    valid = valid & ~dup
+    idx_safe = jnp.where(valid, idx, 0)
+    VA = lr.VT[idx_safe]  # (m, M)
+    vf = valid.astype(jnp.float32)
+    # PA = P̃0[A, A]: −VA·VAᵀ + diag(d⁻¹_A), identity-padded off `valid`
+    PA = -jnp.dot(VA, VA.T, precision=_HIGH)
+    PA = PA + jnp.diag(lr.dinv[idx_safe])
+    pair = valid[:, None] & valid[None, :]
+    PA = jnp.where(pair, PA, jnp.eye(m, dtype=jnp.float32))
+    LA = jnp.linalg.cholesky(PA)
+    Vr = lr.VT[rows]  # (R, M)
+    F_rows = -jnp.dot(Vr, VA.T, precision=_HIGH)  # (R, m)
+    own = (rows[:, None] == idx_safe[None, :]) & valid[None, :]
+    F_rows = F_rows + jnp.where(own, lr.dinv[rows][:, None], 0.0)
+    F_rows = F_rows * vf[None, :]
+    ZT_rows = la.cho_solve(LA, F_rows.T).T * vf[None, :]  # (R, m)
+    return F_rows, ZT_rows
+
+
 def _pilot_delete_lowrank(lr, pilot_idx, pilot_count, F, G, pdiag, num_pilot):
     """Batch-remove the pilot block from the implicit precision
     (greedy-loop state update around `_lowrank_schur`)."""
@@ -416,10 +459,14 @@ def plan_episode_step_lowrank(
     )
     u = la.solve_triangular(LA, jnp.where(valid, y_pad, 0.0))
     mean = jnp.dot(C.T, u, precision=_HIGH)
-    F, ZT = lowrank_corrections(lr, idx_pad, count)
+    # corrections only ever feed the set scorer's row gathers — build
+    # them restricted to the sets' rows (O(R·C²) instead of O(N·M·C))
+    F_rows, ZT_rows = lowrank_corrections_at(
+        lr, idx_pad, count, sets.reshape(-1)
+    )
     scores = score_candidate_sets(
         spec, params, x, nv, C, sets, set_sizes,
-        P_lowrank=(lr.VT, lr.dinv, F, ZT, taken), strategy="mi",
+        P_lowrank=(lr.VT, lr.dinv, F_rows, ZT_rows, taken), strategy="mi",
     )
     util = jnp.maximum(scores, 0.0) / (costs + 1e-6)
     util = jnp.where(set_sizes > 0, util, -jnp.inf)

@@ -433,3 +433,24 @@ def test_device_metrics_equivalent_to_host(rng, num_inducing):
         assert abs(ha["rmse_test"] - hb["rmse_test"]) < 2e-4
         assert abs(ha["mean_var"] - hb["mean_var"]) < 2e-4
     assert abs(results[True].rmse - results[False].rmse) < 2e-4
+
+
+def test_lowrank_corrections_at_matches_full(rng):
+    """Row-restricted correction factors must equal rows of the full
+    ones (same algebra, no full (N, C) build) — incl. duplicate sampled
+    indices and rows that revisit sampled nodes."""
+    spec, params, x, K, nv = setup_field(rng, n=160)
+    seed = lr.lowrank_precision_seed(
+        spec, params, jnp.asarray(x, jnp.float32),
+        jnp.full((160,), nv, jnp.float32),
+        jnp.asarray(x[::3], jnp.float32),
+    )
+    idx = jnp.asarray(np.array([5, 40, 5, 99, 0, 0], np.int32))
+    count = jnp.asarray(4, jnp.int32)  # slots 4-5 padded, slot 2 a dup
+    F, ZT = lr.lowrank_corrections(seed, idx, count)
+    rows = jnp.asarray(np.array([0, 5, 17, 40, 99, 150, 17], np.int32))
+    F_r, ZT_r = lr.lowrank_corrections_at(seed, idx, count, rows)
+    np.testing.assert_allclose(np.array(F_r), np.array(F)[np.array(rows)],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.array(ZT_r), np.array(ZT)[np.array(rows)],
+                               rtol=1e-5, atol=1e-6)
