@@ -370,7 +370,8 @@ def _batch_pilot_condition(spec, params, x, pilot_nv, pilot_idx, pilot_count, d0
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("spec", "strategy"))
+@partial(jax.jit, static_argnames=("spec", "strategy",
+                                  "corrections_pregathered"))
 def score_candidate_sets(
     spec: KernelSpec,
     params: KernelParams,
@@ -384,6 +385,7 @@ def score_candidate_sets(
     P_lowrank: Optional[tuple] = None,
     *,
     strategy: str = "entropy",
+    corrections_pregathered: bool = False,
 ) -> jax.Array:
     """Joint utility of padded candidate *sets* (path sample sets), batched.
 
@@ -409,6 +411,14 @@ def score_candidate_sets(
                 factorization P̃0 = diag(dinv) − VT·VTᵀ
                 (acquisition_lowrank; large-N episodes): per-set blocks
                 come from row gathers of VT
+    corrections_pregathered : the correction factors F/ZT arrive already
+                gathered at the FLATTENED set rows, shape
+                (num_sets·k_max, C) (acquisition_lowrank.
+                lowrank_corrections_at — the full (N, C) factors are
+                never built at large N).  Explicit flag, NOT inferred
+                from shapes: a grid where N == num_sets·k_max would make
+                shape inference silently skip the row gather and score
+                sets from the wrong correction rows
 
     entropy:  the INFORMATION GAIN of the measurements about the field,
               I(f_S; z_S | A) = ½[log det(Cov_S|A + Σ_S) − log det(Σ_S)]
@@ -449,10 +459,7 @@ def score_candidate_sets(
             idx2 = sets  # (S, k)
             same = (idx2[:, :, None] == idx2[:, None, :]).astype(jnp.float32)
             P0 = P0 + same * dr[:, :, None]
-        if F.shape[0] == idx_flat.shape[0]:
-            # correction factors arrive PRE-GATHERED at the flattened set
-            # rows (acquisition_lowrank.lowrank_corrections_at — the full
-            # (N, C) factors are never built at large N)
+        if corrections_pregathered:
             Fr = F.reshape(*sets.shape, -1)
             Zr = ZT.reshape(*sets.shape, -1)
         else:

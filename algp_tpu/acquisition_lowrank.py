@@ -92,6 +92,13 @@ def kcenter_indices(
     update per round.  `n_valid` masks alignment-padding candidates
     (`pad_candidates` sentinels sit at far-away coordinates and would
     otherwise win every maximin round).
+
+    Requires m ≤ the number of distinct live candidates: once every live
+    point is chosen the maximin distance is −inf everywhere and further
+    rounds duplicate index 0, leaving the K_zz jitter as the only thing
+    keeping the inducing Cholesky PD.  The jit wrappers that derive z
+    internally clamp m against their static candidate count; callers
+    passing a traced `n_valid` must enforce it themselves.
     """
     N = x.shape[0]
     if n_valid is None:
@@ -417,7 +424,7 @@ def lowrank_seed_episode(
     dispatch economics)."""
     base = jnp.maximum(jnp.exp(2.0 * params.log_noise), min_noise * min_noise)
     nv = jnp.full((x.shape[0],), nv_mult, jnp.float32) * base
-    zidx = kcenter_indices(x, num_inducing)
+    zidx = kcenter_indices(x, min(num_inducing, x.shape[0]))
     return lowrank_precision_seed(spec, params, x, nv, x[zidx],
                                   use_pallas=use_pallas)
 
@@ -467,6 +474,7 @@ def plan_episode_step_lowrank(
     scores = score_candidate_sets(
         spec, params, x, nv, C, sets, set_sizes,
         P_lowrank=(lr.VT, lr.dinv, F_rows, ZT_rows, taken), strategy="mi",
+        corrections_pregathered=True,
     )
     util = jnp.maximum(scores, 0.0) / (costs + 1e-6)
     util = jnp.where(set_sizes > 0, util, -jnp.inf)
@@ -573,7 +581,7 @@ def _fit_and_select_lowrank_jit(spec, fitcfg, x_train, y_train, x_pad,
     nv = jnp.where(
         jnp.arange(x_pad.shape[0]) < n_valid, nv_base, 1.0
     ).astype(jnp.float32)
-    zidx = kcenter_indices(x_pad, num_inducing,
+    zidx = kcenter_indices(x_pad, min(num_inducing, n_valid),
                            jnp.asarray(n_valid, jnp.int32))
     z = x_pad[zidx]
     sel = _greedy_select_lowrank_jit(

@@ -184,7 +184,7 @@ def run_greedy(cfg: ExperimentConfig, runs: int, stream=None) -> list[dict]:
             # inducing design (acquisition_lowrank)
             from algp_tpu import acquisition_lowrank as acq_lr
 
-            zidx = acq_lr.kcenter_indices(X_eff, m_ind)
+            zidx = acq_lr.kcenter_indices(X_eff, min(m_ind, env.n))
             sel = acq_lr.greedy_select_lowrank(
                 spec_eff, res.params, X_eff,
                 jnp.full((env.n,), nv_base, jnp.float32),

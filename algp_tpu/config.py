@@ -126,6 +126,14 @@ class EpisodeConfig:
     # points, where the per-step mean/var transfer through the relay
     # tunnel stops hiding in the sync floor (~190 ms/step at 1M points).
     device_metrics: Optional[bool] = None
+    # Static training-buffer capacity (sampled-set slots).  None = derive
+    # from the budget: ceil(num_waypoints / min_cost_frac) full steps plus
+    # fallback-stub slack, × samples_per_step, + pilots (episode.Agent).
+    # Set explicitly for campaigns whose step costs undershoot the
+    # planner's min_cost_frac — outgrowing the capacity mid-episode
+    # recompiles every step program (30 s–5 min each on a remote-compile
+    # TPU plugin; the Agent warns when it happens).
+    max_samples: Optional[int] = None
     seed: int = 0
 
 

@@ -111,16 +111,52 @@ class Agent:
         self._pad_paths = 256  # static path-batch size (compile once)
         self._k_max = cfg.episode.samples_per_step
         # static training-buffer capacity: every jitted fn sees ONE shape
-        # for the whole episode (identity-padded; SURVEY.md §7.5 #4)
-        cap = cfg.episode.num_pilot + (2 * cfg.episode.num_waypoints + 6) * self._k_max
+        # for the whole episode (identity-padded; SURVEY.md §7.5 #4).
+        # Derivation: the planner prefers paths costing ≥ min_cost_frac
+        # (= 0.5) of the per-step budget slice budget/num_waypoints, so a
+        # budget funds at most num_waypoints/min_cost_frac = 2·num_waypoints
+        # full steps; +6 steps of slack covers fallback stubs when no
+        # qualifying path exists (pose cornered).  Each step collects at
+        # most samples_per_step measurements.  Not a hard bound — an
+        # episode of sub-slice steps can outgrow it (see _grow_capacity);
+        # EpisodeConfig.max_samples pre-sizes such campaigns explicitly.
+        if cfg.episode.max_samples is not None:
+            cap = cfg.episode.max_samples
+        else:
+            cap = cfg.episode.num_pilot + (
+                2 * cfg.episode.num_waypoints + 6
+            ) * self._k_max
         self._max_samples = (cap + 7) // 8 * 8
-        self._P_cache = None  # (params, W, WT) — implicit precision seed
+        self._P_cache = None  # (params, W, WT) — exact implicit-precision seed
+        self._lr_cache = None  # (params, LowRankPrecision) — low-rank seed
         self._post_cache = None  # (params, n_samples, Posterior)
         self._step_post_var = None
         if cfg.acquisition.strategy not in STRATEGIES:
             raise ValueError(
                 f"unknown strategy {cfg.acquisition.strategy!r}; use {STRATEGIES}"
             )
+
+    def _grow_capacity(self, needed: int) -> None:
+        """Grow the static training-buffer capacity — and say so LOUDLY:
+        every jitted step/fit/predict program is shape-specialized on the
+        capacity, so outgrowing it mid-episode recompiles them all (30 s–
+        5 min each on a remote-compile TPU plugin; reads as a pool hang).
+        Pre-size with EpisodeConfig.max_samples to avoid this."""
+        if needed <= self._max_samples:
+            return
+        import warnings
+
+        new_cap = (needed + 63) // 64 * 64
+        warnings.warn(
+            f"episode outgrew its static sample capacity "
+            f"({needed} > {self._max_samples}); growing to {new_cap}. "
+            f"Every step program recompiles (expect a long stall on "
+            f"remote-compile TPU backends) — pre-size the campaign with "
+            f"EpisodeConfig.max_samples.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        self._max_samples = new_cap
 
     def _padded_train(self, st: EpisodeState, raw: bool = False):
         """(x, y, noise_scale, num_valid) padded to the static capacity.
@@ -130,9 +166,8 @@ class Agent:
         effective (embedded) candidate matrix every other consumer uses.
         """
         m = len(st.sampled_idx)
+        self._grow_capacity(m)
         cap = self._max_samples
-        if m > cap:  # safety: grow capacity (recompiles once)
-            self._max_samples = cap = (m + 63) // 64 * 64
         idx = np.zeros(cap, np.int64)
         idx[:m] = st.sampled_idx
         y = np.zeros(cap, np.float32)
@@ -226,8 +261,7 @@ class Agent:
         conditioning convention for both the fused replan and the
         conditioning fallback."""
         n_samp = len(st.sampled_idx)
-        if n_samp > self._max_samples:  # same growth rule as _padded_train
-            self._max_samples = (n_samp + 63) // 64 * 64
+        self._grow_capacity(n_samp)
         idx_np = np.zeros(self._max_samples, np.int32)
         idx_np[:n_samp] = st.sampled_idx
         pnv = np.full(self._max_samples, 1.0, np.float32)
@@ -341,8 +375,7 @@ class Agent:
         step derives the noise model on device), so dispatching a step
         costs zero host→device syncs."""
         n_samp = len(st.sampled_idx)
-        if n_samp > self._max_samples:  # same growth rule as _padded_train
-            self._max_samples = (n_samp + 63) // 64 * 64
+        self._grow_capacity(n_samp)
         cap = self._max_samples
         idx_np = np.zeros(cap, np.int32)
         idx_np[:n_samp] = st.sampled_idx
@@ -560,7 +593,8 @@ class Agent:
             from algp_tpu import acquisition_lowrank as acq_lr
 
             zidx = acq_lr.kcenter_indices(
-                self._Xdev, self.cfg.acquisition.num_inducing
+                self._Xdev,
+                min(self.cfg.acquisition.num_inducing, self.env.n),
             )
             self._z_cache = (self._Xdev, self._Xdev[zidx])
         return self._z_cache[1]
@@ -571,7 +605,7 @@ class Agent:
         the O(N·M²) analogue of `_precision_seed`, dispatched async with
         the noise model derived on device and the episode-cached
         k-center design."""
-        cached = self._P_cache
+        cached = self._lr_cache
         if cached is None or cached[0] is not st.params:
             from algp_tpu import acquisition_lowrank as acq_lr
 
@@ -580,8 +614,8 @@ class Agent:
                 min_noise=self.cfg.fit.min_noise, nv_mult=self._nv_mult,
                 use_pallas=self.env.n >= 4096,
             )
-            self._P_cache = (st.params, lr)
-        return self._P_cache[1]
+            self._lr_cache = (st.params, lr)
+        return self._lr_cache[1]
 
     # ------------------------------------------------------------ episode
 
@@ -614,10 +648,17 @@ class Agent:
             # resume: adopt the checkpointed embedding so the saved
             # hyperparameters stay consistent with the candidate matrix
             self._set_mlp(st.mlp)
+        t_fit0 = time.perf_counter() - t0
         # the bundle carries the NEXT step's plan together with the
         # CURRENT state's posterior metrics — one fused program / one
         # synchronizing read per step (see _plan_and_metrics)
+        t0 = time.perf_counter()
         bundle = self._plan_and_metrics(st)
+        # plan wall time is attributed to the step the plan is FOR, so
+        # `plan_s` in a step's record times the plan that chose its path
+        # (carried across the loop below; semantics changed 2026-08-17 —
+        # pre-round-3 artifacts logged the NEXT step's plan instead)
+        carry_plan = time.perf_counter() - t0
         self.logger.log(
             step=st.step, phase="pilot" if resume_from is None else "resume",
             n_sampled=len(st.sampled_idx),
@@ -625,7 +666,7 @@ class Agent:
             rmse_test=bundle.rmse_test,
             mean_var=bundle.mean_var,
             budget_left=st.budget_left,
-            fit_s=round(time.perf_counter() - t0, 4),
+            fit_s=round(t_fit0, 4),
         )
 
         while st.budget_left > 0 and st.step < max_steps:
@@ -648,6 +689,7 @@ class Agent:
             if st.step % self.cfg.episode.refit_every == 0:
                 self.fit_model(st, base_key)
                 self._P_cache = None  # params changed → re-seed precision
+                self._lr_cache = None
             t_fit = time.perf_counter() - t0
             # keep rng states in the episode state so a checkpoint written
             # after this step resumes exactly (SURVEY.md §5) — saved
@@ -660,7 +702,7 @@ class Agent:
             }
             t0 = time.perf_counter()
             bundle = self._plan_and_metrics(st)
-            t_plan = time.perf_counter() - t0
+            t_plan, carry_plan = carry_plan, time.perf_counter() - t0
             self.logger.log(
                 step=st.step, phase="plan",
                 n_sampled=len(st.sampled_idx),

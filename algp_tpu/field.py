@@ -146,7 +146,7 @@ class FieldEnv:
         from algp_tpu.ops.kernels import gram, gram_diag
 
         cfg = self.cfg
-        m = cfg.synth_inducing
+        m = min(cfg.synth_inducing, self.n)
         zidx = kcenter_indices(x_all, m)
         z = x_all[zidx]
         os_ = float(cfg.true_outputscale)

@@ -9,11 +9,16 @@ Runs, on the real TPU:
   4. the 10k-grid config-5 episode benchmark,
   5. the 100k low-rank selection benchmark,
   6. the 100k config-5 episode benchmark,
+  7. the 1M config-5 episode benchmark (5 steps),
 and writes one committed artifact benchmarks/round_r{N}.json so perf and
 fidelity regressions leave a paper trail per round, not just in driver
-logs.
+logs.  Each episode's per-step time is asserted against a REGRESSION
+BUDGET ≈ 2.2× the best committed artifact (round-2 VERDICT weak #4: the
+1 s north-star budget alone let a 4× regression pass) — wide enough for
+the shared pool's honest day band, tight enough that a real 2× slowdown
+fails the ritual.
 
-    python benchmarks/round_perf.py --round 2
+    python benchmarks/round_perf.py --round 3
 """
 
 from __future__ import annotations
@@ -98,6 +103,29 @@ def main() -> None:
         json.loads(lines[-1]) if rc == 0 and lines else {"ok": False}
     )
 
+    rc, lines = run(
+        [py, "benchmarks/episode10k_bench.py", "--preset", "c5_1m",
+         "--steps", "5"], timeout=3600,
+    )
+    out["episode1m"] = (
+        json.loads(lines[-1]) if rc == 0 and lines else {"ok": False}
+    )
+
+    # per-step regression budgets ≈ 2.2× the best committed artifact
+    # (episode10k/100k/1m ladder: 104.5 / 110.9 / 347.7 ms per step,
+    # benchmarks/README.md r02 final) — a transient pool band passes,
+    # a real 2× regression fails the ritual
+    budgets_ms = {"episode10k": 230.0, "episode100k": 250.0,
+                  "episode1m": 765.0}
+    out["step_budgets"] = {}
+    for key, budget in budgets_ms.items():
+        got = out[key].get("per_step_ms")
+        out["step_budgets"][key] = {
+            "budget_ms": budget,
+            "per_step_ms": got,
+            "ok": got is not None and got < budget,
+        }
+
     path = os.path.join(REPO, "benchmarks", f"round_r{args.round:02d}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
@@ -106,9 +134,8 @@ def main() -> None:
         out["hw_fidelity"]["ok"]
         and out["perf_budget"]["ok"]
         and "value" in out["bench"]
-        and "value" in out["episode10k"]
         and "value" in out["lowrank100k"]
-        and "value" in out["episode100k"]
+        and all(b["ok"] for b in out["step_budgets"].values())
     )
     sys.exit(0 if ok else 1)
 

@@ -65,3 +65,15 @@ def test_episode_under_one_second():
         times.append(time.perf_counter() - t0)
     med = float(np.median(times))
     assert med < 1.0, f"episode took {med * 1e3:.0f} ms (budget 1000 ms)"
+    # regression band: the honest pool band for this workload is
+    # 150-220 ms (benchmarks/README.md); 450 ms ≈ 2× its worst day.
+    # The 1 s north-star budget alone would let a 4-5× slowdown pass
+    # the only hardware perf gate (round-2 VERDICT weak #4).  min is
+    # used (not median) so a transient pool degradation episode cannot
+    # fail an honest build — a real 2× regression moves min too.
+    best = float(min(times))
+    assert best < 0.45, (
+        f"episode best-of-3 took {best * 1e3:.0f} ms — over the 450 ms "
+        f"regression band (pool band 150-220 ms; reps "
+        f"{[round(t * 1e3) for t in times]})"
+    )
