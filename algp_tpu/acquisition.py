@@ -430,6 +430,13 @@ def score_candidate_sets(
               = ½[ log det(Cov_S|A + Σ_S) + log det(P_SS) ]
     Padded slots contribute identity rows ⇒ zero log-det contribution.
     One small k_max×k_max Cholesky per set, vmapped over the path batch.
+
+    Structure: all candidate-axis GATHERS happen first, then the scoring
+    runs on the gathered per-set blocks (`_pblk_finish` +
+    `_score_sets_gathered`) — the sharded episode step
+    (parallel.sharded_episode) performs the same gathers as masked psums
+    over the mesh and reuses those helpers verbatim, so mesh and
+    single-chip path choices follow identical arithmetic.
     """
     if strategy == "mi" and P is None and P_implicit is None \
             and P_lowrank is None:
@@ -440,10 +447,9 @@ def score_candidate_sets(
             "lowrank_corrections (large N), or complement_precision "
             "(dense reference)"
         )
-    k_max = sets.shape[1]
+    idx_flat = sets.reshape(-1)
 
     if strategy == "mi" and (P_implicit is not None or P_lowrank is not None):
-        idx_flat = sets.reshape(-1)
         if P_implicit is not None:
             WT, F, ZT, taken = P_implicit
             Wr = WT[idx_flat].reshape(*sets.shape, -1)  # (S, k, N) row gathers
@@ -451,53 +457,89 @@ def score_candidate_sets(
         else:
             VT, dinv, F, ZT, taken = P_lowrank
             Vr = VT[idx_flat].reshape(*sets.shape, -1)  # (S, k, M)
-            P0 = -jnp.einsum("skm,slm->skl", Vr, Vr, precision=_HIGH)
             dr = dinv[idx_flat].reshape(sets.shape)  # (S, k)
-            # the diagonal D⁻¹ term lands wherever two set slots reference
-            # the SAME candidate (paths may revisit a node) — exactly as
-            # the dense/WᵀW forms place P̃_ii there naturally
-            idx2 = sets  # (S, k)
-            same = (idx2[:, :, None] == idx2[:, None, :]).astype(jnp.float32)
-            P0 = P0 + same * dr[:, :, None]
+            P0 = _pblk_lowrank_prior(sets, Vr, dr)
         if corrections_pregathered:
             Fr = F.reshape(*sets.shape, -1)
             Zr = ZT.reshape(*sets.shape, -1)
         else:
             Fr = F[idx_flat].reshape(*sets.shape, -1)  # (S, k, C)
             Zr = ZT[idx_flat].reshape(*sets.shape, -1)
-        Pblk = P0 - jnp.einsum("skc,slc->skl", Fr, Zr, precision=_HIGH)
-        # inert marker for already-deleted entries (see docstring)
         tk = taken[idx_flat].reshape(sets.shape)  # (S, k)
-        off = tk[:, :, None] | tk[:, None, :]
-        Pblk = jnp.where(off, 0.0, Pblk)
-        eye = jnp.eye(k_max, dtype=bool)[None]
-        Pblk = jnp.where(eye & tk[:, :, None], 1.0, Pblk)
+        Pblk = _pblk_finish(P0, Fr, Zr, tk)
+    elif strategy == "mi":
+        Pblk = P[sets[:, :, None], sets[:, None, :]]  # dense reference
     else:
         Pblk = None
 
-    def one(idx, size, Pss_pre):
+    xs = x[idx_flat].reshape(*sets.shape, -1)  # (S, k, dim)
+    nvs = nv[idx_flat].reshape(sets.shape)  # (S, k)
+    Bs = jnp.moveaxis(
+        basis[:, idx_flat].reshape(basis.shape[0], *sets.shape), 1, 0
+    )  # (S, T, k)
+    return _score_sets_gathered(
+        spec, params, xs, Bs, nvs, set_sizes, Pblk, strategy=strategy
+    )
+
+
+def _pblk_lowrank_prior(sets, Vr, dr):
+    """Per-set prior precision blocks from gathered low-rank rows:
+    P̃0_SS = −Vr·Vrᵀ with the diagonal D⁻¹ term wherever two set slots
+    reference the SAME candidate (paths may revisit a node) — exactly as
+    the dense/WᵀW forms place P̃_ii there naturally."""
+    P0 = -jnp.einsum("skm,slm->skl", Vr, Vr, precision=_HIGH)
+    same = (sets[:, :, None] == sets[:, None, :]).astype(jnp.float32)
+    return P0 + same * dr[:, :, None]
+
+
+def _pblk_finish(P0, Fr, Zr, tk):
+    """Apply the gathered Schur corrections and the inert marker for
+    already-deleted entries to per-set prior precision blocks.
+
+    P0 (S, k, k), Fr/Zr (S, k, C), tk (S, k) bool.  Deleted/sampled
+    candidates' implicit rows are exactly zero (Schur elimination), so
+    they get the dense path's inert marker (zero row/col, diag 1 ⇒ zero
+    log-det contribution) — path sets MAY revisit sampled nodes."""
+    k_max = tk.shape[1]
+    Pblk = P0 - jnp.einsum("skc,slc->skl", Fr, Zr, precision=_HIGH)
+    off = tk[:, :, None] | tk[:, None, :]
+    Pblk = jnp.where(off, 0.0, Pblk)
+    eye = jnp.eye(k_max, dtype=bool)[None]
+    return jnp.where(eye & tk[:, :, None], 1.0, Pblk)
+
+
+def _score_sets_gathered(
+    spec, params, xs, Bs, nvs, set_sizes, Pblk, *, strategy
+):
+    """Joint set utilities from PRE-GATHERED per-set blocks:
+    xs (S, k, dim) candidate locations, Bs (S, T, k) basis columns,
+    nvs (S, k) measurement noise, Pblk (S, k, k) complement-precision
+    blocks (mi) or None (entropy).  Shared by `score_candidate_sets`
+    (plain gathers) and the mesh episode step (masked-psum gathers)."""
+    k_max = xs.shape[1]
+
+    def one(x_s, B_s, nv_s, size, Pss):
         mask = jnp.arange(k_max) < size
-        xs = x[idx]  # (k, dim)
-        Kp = gram(spec, params, xs, xs)  # prior block
-        Bs = basis[:, idx]  # (T, k)
-        Kpost = Kp - jnp.dot(Bs.T, Bs, precision=_HIGH)
-        M1 = Kpost + jnp.diag(nv[idx])
+        Kp = gram(spec, params, x_s, x_s)  # prior block
+        Kpost = Kp - jnp.dot(B_s.T, B_s, precision=_HIGH)
+        M1 = Kpost + jnp.diag(nv_s)
         M1 = jnp.where(mask[:, None] & mask[None, :], M1, 0.0)
         M1 = M1 + jnp.diag(jnp.where(mask, 1e-6, 1.0))
         L1 = jnp.linalg.cholesky(M1)
         h = jnp.sum(jnp.log(jnp.diagonal(L1)))
         if strategy == "entropy":
             # subtract the noise-entropy floor ⇒ information gain ≥ 0
-            return h - 0.5 * jnp.sum(jnp.where(mask, jnp.log(nv[idx]), 0.0))
-        Pss = Pss_pre if Pss_pre is not None else P[idx[:, None], idx[None, :]]
+            return h - 0.5 * jnp.sum(jnp.where(mask, jnp.log(nv_s), 0.0))
         Pss = jnp.where(mask[:, None] & mask[None, :], Pss, 0.0)
         Pss = Pss + jnp.diag(jnp.where(mask, 0.0, 1.0))
         L2 = jnp.linalg.cholesky(Pss)
         return h + jnp.sum(jnp.log(jnp.diagonal(L2)))
 
     if Pblk is not None:
-        return jax.vmap(one)(sets, set_sizes, Pblk)
-    return jax.vmap(lambda i, s: one(i, s, None))(sets, set_sizes)
+        return jax.vmap(one)(xs, Bs, nvs, set_sizes, Pblk)
+    return jax.vmap(lambda a, b, c, s: one(a, b, c, s, None))(
+        xs, Bs, nvs, set_sizes
+    )
 
 
 def fit_and_select(

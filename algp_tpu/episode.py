@@ -87,12 +87,25 @@ class EpisodeResult:
 
 
 class Agent:
-    """Episode orchestrator (reference `Agent(env, args)`; SURVEY.md §2 C12)."""
+    """Episode orchestrator (reference `Agent(env, args)`; SURVEY.md §2 C12).
+
+    `mesh`: optional jax.sharding.Mesh with a 'grid' axis — the
+    informative (mi/entropy) strategies then run their ENTIRE per-step
+    device program sharded over the candidate axis
+    (parallel.sharded_episode): the per-refit precision seed (low-rank
+    VT/dinv or exact W) is built sharded and KEPT sharded across steps,
+    the conditioning strip and posterior fields live at O(N/S) rows per
+    chip, and each step remains one program + one synchronizing read.
+    Path choices match the single-device episode index-for-index
+    (tests/test_sharded.py).  uniform/naive plan host-side regardless.
+    """
 
     def __init__(self, env: FieldEnv, cfg: ExperimentConfig,
-                 logger: Optional[MetricsLogger] = None):
+                 logger: Optional[MetricsLogger] = None,
+                 mesh=None):
         self.env = env
         self.cfg = cfg
+        self.mesh = mesh
         # deep feature kernel: every device consumer (posterior, greedy
         # loops, set scoring, precision) sees the EFFECTIVE spec over
         # [spatial | φ(features)]; only the joint fit touches raw inputs
@@ -413,6 +426,36 @@ class Agent:
             self._truth_cache = c
         return c
 
+    def _mesh_x(self):
+        """The candidate matrix padded to an equal-shard-block multiple
+        with inert sentinels (parallel.sharded_episode.mesh_pad) — built
+        once per episode (re-padded only if a deep-kernel refit re-embeds
+        the candidates)."""
+        c = getattr(self, "_mesh_x_cache", None)
+        if c is None or c[0] is not self._Xdev:
+            from algp_tpu.parallel import sharded_episode as sep
+
+            xp, _ = sep.mesh_pad(self._Xdev, self.mesh.shape["grid"])
+            self._mesh_x_cache = (self._Xdev, xp)
+        return self._mesh_x_cache[1]
+
+    def _mesh_truth(self):
+        """`_truth` zero-padded to the mesh-padded candidate length —
+        sentinel rows sit outside every mask, so the sharded metric
+        reductions see exactly the real field."""
+        c = getattr(self, "_mesh_truth_cache", None)
+        if c is None:
+            pad = self._mesh_x().shape[0] - self.env.n
+
+            def padz(a):
+                a = np.asarray(a, np.float32)
+                return jnp.asarray(np.concatenate([a, np.zeros(pad, np.float32)]))
+
+            c = (padz(self.env.f), padz(self.env.observed_mask),
+                 padz(self.env.test_mask))
+            self._mesh_truth_cache = c
+        return c
+
     def _host_bundle(self, nodes, cost, sites, mean, var) -> _PlanBundle:
         return _PlanBundle(
             nodes, cost, sites, mean, var,
@@ -472,35 +515,45 @@ class Agent:
 
         idx_pad, m, ns_pad, y_pad = self._padded_obs(st)
         lowrank = strat == "mi" and bool(self.cfg.acquisition.num_inducing)
+        lrseed = W = WT = None
         if lowrank:
             # large-N MI: inducing-point complement precision
             # (acquisition_lowrank) — same one-program/one-sync step shape
-            from algp_tpu import acquisition_lowrank as acq_lr
-
             lrseed = self._lowrank_seed(st)
-        else:
-            W = WT = None
-            if strat == "mi":
-                W, WT = self._precision_seed(st)
+        elif strat == "mi":
+            W, WT = self._precision_seed(st)
 
         sets_d = jnp.asarray(sets)
         sizes_d = jnp.asarray(sizes)
         costs_d = jnp.asarray(costs)
+        common = dict(min_noise=self.cfg.fit.min_noise,
+                      nv_mult=self._nv_mult)
         if self._use_device_metrics:
-            f_true, obs_m, test_m = self._truth()
-            if lowrank:
+            if self.mesh is not None:
+                from algp_tpu.parallel import sharded_episode as sep
+
+                f_true, obs_m, test_m = self._mesh_truth()
+                out = sep.sharded_plan_episode_step_metrics(
+                    self.mesh, self.spec, st.params, self._mesh_x(),
+                    idx_pad, m, ns_pad, y_pad, sets_d, sizes_d, costs_d,
+                    f_true, obs_m, test_m, lr=lrseed, W=W,
+                    strategy=strat, n_valid=self.env.n, **common,
+                )
+            elif lowrank:
+                from algp_tpu import acquisition_lowrank as acq_lr
+
+                f_true, obs_m, test_m = self._truth()
                 out = acq_lr.plan_episode_step_lowrank_metrics(
                     self.spec, st.params, self._Xdev,
                     idx_pad, m, ns_pad, y_pad, sets_d, sizes_d, costs_d,
-                    lrseed, f_true, obs_m, test_m,
-                    min_noise=self.cfg.fit.min_noise, nv_mult=self._nv_mult,
+                    lrseed, f_true, obs_m, test_m, **common,
                 )
             else:
+                f_true, obs_m, test_m = self._truth()
                 out = acq.plan_episode_step_metrics(
                     self.spec, st.params, self._Xdev,
                     idx_pad, m, ns_pad, y_pad, sets_d, sizes_d, costs_d,
-                    f_true, obs_m, test_m, W, WT, strategy=strat,
-                    min_noise=self.cfg.fit.min_noise, nv_mult=self._nv_mult,
+                    f_true, obs_m, test_m, W, WT, strategy=strat, **common,
                 )
             # the step's single synchronizing read — a few dozen bytes
             best, rmse, rmse_test, mean_var, var_sites = jax.device_get(out)
@@ -514,24 +567,34 @@ class Agent:
                 var_sites=np.asarray(var_sites),
             )
 
-        if lowrank:
+        if self.mesh is not None:
+            from algp_tpu.parallel import sharded_episode as sep
+
+            best_d, mean_d, var_d, _ = sep.sharded_plan_episode_step(
+                self.mesh, self.spec, st.params, self._mesh_x(),
+                idx_pad, m, ns_pad, y_pad, sets_d, sizes_d, costs_d,
+                lr=lrseed, W=W, strategy=strat, n_valid=self.env.n,
+                **common,
+            )
+        elif lowrank:
+            from algp_tpu import acquisition_lowrank as acq_lr
+
             best_d, mean_d, var_d, _ = acq_lr.plan_episode_step_lowrank(
                 self.spec, st.params, self._Xdev,
                 idx_pad, m, ns_pad, y_pad, sets_d, sizes_d, costs_d,
-                lrseed,
-                min_noise=self.cfg.fit.min_noise, nv_mult=self._nv_mult,
+                lrseed, **common,
             )
         else:
             best_d, mean_d, var_d, _ = acq.plan_episode_step(
                 self.spec, st.params, self._Xdev,
                 idx_pad, m, ns_pad, y_pad, sets_d, sizes_d, costs_d,
-                W, WT, strategy=strat,
-                min_noise=self.cfg.fit.min_noise, nv_mult=self._nv_mult,
+                W, WT, strategy=strat, **common,
             )
         # the step's single synchronizing read
         best, mean, var = jax.device_get((best_d, mean_d, var_d))
         best = int(best)
-        mean, var = np.asarray(mean), np.asarray(var)
+        n = self.env.n
+        mean, var = np.asarray(mean)[:n], np.asarray(var)[:n]
         self._step_post_var = var  # for _sense('mixed')
         sites = list(batch.sets[best][: batch.sizes[best]])
         return self._host_bundle(
@@ -576,10 +639,23 @@ class Agent:
         (see the long-horizon drift test in tests/test_acquisition.py)."""
         cached = self._P_cache
         if cached is None or cached[0] is not st.params:
-            W, WT = acq.implicit_precision_seed(
-                self.spec, st.params, self._Xdev,
-                min_noise=self.cfg.fit.min_noise, nv_mult=self._nv_mult,
-            )
+            if self.mesh is not None:
+                # mesh episode: W built by the distributed strip
+                # factorization and KEPT rows-sharded across steps
+                # (O(N²/S) per chip; no WT — the sharded step gathers
+                # columns from its local strip)
+                from algp_tpu.parallel import sharded_episode as sep
+
+                W = sep.sharded_precision_seed(
+                    self.mesh, self.spec, st.params, self._mesh_x(),
+                    min_noise=self.cfg.fit.min_noise, nv_mult=self._nv_mult,
+                )
+                WT = None
+            else:
+                W, WT = acq.implicit_precision_seed(
+                    self.spec, st.params, self._Xdev,
+                    min_noise=self.cfg.fit.min_noise, nv_mult=self._nv_mult,
+                )
             self._P_cache = (st.params, W, WT)
         return self._P_cache[1], self._P_cache[2]
 
@@ -609,11 +685,22 @@ class Agent:
         if cached is None or cached[0] is not st.params:
             from algp_tpu import acquisition_lowrank as acq_lr
 
-            lr = acq_lr.lowrank_seed_with_z(
-                self.spec, st.params, self._Xdev, self._lowrank_z(),
-                min_noise=self.cfg.fit.min_noise, nv_mult=self._nv_mult,
-                use_pallas=self.env.n >= 4096,
-            )
+            if self.mesh is not None:
+                # mesh episode: VT/dinv built and KEPT sharded across
+                # steps (O(N·M/S) per chip)
+                from algp_tpu.parallel import sharded_episode as sep
+
+                lr = sep.sharded_lowrank_seed(
+                    self.mesh, self.spec, st.params, self._mesh_x(),
+                    self._lowrank_z(),
+                    min_noise=self.cfg.fit.min_noise, nv_mult=self._nv_mult,
+                )
+            else:
+                lr = acq_lr.lowrank_seed_with_z(
+                    self.spec, st.params, self._Xdev, self._lowrank_z(),
+                    min_noise=self.cfg.fit.min_noise, nv_mult=self._nv_mult,
+                    use_pallas=self.env.n >= 4096,
+                )
             self._lr_cache = (st.params, lr)
         return self._lr_cache[1]
 

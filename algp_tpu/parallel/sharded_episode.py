@@ -1,0 +1,534 @@
+"""Multi-chip config-5 EPISODE planning — shard_map decomposition of the
+fused per-step program (round-2 VERDICT missing #1).
+
+The single-chip episode step (`acquisition.plan_episode_step` /
+`acquisition_lowrank.plan_episode_step_lowrank`) holds every O(N) buffer
+on one chip: the low-rank factor VT (N, M), the conditioning strip
+C (cap, N), mean/variance (N,).  At N = 1M, M = 2048 the V factor alone
+is ~8 GB — the very scenario `parallel/sharded_lowrank.py` shards the
+*greedy* loop for.  This module shards the EPISODE's fused plan+metrics
+step the same way, so a config-5 informative-path episode actually runs
+on a mesh:
+
+  state layout (shard r owns global candidate block [r·n_loc, …)):
+    VT (N, M) rows sharded, dinv (N,) sharded     — low-rank seed, built
+        ONCE PER REFIT by `sharded_lowrank_seed` and kept sharded across
+        steps (the episode driver caches it, as single-chip does)
+    W  (N, N) rows sharded                        — exact seed
+        (`sharded_precision_seed`, dist_linalg factorization, O(N²/S))
+    C  (cap, N) cols sharded                      — per-step conditioning
+    mean, d, taken (N,) sharded
+    x (N, d), truth/masks (N,), sampled-set/pathset buffers — replicated
+        (all O(N) scalars or O(cap/R) blocks, tiny next to VT/W/C)
+
+  per step (ONE shard_map program, ONE synchronizing read — the same
+  dispatch economics as the single-chip fused step):
+    conditioning    : C_loc = L_A⁻¹ K(X_A, X_loc) — in-shard, the cap×N
+                      trisolve split N/S per chip
+    mean/variance   : byproducts of C_loc (matvec + colsum), sharded
+    Schur corrections, set-row gathers: clipped local gather + masked
+                      psum — each moves O(R·(M+cap)) floats over ICI,
+                      NOT O(N) anything
+    set scoring     : replicated on the gathered (S_sets, k, ·) blocks —
+                      literally `acquisition._score_sets_gathered`, the
+                      SAME helper the single-chip scorer calls, so mesh
+                      and single-chip path choices follow identical
+                      arithmetic (up to cross-shard psum reduction order,
+                      ≤1 ulp per partial — ties only)
+    metrics         : masked psum reductions of the sharded err/d
+
+Fidelity: the mesh tests (tests/test_sharded.py) assert that a FULL
+multi-step episode driven through these functions chooses the same paths
+index-for-index and logs the same metrics (to f32 reduction tolerance)
+as the single-device episode.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from algp_tpu import acquisition as acq
+from algp_tpu.acquisition_lowrank import _Z_JITTER, LowRankPrecision
+from algp_tpu.ops import linalg as la
+from algp_tpu.ops.kernels import KernelSpec, gram, gram_diag
+
+_HIGH = lax.Precision.HIGHEST
+
+
+def mesh_pad(x: jax.Array, n_shards: int, *, align: int = 256):
+    """Pad the candidate axis to an equal-shard-block multiple with the
+    inert far-away sentinels of `acquisition.pad_candidates` (kernel ≈ 0
+    to everything ⇒ zero contribution to every seed/conditioning sum).
+    Returns (x_pad, n_valid)."""
+    import math
+
+    a = align * n_shards // math.gcd(align, n_shards)
+    N = x.shape[0]
+    x_pad, _ = acq.pad_candidates(
+        x, jnp.ones((N,), jnp.float32), align=a
+    )
+    return x_pad, N
+
+
+def _vary(v):
+    if "grid" in jax.typeof(v).vma:
+        return v
+    return lax.pcast(v, ("grid",), to="varying")
+
+
+def _rows_psum(v_loc, rows, g0, n_loc):
+    """Gather global `rows` from a rows-sharded array: clipped local
+    gather + mask + psum.  v_loc (n_loc,) or (n_loc, M) → (R,) / (R, M)
+    replicated.  O(R·M) work + one O(R·M) psum — never O(N)."""
+    rloc = rows - g0
+    ok = (rloc >= 0) & (rloc < n_loc)
+    safe = jnp.clip(rloc, 0, n_loc - 1)
+    part = v_loc[safe]
+    if part.ndim > 1:
+        part = jnp.where(ok[:, None], part, 0.0)
+    else:
+        part = jnp.where(ok, part, 0.0)
+    return lax.psum(part, "grid")
+
+
+def _cols_psum(m_loc, cols, g0, n_loc):
+    """Gather global `cols` from a cols-sharded (T, N) matrix →
+    (T, R) replicated."""
+    cloc = cols - g0
+    ok = (cloc >= 0) & (cloc < n_loc)
+    safe = jnp.clip(cloc, 0, n_loc - 1)
+    part = jnp.where(ok[None, :], m_loc[:, safe], 0.0)
+    return lax.psum(part, "grid")
+
+
+# ---------------------------------------------------------------------------
+# Seeds (built once per refit, kept sharded across steps)
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "spec", "min_noise", "nv_mult", "n_shards"),
+)
+def _sharded_lr_seed_jit(mesh, spec, params, x, z, *, min_noise, nv_mult,
+                         n_shards):
+    N = x.shape[0]
+    n_loc = N // n_shards
+    M = z.shape[0]
+
+    def run(params, x_full, z):
+        shard = lax.axis_index("grid")
+        g0 = shard * n_loc
+        x_loc = lax.dynamic_slice_in_dim(x_full, g0, n_loc, axis=0)
+        base = jnp.maximum(
+            jnp.exp(2.0 * params.log_noise), min_noise * min_noise
+        )
+        nv_loc = jnp.full((n_loc,), nv_mult, jnp.float32) * base
+        os_ = jnp.exp(params.log_outputscale)
+        Kzz = gram(spec, params, z, z) + _Z_JITTER * os_ * jnp.eye(
+            M, dtype=jnp.float32
+        )
+        Lzz = jnp.linalg.cholesky(Kzz)
+        Ut_loc = la.solve_triangular(Lzz, gram(spec, params, z, x_loc))
+        qdiag_loc = jnp.sum(Ut_loc * Ut_loc, axis=0)
+        d_fitc = (
+            jnp.maximum(gram_diag(spec, params, x_loc) - qdiag_loc, 0.0)
+            + nv_loc
+        )
+        dinv_loc = 1.0 / d_fitc
+        A_loc = Ut_loc * dinv_loc[None, :]
+        B_M = jnp.eye(M, dtype=jnp.float32) + lax.psum(
+            jnp.dot(A_loc, Ut_loc.T, precision=_HIGH), "grid"
+        )
+        LB = jnp.linalg.cholesky(B_M)
+        VT_loc = la.solve_triangular(LB, A_loc).T  # (n_loc, M)
+        pdiag_loc = dinv_loc - jnp.sum(VT_loc * VT_loc, axis=1)
+        return tuple(_vary(v) for v in (VT_loc, dinv_loc, pdiag_loc))
+
+    VT, dinv, pdiag = jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P("grid", None), P("grid"), P("grid")),
+    )(params, x, z)
+    return LowRankPrecision(VT=VT, dinv=dinv, pdiag=pdiag)
+
+
+def sharded_lowrank_seed(
+    mesh: Mesh,
+    spec: KernelSpec,
+    params,
+    x: jax.Array,
+    z: jax.Array,
+    *,
+    min_noise: float = 1e-3,
+    nv_mult: float = 1.0,
+) -> LowRankPrecision:
+    """`acquisition_lowrank.lowrank_seed_with_z` with the N-axis factors
+    built and RETURNED sharded over the mesh's 'grid' axis — O(N·M/S)
+    per chip.  The episode driver caches the result per refit and feeds
+    it to `sharded_plan_episode_step` without any resharding.
+    x must be an equal-shard multiple (`mesh_pad`)."""
+    S = mesh.shape["grid"]
+    assert x.shape[0] % S == 0, "pad x with mesh_pad first"
+    return _sharded_lr_seed_jit(
+        mesh, spec, params, x, z,
+        min_noise=min_noise, nv_mult=nv_mult, n_shards=S,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "spec", "min_noise", "nv_mult", "n_shards"),
+)
+def _sharded_w_seed_jit(mesh, spec, params, x, *, min_noise, nv_mult,
+                        n_shards):
+    from algp_tpu.parallel.dist_linalg import (
+        dist_cholesky_strip,
+        dist_tri_inv_strip,
+    )
+
+    N = x.shape[0]
+    S = n_shards
+    n_loc = N // S
+
+    def run(params, x_full):
+        shard = lax.axis_index("grid")
+        g0 = shard * n_loc
+        gidx = g0 + jnp.arange(n_loc)
+        x_loc = lax.dynamic_slice_in_dim(x_full, g0, n_loc, axis=0)
+        base = jnp.maximum(
+            jnp.exp(2.0 * params.log_noise), min_noise * min_noise
+        )
+        K_loc = gram(spec, params, x_loc, x_full)
+        cols_g = jnp.arange(N)[None, :]
+        K_loc = K_loc + jnp.where(
+            cols_g == gidx[:, None], nv_mult * base, 0.0
+        )
+        L_loc = dist_cholesky_strip(K_loc, S, "grid")
+        W_loc = dist_tri_inv_strip(L_loc, S, "grid")
+        return _vary(W_loc)
+
+    return jax.shard_map(
+        run, mesh=mesh, in_specs=(P(), P()), out_specs=P("grid", None),
+    )(params, x)
+
+
+def sharded_precision_seed(
+    mesh: Mesh,
+    spec: KernelSpec,
+    params,
+    x: jax.Array,
+    *,
+    min_noise: float = 1e-3,
+    nv_mult: float = 1.0,
+) -> jax.Array:
+    """`acquisition.implicit_precision_seed` with W = L⁻¹ built by the
+    fully distributed strip factorization (parallel/dist_linalg) and
+    RETURNED rows-sharded — O(N²/S) per chip, N² total ICI traffic.
+    Returns W only (the sharded step gathers columns from its local
+    strip; no WT materialisation)."""
+    S = mesh.shape["grid"]
+    assert x.shape[0] % S == 0, "pad x with mesh_pad first"
+    return _sharded_w_seed_jit(
+        mesh, spec, params, x, min_noise=min_noise, nv_mult=nv_mult,
+        n_shards=S,
+    )
+
+
+# ---------------------------------------------------------------------------
+# The fused per-step program
+# ---------------------------------------------------------------------------
+
+
+def _step_core(spec, strategy, lowrank, metrics, N, n_loc, n_valid,
+               min_noise, nv_mult):
+    """In-shard body of the fused episode step.  Mirrors
+    `acquisition.plan_episode_step` / `plan_episode_step_lowrank` +
+    their `_metrics` variants stage for stage; every candidate-axis
+    gather becomes a masked psum; the set scorer is the shared
+    `acquisition._score_sets_gathered`."""
+
+    def run(params, x_full, idx_pad, count, ns_pad, y_pad,
+            sets, set_sizes, costs, seedA, seedB, truth):
+        shard = lax.axis_index("grid")
+        g0 = shard * n_loc
+        gidx = g0 + jnp.arange(n_loc)
+        x_loc = lax.dynamic_slice_in_dim(x_full, g0, n_loc, axis=0)
+        cap = idx_pad.shape[0]
+        k_max = sets.shape[1]
+        rows = sets.reshape(-1)  # (R,) replicated
+
+        base = jnp.maximum(
+            jnp.exp(2.0 * params.log_noise), min_noise * min_noise
+        )
+        valid = jnp.arange(cap) < count
+        pnv = jnp.where(valid, base * ns_pad, 1.0)
+
+        # ---- conditioning on everything sampled (in-shard port of
+        # acquisition._batch_pilot_condition) + posterior mean byproduct
+        idx_safe = jnp.where(valid, idx_pad, 0)
+        xA = x_full[idx_safe]
+        KA = gram(spec, params, xA, xA) + jnp.diag(pnv)
+        pair = valid[:, None] & valid[None, :]
+        KA = jnp.where(pair, KA, jnp.eye(cap, dtype=jnp.float32))
+        LA = jnp.linalg.cholesky(KA)
+        Kc_loc = gram(spec, params, xA, x_loc) * valid[:, None].astype(
+            jnp.float32
+        )
+        C_loc = la.solve_triangular(LA, Kc_loc)  # (cap, n_loc)
+        d_loc = gram_diag(spec, params, x_loc) - jnp.sum(
+            C_loc * C_loc, axis=0
+        )
+        marked = jnp.where(valid, idx_pad, N)
+        taken_loc = (gidx[:, None] == marked[None, :]).any(axis=1)
+        u = la.solve_triangular(LA, jnp.where(valid, y_pad, 0.0))
+        mean_loc = jnp.dot(C_loc.T, u, precision=_HIGH)
+
+        # ---- per-set gathered blocks (masked psums, O(R·...) each)
+        Bs_flat = _cols_psum(C_loc, rows, g0, n_loc)  # (cap, R)
+        Bs = jnp.moveaxis(
+            Bs_flat.reshape(cap, *sets.shape), 1, 0
+        )  # (S_sets, cap, k)
+        tkf = _rows_psum(
+            jnp.where(taken_loc, 1.0, 0.0), rows, g0, n_loc
+        )
+        tk = (tkf > 0.5).reshape(sets.shape)
+        xs = x_full[rows].reshape(*sets.shape, -1)
+        nvs = jnp.full(sets.shape, nv_mult, jnp.float32) * base
+
+        if strategy == "mi":
+            # ---- Schur corrections for deleting the sampled set,
+            # restricted to the sets' rows (the lowrank_corrections_at /
+            # implicit_corrections algebra with psum gathers)
+            vf = valid.astype(jnp.float32)
+            # duplicate-index dedup (identical to the single-chip paths)
+            same = (idx_pad[:, None] == idx_pad[None, :]) & pair
+            dup = jnp.tril(same, k=-1).any(axis=1)
+            vdel = valid & ~dup
+            vdf = vdel.astype(jnp.float32)
+            idx_del = jnp.where(vdel, idx_pad, 0)
+            if lowrank:
+                VT_loc, dinv_loc = seedA, seedB
+                VA = _rows_psum(VT_loc, idx_del, g0, n_loc)  # (cap, M)
+                dA = _rows_psum(dinv_loc, idx_del, g0, n_loc)  # (cap,)
+                PA = -jnp.dot(VA, VA.T, precision=_HIGH) + jnp.diag(dA)
+                paird = vdel[:, None] & vdel[None, :]
+                PA = jnp.where(paird, PA, jnp.eye(cap, dtype=jnp.float32))
+                LA2 = jnp.linalg.cholesky(PA)
+                Vr = _rows_psum(VT_loc, rows, g0, n_loc)  # (R, M)
+                dr = _rows_psum(dinv_loc, rows, g0, n_loc)  # (R,)
+                F_rows = -jnp.dot(Vr, VA.T, precision=_HIGH)  # (R, cap)
+                own = (rows[:, None] == idx_del[None, :]) & vdel[None, :]
+                F_rows = F_rows + jnp.where(own, dr[:, None], 0.0)
+                F_rows = F_rows * vdf[None, :]
+                ZT_rows = la.cho_solve(LA2, F_rows.T).T * vdf[None, :]
+                P0 = acq._pblk_lowrank_prior(
+                    sets, Vr.reshape(*sets.shape, -1), dr.reshape(sets.shape)
+                )
+            else:
+                W_loc = seedA  # (n_loc, N) strip: columns are local
+                WE_loc = W_loc[:, idx_del] * vdf[None, :]  # (n_loc, cap)
+                U = lax.psum(
+                    jnp.dot(W_loc.T, WE_loc, precision=_HIGH), "grid"
+                )  # (N, cap) replicated = P0[:, A]
+                U = U * vdf[None, :]
+                PA = U[idx_del, :] * vdf[:, None]
+                paird = vdel[:, None] & vdel[None, :]
+                PA = jnp.where(paird, PA, jnp.eye(cap, dtype=jnp.float32))
+                LA2 = jnp.linalg.cholesky(PA)
+                Z = la.cho_solve(LA2, U.T) * vdf[:, None]  # (cap, N)
+                F_rows = U[rows]  # (R, cap)
+                ZT_rows = Z.T[rows]
+                # per-set prior precision blocks (WᵀW)_SS from the LOCAL
+                # column strips — O(n_loc·R·k) flops + one (S,k,k) psum
+                Wc = W_loc[:, rows].reshape(n_loc, *sets.shape)
+                P0 = lax.psum(
+                    jnp.einsum("nsk,nsl->skl", Wc, Wc, precision=_HIGH),
+                    "grid",
+                )
+            Pblk = acq._pblk_finish(
+                P0,
+                F_rows.reshape(*sets.shape, -1),
+                ZT_rows.reshape(*sets.shape, -1),
+                tk,
+            )
+        else:
+            Pblk = None
+
+        # ---- joint set scoring, replicated on the gathered blocks —
+        # the SAME helper the single-chip scorer uses
+        scores = acq._score_sets_gathered(
+            spec, params, xs, Bs, nvs, set_sizes, Pblk, strategy=strategy
+        )
+        util = jnp.maximum(scores, 0.0) / (costs + 1e-6)
+        util = jnp.where(set_sizes > 0, util, -jnp.inf)
+        best = jnp.argmax(util).astype(jnp.int32)
+
+        d_loc = jnp.maximum(d_loc, 0.0)
+        if not metrics:
+            return (best, _vary(mean_loc), _vary(d_loc), scores)
+
+        # ---- device-reduced metrics (plan_episode_step_metrics):
+        # masked psums over the sharded err/d; sentinel rows are outside
+        # every mask and n_valid
+        f_true, obs_m, test_m = truth
+        fl = lax.dynamic_slice_in_dim(f_true, g0, n_loc)
+        ol = lax.dynamic_slice_in_dim(obs_m, g0, n_loc)
+        tl = lax.dynamic_slice_in_dim(test_m, g0, n_loc)
+        err = mean_loc - fl
+        se_o = lax.psum(jnp.sum(ol * err * err), "grid")
+        n_o = lax.psum(jnp.sum(ol), "grid")
+        se_t = lax.psum(jnp.sum(tl * err * err), "grid")
+        n_t = lax.psum(jnp.sum(tl), "grid")
+        rmse = jnp.sqrt(se_o / jnp.maximum(n_o, 1.0))
+        rmse_test = jnp.sqrt(se_t / jnp.maximum(n_t, 1.0))
+        live = (gidx < n_valid).astype(jnp.float32)
+        mean_var = lax.psum(jnp.sum(live * d_loc), "grid") / float(n_valid)
+        rows_best = sets[best]  # (k,) traced gather of the chosen set
+        var_sites = _rows_psum(d_loc, rows_best, g0, n_loc)
+        return best, rmse, rmse_test, mean_var, var_sites
+
+    return run
+
+
+def _specs_for(lowrank, metrics):
+    in_specs = (
+        P(), P(), P(), P(), P(), P(), P(), P(), P(),
+        P("grid", None),
+        P("grid") if lowrank else P(),
+        P(),
+    )
+    if metrics:
+        out_specs = (P(), P(), P(), P(), P())
+    else:
+        out_specs = (P(), P("grid"), P("grid"), P())
+    return in_specs, out_specs
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "spec", "strategy", "lowrank", "metrics",
+                     "min_noise", "nv_mult", "n_valid", "n_shards"),
+)
+def _sharded_plan_jit(
+    mesh, spec, params, x, idx_pad, count, ns_pad, y_pad, sets, set_sizes,
+    costs, seedA, seedB, truth,
+    *, strategy, lowrank, metrics, min_noise, nv_mult, n_valid, n_shards,
+):
+    N = x.shape[0]
+    n_loc = N // n_shards
+    run = _step_core(spec, strategy, lowrank, metrics, N, n_loc, n_valid,
+                     min_noise, nv_mult)
+    in_specs, out_specs = _specs_for(lowrank, metrics)
+    return jax.shard_map(
+        run, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+    )(params, x, idx_pad, count, ns_pad, y_pad, sets, set_sizes, costs,
+      seedA, seedB, truth)
+
+
+def _seed_args(strategy, lowrank, lr, W, N, mesh):
+    if strategy != "mi":
+        # unused placeholder strips (zero-size second axis keeps them free)
+        S = mesh.shape["grid"]
+        z2 = jnp.zeros((N, 0), jnp.float32)
+        a = jax.device_put(z2, NamedSharding(mesh, P("grid", None)))
+        if lowrank:
+            return a, jax.device_put(
+                jnp.zeros((N,), jnp.float32), NamedSharding(mesh, P("grid"))
+            )
+        return a, jnp.zeros((0,), jnp.float32)
+    if lowrank:
+        if lr is None:
+            raise ValueError("sharded mi episode step needs the "
+                             "sharded_lowrank_seed result")
+        return lr.VT, lr.dinv
+    if W is None:
+        raise ValueError("sharded mi episode step needs the "
+                         "sharded_precision_seed result")
+    return W, jnp.zeros((0,), jnp.float32)
+
+
+def sharded_plan_episode_step(
+    mesh: Mesh,
+    spec: KernelSpec,
+    params,
+    x: jax.Array,
+    idx_pad: jax.Array,
+    count: jax.Array,
+    noise_scale_pad: jax.Array,
+    y_pad: jax.Array,
+    sets: jax.Array,
+    set_sizes: jax.Array,
+    costs: jax.Array,
+    lr: Optional[LowRankPrecision] = None,
+    W: Optional[jax.Array] = None,
+    *,
+    strategy: str = "entropy",
+    min_noise: float = 1e-3,
+    nv_mult: float = 1.0,
+    n_valid: Optional[int] = None,
+):
+    """`acquisition.plan_episode_step` / `plan_episode_step_lowrank` over
+    the mesh: returns (best_set_index, mean, post_var, scores) with
+    mean/post_var SHARDED over 'grid'.  Pass `lr` (sharded_lowrank_seed)
+    for the low-rank MI complement, `W` (sharded_precision_seed) for the
+    exact one; entropy needs neither.  x must be `mesh_pad`-padded;
+    `n_valid` is the un-padded candidate count."""
+    lowrank = lr is not None or (strategy == "mi" and W is None)
+    seedA, seedB = _seed_args(strategy, lowrank, lr, W, x.shape[0], mesh)
+    return _sharded_plan_jit(
+        mesh, spec, params, x, idx_pad, count, noise_scale_pad, y_pad,
+        sets, set_sizes, costs, seedA, seedB, (),
+        strategy=strategy, lowrank=lowrank, metrics=False,
+        min_noise=min_noise, nv_mult=nv_mult,
+        n_valid=n_valid if n_valid is not None else x.shape[0],
+        n_shards=mesh.shape["grid"],
+    )
+
+
+def sharded_plan_episode_step_metrics(
+    mesh: Mesh,
+    spec: KernelSpec,
+    params,
+    x: jax.Array,
+    idx_pad: jax.Array,
+    count: jax.Array,
+    noise_scale_pad: jax.Array,
+    y_pad: jax.Array,
+    sets: jax.Array,
+    set_sizes: jax.Array,
+    costs: jax.Array,
+    f_true: jax.Array,
+    obs_mask: jax.Array,
+    test_mask: jax.Array,
+    lr: Optional[LowRankPrecision] = None,
+    W: Optional[jax.Array] = None,
+    *,
+    strategy: str = "entropy",
+    min_noise: float = 1e-3,
+    nv_mult: float = 1.0,
+    n_valid: Optional[int] = None,
+):
+    """`…plan_episode_step_metrics` over the mesh: the step's ONE
+    synchronizing read returns (best, rmse, rmse_test, mean_var,
+    var_sites) — scalars + the chosen path's site variances; the O(N)
+    fields stay sharded on device.  truth/masks must be zero-padded to
+    x's `mesh_pad` length."""
+    lowrank = lr is not None or (strategy == "mi" and W is None)
+    seedA, seedB = _seed_args(strategy, lowrank, lr, W, x.shape[0], mesh)
+    return _sharded_plan_jit(
+        mesh, spec, params, x, idx_pad, count, noise_scale_pad, y_pad,
+        sets, set_sizes, costs, seedA, seedB,
+        (f_true, obs_mask, test_mask),
+        strategy=strategy, lowrank=lowrank, metrics=True,
+        min_noise=min_noise, nv_mult=nv_mult,
+        n_valid=n_valid if n_valid is not None else x.shape[0],
+        n_shards=mesh.shape["grid"],
+    )

@@ -245,3 +245,135 @@ def test_sharded_lowrank_mi_matches_single_device_and_oracle(rng):
         K, zidx, 0.12**2, 15, pilot
     )
     np.testing.assert_array_equal(np.asarray(r_s.selected), sel_ref)
+
+
+# ---------------------------------------------------------------------------
+# Config-5 EPISODE over the mesh (round-2 VERDICT missing #1)
+# ---------------------------------------------------------------------------
+
+
+def _episode_cfg(strategy, num_inducing, device_metrics, modality="precise"):
+    import dataclasses
+
+    from algp_tpu.config import PRESETS
+
+    base = PRESETS["c5_episode"]
+    fieldc = dataclasses.replace(base.field, num_rows=8, num_cols=12, seed=3)
+    acqc = dataclasses.replace(
+        base.acquisition, strategy=strategy, num_inducing=num_inducing
+    )
+    epc = dataclasses.replace(
+        base.episode, num_pilot=10, budget=30.0, samples_per_step=5,
+        refit_every=2, device_metrics=device_metrics, modality=modality,
+        seed=1,
+    )
+    return dataclasses.replace(base, field=fieldc, acquisition=acqc,
+                               episode=epc)
+
+
+@pytest.mark.parametrize(
+    "strategy,num_inducing,device_metrics",
+    [
+        ("mi", 0, False),       # exact W (distributed strip seed)
+        ("mi", 0, True),
+        ("mi", 24, True),       # low-rank VT/dinv, device-reduced metrics
+        ("mi", 24, False),
+        ("entropy", 0, True),
+    ],
+)
+def test_sharded_episode_matches_single_device(
+    strategy, num_inducing, device_metrics
+):
+    """A FULL multi-step config-5 episode driven through the sharded
+    per-step program (Agent(mesh=...)) must choose the same paths
+    index-for-index as the single-device episode and log the same
+    metrics (to f32 cross-shard reduction tolerance).  This is the
+    capability `parallel/sharded_lowrank.py` exists for — the 1M-point
+    episode whose low-rank factor only fits a MESH's combined HBM."""
+    from algp_tpu.episode import Agent
+    from algp_tpu.field import FieldEnv
+
+    cfg = _episode_cfg(strategy, num_inducing, device_metrics)
+    r1 = Agent(FieldEnv(cfg.field, cfg.kernel), cfg).run(max_steps=4)
+    mesh = make_mesh(8)
+    r2 = Agent(FieldEnv(cfg.field, cfg.kernel), cfg, mesh=mesh).run(
+        max_steps=4
+    )
+    np.testing.assert_array_equal(
+        r1.state.sampled_idx, r2.state.sampled_idx
+    )
+    assert len(r1.history) == len(r2.history)
+    for h1, h2 in zip(r1.history, r2.history):
+        for k in ("rmse", "rmse_test", "mean_var"):
+            np.testing.assert_allclose(h1[k], h2[k], rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(r1.rmse, r2.rmse, rtol=5e-4)
+    np.testing.assert_allclose(r1.mean, r2.mean, rtol=5e-3, atol=5e-4)
+
+
+def test_sharded_episode_mixed_modality_matches(rng):
+    """The mixed-modality policy consumes the chosen path's site
+    variances from the step's device-reduced read — the mesh episode
+    must pick the same precise-sensor site."""
+    from algp_tpu.episode import Agent
+    from algp_tpu.field import FieldEnv
+
+    cfg = _episode_cfg("mi", 24, True, modality="mixed")
+    r1 = Agent(FieldEnv(cfg.field, cfg.kernel), cfg).run(max_steps=3)
+    r2 = Agent(
+        FieldEnv(cfg.field, cfg.kernel), cfg, mesh=make_mesh(8)
+    ).run(max_steps=3)
+    np.testing.assert_array_equal(r1.state.sampled_idx, r2.state.sampled_idx)
+    np.testing.assert_array_equal(r1.state.noise_scale, r2.state.noise_scale)
+
+
+def test_sharded_plan_step_lowrank_matches_single(rng):
+    """Step-level: the sharded fused plan program reproduces
+    plan_episode_step_lowrank's choice and posterior fields."""
+    import jax.numpy as jnp
+
+    from algp_tpu import acquisition_lowrank as acq_lr
+    from algp_tpu.parallel import sharded_episode as sep
+
+    spec = KernelSpec("rbf", ds=2)
+    params = spec.init_params(ls_spatial=2.0, outputscale=1.3, noise=0.12)
+    n, cap, S_sets, k = 220, 16, 12, 5
+    x = jnp.asarray(rng.uniform(0, 11, (n, 2)), jnp.float32)
+    idx = rng.choice(n, 10, replace=False).astype(np.int32)
+    idx_pad = jnp.asarray(np.pad(idx, (0, cap - 10)))
+    count = jnp.asarray(10, jnp.int32)
+    ns_pad = jnp.asarray(
+        np.pad(rng.uniform(1.0, 4.0, 10).astype(np.float32),
+               (0, cap - 10), constant_values=1.0)
+    )
+    y_pad = jnp.asarray(
+        np.pad(rng.standard_normal(10).astype(np.float32), (0, cap - 10))
+    )
+    sets = jnp.asarray(
+        rng.integers(0, n, (S_sets, k)).astype(np.int32)
+    )
+    sizes = jnp.asarray(
+        rng.integers(1, k + 1, S_sets).astype(np.int32)
+    )
+    costs = jnp.asarray(rng.uniform(2.0, 6.0, S_sets).astype(np.float32))
+    z = x[acq_lr.kcenter_indices(x, 32)]
+
+    lr1 = acq_lr.lowrank_seed_with_z(spec, params, x, z)
+    b1, mean1, d1, s1 = acq_lr.plan_episode_step_lowrank(
+        spec, params, x, idx_pad, count, ns_pad, y_pad, sets, sizes,
+        costs, lr1,
+    )
+
+    mesh = make_mesh(8)
+    xp, n_valid = sep.mesh_pad(x, mesh.shape["grid"])
+    lr2 = sep.sharded_lowrank_seed(mesh, spec, params, xp, z)
+    b2, mean2, d2, s2 = sep.sharded_plan_episode_step(
+        mesh, spec, params, xp, idx_pad, count, ns_pad, y_pad, sets,
+        sizes, costs, lr=lr2, strategy="mi", n_valid=n_valid,
+    )
+    assert int(b1) == int(b2)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(mean1), np.asarray(mean2)[:n],
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2)[:n],
+                               rtol=2e-4, atol=2e-5)
