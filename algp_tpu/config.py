@@ -37,6 +37,14 @@ class FitConfig:
     learn_noise: bool = True
     min_noise: float = 1e-3  # floor on noise std for f32 conditioning
     jitter: float = 1e-6
+    # Episode-scale SGPR (models/sparse_gp): once the sampled set exceeds
+    # sparse_threshold, refits swap the exact O(n³)-per-step MLL fit for
+    # the collapsed −ELBO bound over sparse_inducing k-center inducing
+    # points (O(n·M²) per step).  0 disables.  The sampled set only
+    # grows, so the swap happens at most once per episode (one extra
+    # compile).  Requires sparse_threshold ≥ sparse_inducing.
+    sparse_threshold: int = 0
+    sparse_inducing: int = 256
 
 
 @dataclasses.dataclass(frozen=True)
@@ -229,6 +237,20 @@ PRESETS: dict[str, ExperimentConfig] = {
         episode=EpisodeConfig(num_pilot=128, budget=4096.0,
                               num_waypoints=8, samples_per_step=10,
                               refit_every=4),
+    ),
+    # 5 as a LONG CAMPAIGN at north-star scale: a budget funding ~160
+    # planning steps (~1.7k samples) on the 10k grid — the regime where
+    # the exact O(n³)-per-step refit stops being free.  Past 512 sampled
+    # points every refit swaps to the collapsed SGPR bound over 256
+    # k-center inducing points (FitConfig.sparse_threshold; one extra
+    # compile at the crossover, then steady-state).
+    "c5_long": ExperimentConfig(
+        kernel=KernelSpec(spatial_kind="matern32", ds=2, df=0),
+        field=FieldConfig(num_rows=100, num_cols=100, true_ls_spatial=8.0),
+        acquisition=AcquisitionConfig(strategy="mi"),
+        fit=FitConfig(restarts=4, sparse_threshold=512, sparse_inducing=256),
+        episode=EpisodeConfig(num_pilot=64, budget=4800.0, num_waypoints=80,
+                              samples_per_step=10, refit_every=4),
     ),
     # Real-table experiment (SURVEY.md §2 C10): phenotype CSV with genotype
     # features, composite spatial×feature kernel, mixed sensing modalities.

@@ -148,6 +148,19 @@ class Agent:
             raise ValueError(
                 f"unknown strategy {cfg.acquisition.strategy!r}; use {STRATEGIES}"
             )
+        if cfg.fit.sparse_threshold:
+            if cfg.fit.sparse_threshold < cfg.fit.sparse_inducing:
+                raise ValueError(
+                    f"sparse_threshold ({cfg.fit.sparse_threshold}) must be "
+                    f"≥ sparse_inducing ({cfg.fit.sparse_inducing}) — the "
+                    f"k-center design needs that many distinct sampled "
+                    f"points when the sparse refit kicks in"
+                )
+            if cfg.deep is not None:
+                raise ValueError(
+                    "episode-scale SGPR and the deep feature kernel are "
+                    "not combined (the joint embedding fit is exact-only)"
+                )
 
     def _grow_capacity(self, needed: int) -> None:
         """Grow the static training-buffer capacity — and say so LOUDLY:
@@ -231,6 +244,21 @@ class Agent:
             )
             self._set_mlp(res.mlp)
             st.mlp = res.mlp
+        elif (
+            self.cfg.fit.sparse_threshold
+            and len(st.sampled_idx) > self.cfg.fit.sparse_threshold
+        ):
+            # long campaign: the sampled set outgrew the exact fit —
+            # refit by the collapsed SGPR bound, O(n·M²) per optimizer
+            # step instead of O(n³).  n_sampled only grows, so this
+            # branch, once entered, is entered every refit (exactly one
+            # extra program compile per episode).
+            from algp_tpu.models import sparse_gp
+
+            res = sparse_gp.fit_step_sparse(
+                self.spec, self.cfg.fit, x, y, ns, base_key, st.step,
+                num_valid=m, num_inducing=self.cfg.fit.sparse_inducing,
+            )
         else:
             res = gp_mod.fit_step(
                 self.spec, self.cfg.fit, x, y, ns, base_key, st.step,
@@ -476,6 +504,11 @@ class Agent:
         strat = self.cfg.acquisition.strategy
         self._step_post_var = None  # caches for _sense('mixed')
         self._step_site_var = None
+        # per-phase wall profile of this plan (host enumeration vs seed
+        # dispatch vs the fused device step+sync) — logged with the step
+        # record so scale regressions name their phase (VERDICT r2 #3)
+        prof = self._plan_profile = {}
+        t_start = time.perf_counter()
         slice_budget = min(
             st.budget_left,
             self.cfg.episode.budget / max(1, self.cfg.episode.num_waypoints),
@@ -512,7 +545,9 @@ class Agent:
         sets[: len(batch)] = batch.sets
         sizes[: len(batch)] = batch.sizes
         costs[: len(batch)] = batch.costs
+        prof["enum_s"] = time.perf_counter() - t_start
 
+        t0 = time.perf_counter()
         idx_pad, m, ns_pad, y_pad = self._padded_obs(st)
         lowrank = strat == "mi" and bool(self.cfg.acquisition.num_inducing)
         lrseed = W = WT = None
@@ -522,7 +557,9 @@ class Agent:
             lrseed = self._lowrank_seed(st)
         elif strat == "mi":
             W, WT = self._precision_seed(st)
+        prof["seed_s"] = time.perf_counter() - t0  # enqueue only (async)
 
+        t0 = time.perf_counter()
         sets_d = jnp.asarray(sets)
         sizes_d = jnp.asarray(sizes)
         costs_d = jnp.asarray(costs)
@@ -557,6 +594,7 @@ class Agent:
                 )
             # the step's single synchronizing read — a few dozen bytes
             best, rmse, rmse_test, mean_var, var_sites = jax.device_get(out)
+            prof["step_s"] = time.perf_counter() - t0
             best = int(best)
             sites = list(batch.sets[best][: batch.sizes[best]])
             self._step_site_var = np.asarray(var_sites)  # for _sense('mixed')
@@ -592,6 +630,7 @@ class Agent:
             )
         # the step's single synchronizing read
         best, mean, var = jax.device_get((best_d, mean_d, var_d))
+        prof["step_s"] = time.perf_counter() - t0
         best = int(best)
         n = self.env.n
         mean, var = np.asarray(mean)[:n], np.asarray(var)[:n]
@@ -744,8 +783,10 @@ class Agent:
         # plan wall time is attributed to the step the plan is FOR, so
         # `plan_s` in a step's record times the plan that chose its path
         # (carried across the loop below; semantics changed 2026-08-17 —
-        # pre-round-3 artifacts logged the NEXT step's plan instead)
+        # pre-round-3 artifacts logged the NEXT step's plan instead).
+        # The per-phase profile (enum/seed/step) travels with it.
         carry_plan = time.perf_counter() - t0
+        carry_prof = getattr(self, "_plan_profile", {})
         self.logger.log(
             step=st.step, phase="pilot" if resume_from is None else "resume",
             n_sampled=len(st.sampled_idx),
@@ -761,6 +802,7 @@ class Agent:
                 break
             st.step += 1
             nodes, cost, sample_nodes = bundle.nodes, bundle.cost, bundle.sites
+            t0 = time.perf_counter()
             samples = self._sense(st, sample_nodes)
             st.sampled_idx = np.concatenate(
                 [st.sampled_idx] + [s.indices for s in samples]
@@ -771,6 +813,7 @@ class Agent:
             )
             st.pose = int(nodes[-1])
             st.budget_left -= cost
+            t_sense = time.perf_counter() - t0
 
             t0 = time.perf_counter()
             if st.step % self.cfg.episode.refit_every == 0:
@@ -790,6 +833,7 @@ class Agent:
             t0 = time.perf_counter()
             bundle = self._plan_and_metrics(st)
             t_plan, carry_plan = carry_plan, time.perf_counter() - t0
+            prof, carry_prof = carry_prof, getattr(self, "_plan_profile", {})
             self.logger.log(
                 step=st.step, phase="plan",
                 n_sampled=len(st.sampled_idx),
@@ -799,6 +843,8 @@ class Agent:
                 mean_var=bundle.mean_var,
                 budget_left=round(st.budget_left, 3),
                 plan_s=round(t_plan, 4), fit_s=round(t_fit, 4),
+                sense_s=round(t_sense, 4),
+                **{k: round(v, 4) for k, v in prof.items()},
             )
 
         mean, var = bundle.mean, bundle.var

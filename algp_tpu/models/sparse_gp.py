@@ -167,6 +167,54 @@ def fit_sparse(
     )
 
 
+@partial(jax.jit, static_argnames=("spec", "cfg", "num_inducing",
+                                   "has_noise_scale"))
+def _fit_step_sparse_jit(spec, cfg, x, y, noise_scale, base_key, step,
+                         num_valid, *, num_inducing, has_noise_scale):
+    from algp_tpu.acquisition_lowrank import kcenter_indices
+
+    key = jax.random.fold_in(base_key, step)
+    inits = make_restart_inits(spec, cfg, key)
+    # k-center inducing design over the VALID rows of the padded buffer,
+    # derived INSIDE the program (one async dispatch per refit, like
+    # gp.fit_step)
+    zidx = kcenter_indices(x, num_inducing, num_valid)
+    z = x[zidx]
+    return _fit_sparse_jit(
+        spec, cfg, x, y, z, noise_scale, inits, has_noise_scale,
+        num_valid, True,
+    )
+
+
+def fit_step_sparse(
+    spec: KernelSpec,
+    cfg: FitConfig,
+    x: jax.Array,
+    y: jax.Array,
+    noise_scale: Optional[jax.Array],
+    base_key: jax.Array,
+    step,
+    num_valid: jax.Array,
+    *,
+    num_inducing: int,
+) -> FitResult:
+    """Episode-refit variant of `fit_sparse` — `gp.fit_step` with the
+    collapsed −ELBO objective and a k-center inducing design over the
+    sampled set, everything (key fold_in, restart inits, z) derived
+    INSIDE one jitted program.  The episode swaps this in for the exact
+    refit once the sampled set exceeds `FitConfig.sparse_threshold`
+    (long campaigns: the exact fit is O(n³) per optimizer step, this is
+    O(n·M²)).  Requires num_valid ≥ num_inducing when invoked — the
+    episode's threshold rule guarantees it (threshold ≥ sparse_inducing
+    is validated at Agent construction)."""
+    return _fit_step_sparse_jit(
+        spec, cfg, x, y, noise_scale, base_key,
+        jnp.asarray(step, jnp.uint32), jnp.asarray(num_valid, jnp.int32),
+        num_inducing=min(num_inducing, x.shape[0]),
+        has_noise_scale=noise_scale is not None,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Posterior
 # ---------------------------------------------------------------------------

@@ -58,6 +58,21 @@ def main() -> None:
     steps = result.state.step
     plan_s = [h["plan_s"] for h in result.history if "plan_s" in h]
     fit_s = [h["fit_s"] for h in result.history[1:] if "fit_s" in h]
+
+    def med_ms(key, hist=None):
+        v = [h[key] for h in (hist or result.history) if key in h]
+        return round(1e3 * sorted(v)[len(v) // 2], 1) if v else None
+
+    # plans logged right AFTER a refit absorb the async fit+seed device
+    # time in their sync — split them out so the breakdown attributes it
+    after_refit = [
+        h for h_prev, h in zip(result.history[1:], result.history[2:])
+        if h_prev.get("fit_s", 0) > 0.001 and "plan_s" in h
+    ]
+    plain = [
+        h for h_prev, h in zip(result.history[1:], result.history[2:])
+        if h_prev.get("fit_s", 0) <= 0.001 and "plan_s" in h
+    ]
     rec = {
         "metric": f"episode_{args.preset}_wall_s"
         if args.preset != "c5_10k" else "episode10k_wall_s",
@@ -68,6 +83,18 @@ def main() -> None:
         "per_step_ms": round(1e3 * wall / max(1, steps), 1),
         "plan_ms_median": round(1e3 * sorted(plan_s)[len(plan_s) // 2], 1),
         "fit_ms_total": round(1e3 * sum(fit_s), 1),
+        # per-phase breakdown (episode.Agent._plan_and_metrics profile):
+        # enum = host path enumeration + batch assembly; seed = per-refit
+        # precision-seed ENQUEUE; step = fused device step + sync;
+        # sense = host sensing + state update
+        "phase_ms_median": {
+            "enum": med_ms("enum_s"),
+            "seed": med_ms("seed_s"),
+            "step": med_ms("step_s"),
+            "sense": med_ms("sense_s"),
+        },
+        "plan_ms_median_after_refit": med_ms("plan_s", after_refit),
+        "plan_ms_median_plain": med_ms("plan_s", plain),
         "rmse": round(result.rmse, 4),
         "rmse_test": round(result.rmse_test, 4),
     }

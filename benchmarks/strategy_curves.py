@@ -119,12 +119,23 @@ def main() -> None:
     summary = {"budget_matched_final_rmse_test": {},
                "sample_matched_rmse_test": {}}
     n_common = min(r["n_sampled"] for r in records)
+    finals = {}
     for strategy in strategies:
-        recs = [r for r in records if r["strategy"] == strategy]
+        recs = sorted(
+            [r for r in records if r["strategy"] == strategy],
+            key=lambda r: r["seed"],
+        )
+        vals = np.array([r["final_rmse_test"] for r in recs], float)
+        finals[strategy] = vals
         if strategy != "uniform":  # teleports — not budget-comparable
-            summary["budget_matched_final_rmse_test"][strategy] = round(
-                float(np.mean([r["final_rmse_test"] for r in recs])), 4
-            )
+            summary["budget_matched_final_rmse_test"][strategy] = {
+                "mean": round(float(vals.mean()), 4),
+                "std": round(float(vals.std(ddof=1)), 4)
+                if len(vals) > 1 else 0.0,
+                "sem": round(float(vals.std(ddof=1) / np.sqrt(len(vals))), 4)
+                if len(vals) > 1 else 0.0,
+                "per_seed": [round(float(v), 4) for v in vals],
+            }
         at_n = []
         for r in recs:
             ns = np.array([c[0] for c in r["curve"]], float)
@@ -134,6 +145,26 @@ def main() -> None:
             float(np.mean(at_n)), 4
         )
     summary["sample_matched_at_n"] = int(n_common)
+    # PAIRED per-seed comparisons: strategies share the field per seed,
+    # so the seed-to-seed field variance (which dwarfs the strategy gap
+    # — round-2 VERDICT weak #5) cancels in the difference.  diff < 0
+    # means the first strategy is better; |mean| > 2·sem ⇒ the gap is
+    # real at ~95%.
+    summary["paired_diffs"] = {}
+    for a, b in (("mi", "entropy"), ("mi", "naive"), ("entropy", "naive")):
+        if a in finals and b in finals and len(finals[a]) == len(finals[b]):
+            d = finals[a] - finals[b]
+            if len(d) > 1:
+                sem = float(d.std(ddof=1) / np.sqrt(len(d)))
+            else:
+                sem = 0.0
+            summary["paired_diffs"][f"{a}-{b}"] = {
+                "mean": round(float(d.mean()), 4),
+                "sem": round(sem, 4),
+                "significant": bool(
+                    sem > 0 and abs(float(d.mean())) > 2 * sem
+                ),
+            }
     summary["note"] = (
         "uniform teleports (no travel cost) — compare it only in the "
         "sample-matched view; the budget-matched view compares the "

@@ -275,9 +275,7 @@ def _episode_cfg(strategy, num_inducing, device_metrics, modality="precise"):
     "strategy,num_inducing,device_metrics",
     [
         ("mi", 0, False),       # exact W (distributed strip seed)
-        ("mi", 0, True),
         ("mi", 24, True),       # low-rank VT/dinv, device-reduced metrics
-        ("mi", 24, False),
         ("entropy", 0, True),
     ],
 )

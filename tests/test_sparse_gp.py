@@ -144,3 +144,91 @@ def test_sparsegp_facade_end_to_end(rng):
     prior_rmse = float(np.sqrt(np.mean(f**2)))
     assert rmse < 0.35 * prior_rmse
     assert np.isfinite(np.array(var)).all()
+
+
+def test_fit_step_sparse_matches_eager(rng):
+    """The episode-refit wrapper (in-program fold_in + in-program
+    k-center z over the valid rows) ≡ fit_sparse with the same key and
+    an eagerly computed design."""
+    import jax
+
+    from algp_tpu.acquisition_lowrank import kcenter_indices
+
+    spec, params, x, K, nv = setup_field(rng, n=80)
+    y = rng.standard_normal(80).astype(np.float32)
+    cap, m = 96, 60
+    xp = np.zeros((cap, x.shape[1]), np.float32)
+    xp[:m] = x[:m]
+    yp = np.zeros(cap, np.float32)
+    yp[:m] = y[:m]
+    cfg = FitConfig(iters=25, restarts=2, sparse_inducing=24)
+    base = jax.random.PRNGKey(7)
+    res_step = sgp.fit_step_sparse(
+        spec, cfg, jnp.asarray(xp), jnp.asarray(yp), None, base, 3,
+        num_valid=jnp.asarray(m, jnp.int32), num_inducing=24,
+    )
+    zidx = kcenter_indices(jnp.asarray(xp), 24, jnp.asarray(m, jnp.int32))
+    z = jnp.asarray(xp)[zidx]
+    res_ref = sgp.fit_sparse(
+        spec, cfg, jnp.asarray(xp), jnp.asarray(yp), z,
+        key=jax.random.fold_in(base, 3),
+        num_valid=jnp.asarray(m, jnp.int32),
+    )
+    np.testing.assert_allclose(float(res_step.nll), float(res_ref.nll),
+                               rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(res_step.params.log_noise),
+        np.asarray(res_ref.params.log_noise), rtol=1e-6,
+    )
+
+
+def test_episode_sparse_crossover(rng):
+    """A long-budget episode crosses FitConfig.sparse_threshold
+    mid-campaign: refits swap to the SGPR bound, the episode keeps
+    planning sanely, and the final posterior is comparable to the
+    all-exact episode's."""
+    import dataclasses
+
+    from algp_tpu.config import PRESETS
+    from algp_tpu.episode import Agent
+    from algp_tpu.field import FieldEnv
+
+    base = PRESETS["c5_episode"]
+    fieldc = dataclasses.replace(base.field, num_rows=10, num_cols=14,
+                                 seed=5)
+    epc = dataclasses.replace(
+        base.episode, num_pilot=12, budget=120.0, num_waypoints=12,
+        samples_per_step=6, refit_every=2, seed=2,
+    )
+    fit_sparse_cfg = FitConfig(iters=30, restarts=2, sparse_threshold=40,
+                               sparse_inducing=32)
+    fit_exact_cfg = FitConfig(iters=30, restarts=2)
+    cfg_s = dataclasses.replace(base, field=fieldc, episode=epc,
+                                fit=fit_sparse_cfg)
+    cfg_e = dataclasses.replace(base, field=fieldc, episode=epc,
+                                fit=fit_exact_cfg)
+
+    r_s = Agent(FieldEnv(fieldc, cfg_s.kernel), cfg_s).run(max_steps=10)
+    r_e = Agent(FieldEnv(fieldc, cfg_e.kernel), cfg_e).run(max_steps=10)
+    # the campaign actually crossed the threshold
+    assert len(r_s.state.sampled_idx) > 40
+    assert np.isfinite(r_s.rmse) and np.isfinite(r_s.mean).all()
+    # sparse-refit campaign stays in the same quality band as exact
+    assert r_s.rmse_test < max(2.0 * r_e.rmse_test, r_e.rmse_test + 0.15)
+
+
+def test_episode_sparse_threshold_validation():
+    import dataclasses
+
+    import pytest
+
+    from algp_tpu.config import PRESETS
+    from algp_tpu.episode import Agent
+    from algp_tpu.field import FieldEnv
+
+    base = PRESETS["c5_episode"]
+    bad = dataclasses.replace(
+        base, fit=FitConfig(sparse_threshold=16, sparse_inducing=32)
+    )
+    with pytest.raises(ValueError, match="sparse_threshold"):
+        Agent(FieldEnv(bad.field, bad.kernel), bad)
