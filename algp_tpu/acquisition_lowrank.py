@@ -382,6 +382,90 @@ def _greedy_select_lowrank_jit(
     )
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LowRankFactors:
+    """The low-rank precision reduced to its SMALL factors — O(M²) state.
+
+    The fused episode step reads the precision ONLY at the sampled set's
+    and the path sets' rows (≈ cap + num_sets·k_max ≲ 3k rows), so
+    materializing the full (N, M) V factor, dinv, and pdiag at seed time
+    is wasted O(N·M) HBM traffic AND 4+ GB of residency at N = 1M.
+    This seed keeps just
+
+        Lzz : (M, M) chol of K_zz (+ jitter)
+        LB  : (M, M) chol of B = I + A Uᵀ   (the one pass that genuinely
+              needs all N — an O(N·M²) matmul)
+        z   : (M, d) inducing locations
+
+    and `v_rows_at` reproduces any rows of VT/dinv on demand with
+    identical per-row arithmetic (triangular solves are column-
+    independent, so a row computed stand-alone equals the same row of
+    the full factor).  Halves the re-seed cost at 1M and removes the V
+    residency.  Use `lowrank_precision_seed` when a greedy LOOP needs
+    the full pdiag/VT state."""
+
+    Lzz: jax.Array
+    LB: jax.Array
+    z: jax.Array
+
+
+@partial(jax.jit, static_argnames=("spec", "min_noise", "nv_mult",
+                                   "use_pallas"))
+def lowrank_factors_seed(
+    spec: KernelSpec,
+    params: KernelParams,
+    x: jax.Array,
+    z: jax.Array,
+    *,
+    min_noise: float = 1e-3,
+    nv_mult: float = 1.0,
+    use_pallas: bool = False,
+) -> LowRankFactors:
+    """Build the small-factor low-rank seed (see LowRankFactors): ONE
+    O(N·M²) pass assembling B = I + A Uᵀ, nothing N-sized kept.
+    Candidate noise derived from the fitted params in-program, as
+    `lowrank_seed_with_z`."""
+    M = z.shape[0]
+    base = jnp.maximum(jnp.exp(2.0 * params.log_noise), min_noise * min_noise)
+    nv = jnp.full((x.shape[0],), nv_mult, jnp.float32) * base
+    os_ = jnp.exp(params.log_outputscale)
+    Kzz = gram(spec, params, z, z) + _Z_JITTER * os_ * jnp.eye(
+        M, dtype=jnp.float32
+    )
+    Lzz = jnp.linalg.cholesky(Kzz)
+    if use_pallas:
+        Kzx = gram_pallas(spec, params, z, x)
+    else:
+        Kzx = gram(spec, params, z, x)
+    Ut = la.solve_triangular(Lzz, Kzx)  # (M, N)
+    qdiag = jnp.sum(Ut * Ut, axis=0)
+    d = jnp.maximum(gram_diag(spec, params, x) - qdiag, 0.0) + nv
+    A = Ut * (1.0 / d)[None, :]
+    B = jnp.eye(M, dtype=jnp.float32) + jnp.dot(A, Ut.T, precision=_HIGH)
+    return LowRankFactors(Lzz=Lzz, LB=jnp.linalg.cholesky(B), z=z)
+
+
+def v_rows_at(
+    spec: KernelSpec,
+    params: KernelParams,
+    fac: LowRankFactors,
+    x_rows: jax.Array,
+    nv_rows: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """(VT_rows (R, M), dinv_rows (R,)) of the low-rank precision at the
+    given candidate locations — identical per-row arithmetic to the full
+    `lowrank_precision_seed` factors (tested row-for-row)."""
+    Kzr = gram(spec, params, fac.z, x_rows)  # (M, R)
+    Ur = la.solve_triangular(fac.Lzz, Kzr)
+    qr = jnp.sum(Ur * Ur, axis=0)
+    d_r = jnp.maximum(gram_diag(spec, params, x_rows) - qr, 0.0) + nv_rows
+    dinv_r = 1.0 / d_r
+    Ar = Ur * dinv_r[None, :]
+    Vr = la.solve_triangular(fac.LB, Ar)  # (M, R)
+    return Vr.T, dinv_r
+
+
 @partial(jax.jit, static_argnames=("spec", "min_noise", "nv_mult",
                                    "use_pallas"))
 def lowrank_seed_with_z(
@@ -480,6 +564,131 @@ def plan_episode_step_lowrank(
     util = jnp.where(set_sizes > 0, util, -jnp.inf)
     best = jnp.argmax(util).astype(jnp.int32)
     return best, mean, jnp.maximum(d, 0.0), scores
+
+
+@partial(jax.jit, static_argnames=("spec", "min_noise", "nv_mult"))
+def plan_episode_step_lowrank_factors(
+    spec: KernelSpec,
+    params: KernelParams,
+    x: jax.Array,
+    idx_pad: jax.Array,
+    count: jax.Array,
+    noise_scale_pad: jax.Array,
+    y_pad: jax.Array,
+    sets: jax.Array,
+    set_sizes: jax.Array,
+    costs: jax.Array,
+    fac: LowRankFactors,
+    *,
+    min_noise: float = 1e-3,
+    nv_mult: float = 1.0,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """`plan_episode_step_lowrank` driven by the SMALL-factor seed: the
+    VT/dinv rows the step needs (sampled set + path-set rows, ≲3k) are
+    materialised on the fly by `v_rows_at` with arithmetic identical to
+    the full factor's rows — selections match the full-seed step
+    (tests/test_lowrank.py) while the per-refit seed halves its O(N·M)
+    traffic and drops the (N, M) V residency entirely."""
+    from algp_tpu.acquisition import (
+        _batch_pilot_condition,
+        _pblk_finish,
+        _pblk_lowrank_prior,
+        _score_sets_gathered,
+    )
+
+    cap = idx_pad.shape[0]
+    base = jnp.maximum(jnp.exp(2.0 * params.log_noise), min_noise * min_noise)
+    valid = jnp.arange(cap) < count
+    pnv = jnp.where(valid, base * noise_scale_pad, 1.0)
+    nv_fut = base * nv_mult  # uniform future-measurement noise variance
+    d0 = gram_diag(spec, params, x)
+    C, d, taken, LA = _batch_pilot_condition(
+        spec, params, x, pnv, idx_pad, count, d0
+    )
+    u = la.solve_triangular(LA, jnp.where(valid, y_pad, 0.0))
+    mean = jnp.dot(C.T, u, precision=_HIGH)
+
+    # Schur corrections restricted to the path sets' rows, with every
+    # VT/dinv row computed from the small factors (lowrank_corrections_at
+    # algebra, dedup included)
+    same = (idx_pad[:, None] == idx_pad[None, :]) & valid[:, None] & valid[None, :]
+    dup = jnp.tril(same, k=-1).any(axis=1)
+    vdel = valid & ~dup
+    vf = vdel.astype(jnp.float32)
+    idx_safe = jnp.where(vdel, idx_pad, 0)
+    rows = sets.reshape(-1)
+    VA, dA = v_rows_at(
+        spec, params, fac, x[idx_safe], jnp.full((cap,), 1.0) * nv_fut
+    )
+    Vr, dr = v_rows_at(
+        spec, params, fac, x[rows], jnp.full(rows.shape, 1.0) * nv_fut
+    )
+    PA = -jnp.dot(VA, VA.T, precision=_HIGH) + jnp.diag(dA)
+    pair = vdel[:, None] & vdel[None, :]
+    PA = jnp.where(pair, PA, jnp.eye(cap, dtype=jnp.float32))
+    LA2 = jnp.linalg.cholesky(PA)
+    F_rows = -jnp.dot(Vr, VA.T, precision=_HIGH)  # (R, cap)
+    own = (rows[:, None] == idx_safe[None, :]) & vdel[None, :]
+    F_rows = F_rows + jnp.where(own, dr[:, None], 0.0)
+    F_rows = F_rows * vf[None, :]
+    ZT_rows = la.cho_solve(LA2, F_rows.T).T * vf[None, :]
+
+    P0 = _pblk_lowrank_prior(
+        sets, Vr.reshape(*sets.shape, -1), dr.reshape(sets.shape)
+    )
+    tk = taken[rows].reshape(sets.shape)
+    Pblk = _pblk_finish(
+        P0, F_rows.reshape(*sets.shape, -1), ZT_rows.reshape(*sets.shape, -1),
+        tk,
+    )
+    xs = x[rows].reshape(*sets.shape, -1)
+    nvs = jnp.full(sets.shape, 1.0, jnp.float32) * nv_fut
+    Bs = jnp.moveaxis(C[:, rows].reshape(cap, *sets.shape), 1, 0)
+    scores = _score_sets_gathered(
+        spec, params, xs, Bs, nvs, set_sizes, Pblk, strategy="mi"
+    )
+    util = jnp.maximum(scores, 0.0) / (costs + 1e-6)
+    util = jnp.where(set_sizes > 0, util, -jnp.inf)
+    best = jnp.argmax(util).astype(jnp.int32)
+    return best, mean, jnp.maximum(d, 0.0), scores
+
+
+@partial(jax.jit, static_argnames=("spec", "min_noise", "nv_mult"))
+def plan_episode_step_lowrank_factors_metrics(
+    spec: KernelSpec,
+    params: KernelParams,
+    x: jax.Array,
+    idx_pad: jax.Array,
+    count: jax.Array,
+    noise_scale_pad: jax.Array,
+    y_pad: jax.Array,
+    sets: jax.Array,
+    set_sizes: jax.Array,
+    costs: jax.Array,
+    fac: LowRankFactors,
+    f_true: jax.Array,
+    obs_mask: jax.Array,
+    test_mask: jax.Array,
+    *,
+    min_noise: float = 1e-3,
+    nv_mult: float = 1.0,
+) -> tuple[jax.Array, ...]:
+    """Device-reduced-metrics variant of the small-factor step (same
+    contract as `plan_episode_step_lowrank_metrics`)."""
+    best, mean, d, _ = plan_episode_step_lowrank_factors(
+        spec, params, x, idx_pad, count, noise_scale_pad, y_pad,
+        sets, set_sizes, costs, fac, min_noise=min_noise, nv_mult=nv_mult,
+    )
+    err = mean - f_true
+    rmse = jnp.sqrt(
+        jnp.sum(obs_mask * err * err) / jnp.maximum(jnp.sum(obs_mask), 1.0)
+    )
+    rmse_test = jnp.sqrt(
+        jnp.sum(test_mask * err * err) / jnp.maximum(jnp.sum(test_mask), 1.0)
+    )
+    mean_var = jnp.mean(d)
+    var_sites = d[sets[best]]
+    return best, rmse, rmse_test, mean_var, var_sites
 
 
 @partial(jax.jit, static_argnames=("spec", "min_noise", "nv_mult"))

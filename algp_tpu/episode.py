@@ -534,7 +534,16 @@ class Agent:
             self.env, st.pose, slice_budget, max_paths=self._pad_paths
         )
         if not paths:
+            # terminal plan (budget slice exhausted / pose cornered): the
+            # full-field posterior fetch here IS the episode's final
+            # fetch — log it as such, or at 1M it reads as ~0.5 s of
+            # phantom per-step cost
+            t0 = time.perf_counter()
             mean, var = self.predict_field(st)
+            self.logger.log(
+                step=st.step, phase="final",
+                final_fetch_s=round(time.perf_counter() - t0, 4),
+            )
             return self._host_bundle([], 0.0, [], mean, var)
         batch = planning.paths_to_batch(self.env, paths, k_max=self._k_max)
         # pad the batch to the static compile shape
@@ -580,7 +589,7 @@ class Agent:
                 from algp_tpu import acquisition_lowrank as acq_lr
 
                 f_true, obs_m, test_m = self._truth()
-                out = acq_lr.plan_episode_step_lowrank_metrics(
+                out = acq_lr.plan_episode_step_lowrank_factors_metrics(
                     self.spec, st.params, self._Xdev,
                     idx_pad, m, ns_pad, y_pad, sets_d, sizes_d, costs_d,
                     lrseed, f_true, obs_m, test_m, **common,
@@ -617,10 +626,12 @@ class Agent:
         elif lowrank:
             from algp_tpu import acquisition_lowrank as acq_lr
 
-            best_d, mean_d, var_d, _ = acq_lr.plan_episode_step_lowrank(
-                self.spec, st.params, self._Xdev,
-                idx_pad, m, ns_pad, y_pad, sets_d, sizes_d, costs_d,
-                lrseed, **common,
+            best_d, mean_d, var_d, _ = (
+                acq_lr.plan_episode_step_lowrank_factors(
+                    self.spec, st.params, self._Xdev,
+                    idx_pad, m, ns_pad, y_pad, sets_d, sizes_d, costs_d,
+                    lrseed, **common,
+                )
             )
         else:
             best_d, mean_d, var_d, _ = acq.plan_episode_step(
@@ -735,7 +746,10 @@ class Agent:
                     min_noise=self.cfg.fit.min_noise, nv_mult=self._nv_mult,
                 )
             else:
-                lr = acq_lr.lowrank_seed_with_z(
+                # single chip: SMALL-factor seed — the fused step only
+                # reads ~3k precision rows, so the (N, M) V factor is
+                # never materialised (halves the 1M re-seed's traffic)
+                lr = acq_lr.lowrank_factors_seed(
                     self.spec, st.params, self._Xdev, self._lowrank_z(),
                     min_noise=self.cfg.fit.min_noise, nv_mult=self._nv_mult,
                     use_pallas=self.env.n >= 4096,
@@ -820,6 +834,18 @@ class Agent:
                 self.fit_model(st, base_key)
                 self._P_cache = None  # params changed → re-seed precision
                 self._lr_cache = None
+                # dispatch the per-refit precision seed NOW (async, it
+                # depends only on the just-dispatched fit): the host's
+                # path enumeration below then overlaps the fit+seed
+                # device time instead of serializing it into the next
+                # step's sync (the 1M FITC re-seed is O(N·M²) — the
+                # largest single device op of a refit step)
+                strat = self.cfg.acquisition.strategy
+                if strat == "mi":
+                    if self.cfg.acquisition.num_inducing:
+                        self._lowrank_seed(st)
+                    else:
+                        self._precision_seed(st)
             t_fit = time.perf_counter() - t0
             # keep rng states in the episode state so a checkpoint written
             # after this step resumes exactly (SURVEY.md §5) — saved
@@ -850,8 +876,16 @@ class Agent:
         mean, var = bundle.mean, bundle.var
         if mean is None:
             # device-metrics mode never shipped the field per step —
-            # fetch it ONCE for the final result/plots
+            # fetch it ONCE for the final result/plots.  Logged as its
+            # own record: at 1M this one-time posterior + transfer is
+            # ~0.5-0.7 s and must not be misread as per-step cost
+            # (round-2's "unaccounted ~250 ms/step" was mostly this).
+            t0 = time.perf_counter()
             mean, var = self.predict_field(st)
+            self.logger.log(
+                step=st.step, phase="final",
+                final_fetch_s=round(time.perf_counter() - t0, 4),
+            )
         return EpisodeResult(
             state=st, history=self.logger.history,
             mean=mean, var=var, rmse=self.env.rmse(mean),

@@ -73,6 +73,9 @@ def main() -> None:
         h for h_prev, h in zip(result.history[1:], result.history[2:])
         if h_prev.get("fit_s", 0) <= 0.001 and "plan_s" in h
     ]
+    final_fetch = [
+        h["final_fetch_s"] for h in result.history if "final_fetch_s" in h
+    ]
     rec = {
         "metric": f"episode_{args.preset}_wall_s"
         if args.preset != "c5_10k" else "episode10k_wall_s",
@@ -81,6 +84,12 @@ def main() -> None:
         "steps": steps,
         "n_sampled": int(len(result.state.sampled_idx)),
         "per_step_ms": round(1e3 * wall / max(1, steps), 1),
+        # one-time end-of-episode posterior fetch (device-metrics mode) —
+        # NOT a per-step cost; steady_state excludes it
+        "final_fetch_ms": round(1e3 * sum(final_fetch), 1),
+        "steady_state_per_step_ms": round(
+            1e3 * (wall - sum(final_fetch)) / max(1, steps), 1
+        ),
         "plan_ms_median": round(1e3 * sorted(plan_s)[len(plan_s) // 2], 1),
         "fit_ms_total": round(1e3 * sum(fit_s), 1),
         # per-phase breakdown (episode.Agent._plan_and_metrics profile):

@@ -93,6 +93,7 @@ def main() -> None:
             wall = time.perf_counter() - t0
             curve = [
                 (h["n_sampled"], h["rmse_test"]) for h in result.history
+                if "rmse_test" in h
             ]
             rec = {
                 "strategy": strategy,

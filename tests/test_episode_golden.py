@@ -161,7 +161,7 @@ def test_c5_episode_all_strategies(strategy):
     assert hist[0]["phase"] == "pilot"
     assert len(hist) > 1, f"{strategy}: no planning steps ran"
     # budget strictly decreases and is respected
-    budgets = [h["budget_left"] for h in hist]
+    budgets = [h["budget_left"] for h in hist if "budget_left" in h]
     assert all(b2 < b1 + 1e-9 for b1, b2 in zip(budgets, budgets[1:]))
     # learning happened: final RMSE below pilot RMSE
     assert result.rmse < hist[0]["rmse"]
@@ -320,8 +320,11 @@ def test_c10_table_episode_end_to_end(tmp_path):
     assert env.X.shape == (env.n, 5)  # 2 spatial + 3 feature dims
     result = Agent(env, cfg).run(max_steps=6)
     assert len(result.history) > 1
-    # held-out RMSE is logged every round and finite
+    # held-out RMSE is logged every planning round and finite (the
+    # trailing "final" fetch record carries timing only)
     for h in result.history:
+        if h.get("phase") == "final":
+            continue
         assert "rmse_test" in h and np.isfinite(h["rmse_test"])
     assert np.isfinite(result.rmse_test)
     # mixed modality produced both sensor classes

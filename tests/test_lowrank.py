@@ -428,7 +428,11 @@ def test_device_metrics_equivalent_to_host(rng, num_inducing):
     np.testing.assert_array_equal(
         results[True].state.sampled_idx, results[False].state.sampled_idx
     )
-    for ha, hb in zip(results[False].history, results[True].history):
+    def metric_records(r):
+        return [h for h in r.history if "rmse" in h]
+
+    for ha, hb in zip(metric_records(results[False]),
+                      metric_records(results[True])):
         assert abs(ha["rmse"] - hb["rmse"]) < 2e-4
         assert abs(ha["rmse_test"] - hb["rmse_test"]) < 2e-4
         assert abs(ha["mean_var"] - hb["mean_var"]) < 2e-4
@@ -454,3 +458,78 @@ def test_lowrank_corrections_at_matches_full(rng):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.array(ZT_r), np.array(ZT)[np.array(rows)],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_v_rows_at_matches_full_seed(rng):
+    """The small-factor seed reproduces any rows of VT/dinv with the
+    full seed's per-row arithmetic."""
+    from algp_tpu.ops.kernels import KernelSpec
+
+    spec = KernelSpec("rbf", ds=2)
+    params = spec.init_params(ls_spatial=2.0, outputscale=1.3, noise=0.12)
+    n = 150
+    x = jnp.asarray(rng.uniform(0, 10, (n, 2)), jnp.float32)
+    nv = jnp.full((n,), 0.12**2, jnp.float32)
+    z = x[lr.kcenter_indices(x, 40)]
+    full = lr.lowrank_precision_seed(spec, params, x, nv, z)
+    fac = lr.lowrank_factors_seed(
+        spec, params, x, z, min_noise=1e-3, nv_mult=1.0,
+    )
+    # nv above must equal what the factors seed derives: base = noise²
+    rows = jnp.asarray(
+        rng.choice(n, 30, replace=False).astype(np.int32)
+    )
+    VT_r, dinv_r = lr.v_rows_at(spec, params, fac, x[rows], nv[rows])
+    # per-row equality is to f32 tolerance, not bitwise: XLA's trisolve
+    # accumulation order varies with RHS width, and 1/d amplifies ulp
+    # differences for rows near inducing points (d → nv).  Decision-level
+    # equality is asserted tight in test_plan_step_factors_matches_full_seed.
+    np.testing.assert_allclose(
+        np.asarray(VT_r), np.asarray(full.VT)[np.asarray(rows)],
+        rtol=5e-3, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dinv_r), np.asarray(full.dinv)[np.asarray(rows)],
+        rtol=5e-3,
+    )
+
+
+def test_plan_step_factors_matches_full_seed(rng):
+    """plan_episode_step_lowrank_factors ≡ plan_episode_step_lowrank:
+    same choice, same posterior fields, same set scores."""
+    from algp_tpu.ops.kernels import KernelSpec
+
+    spec = KernelSpec("rbf", ds=2)
+    params = spec.init_params(ls_spatial=2.0, outputscale=1.3, noise=0.12)
+    n, cap, S_sets, k = 180, 16, 10, 5
+    x = jnp.asarray(rng.uniform(0, 11, (n, 2)), jnp.float32)
+    idx = rng.choice(n, 11, replace=False).astype(np.int32)
+    idx_pad = jnp.asarray(np.pad(idx, (0, cap - 11)))
+    count = jnp.asarray(11, jnp.int32)
+    ns_pad = jnp.asarray(
+        np.pad(rng.uniform(1.0, 4.0, 11).astype(np.float32),
+               (0, cap - 11), constant_values=1.0)
+    )
+    y_pad = jnp.asarray(
+        np.pad(rng.standard_normal(11).astype(np.float32), (0, cap - 11))
+    )
+    sets = jnp.asarray(rng.integers(0, n, (S_sets, k)).astype(np.int32))
+    sizes = jnp.asarray(rng.integers(1, k + 1, S_sets).astype(np.int32))
+    costs = jnp.asarray(rng.uniform(2.0, 6.0, S_sets).astype(np.float32))
+    z = x[lr.kcenter_indices(x, 36)]
+
+    seed_full = lr.lowrank_seed_with_z(spec, params, x, z, nv_mult=1.5)
+    b1, mean1, d1, s1 = lr.plan_episode_step_lowrank(
+        spec, params, x, idx_pad, count, ns_pad, y_pad, sets, sizes,
+        costs, seed_full, nv_mult=1.5,
+    )
+    fac = lr.lowrank_factors_seed(spec, params, x, z, nv_mult=1.5)
+    b2, mean2, d2, s2 = lr.plan_episode_step_lowrank_factors(
+        spec, params, x, idx_pad, count, ns_pad, y_pad, sets, sizes,
+        costs, fac, nv_mult=1.5,
+    )
+    assert int(b1) == int(b2)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(mean1), np.asarray(mean2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))

@@ -303,7 +303,9 @@ def test_sharded_episode_matches_single_device(
     assert len(r1.history) == len(r2.history)
     for h1, h2 in zip(r1.history, r2.history):
         for k in ("rmse", "rmse_test", "mean_var"):
-            np.testing.assert_allclose(h1[k], h2[k], rtol=5e-4, atol=5e-5)
+            if k in h1:  # the trailing "final" fetch record has no metrics
+                np.testing.assert_allclose(h1[k], h2[k], rtol=5e-4,
+                                           atol=5e-5)
     np.testing.assert_allclose(r1.rmse, r2.rmse, rtol=5e-4)
     np.testing.assert_allclose(r1.mean, r2.mean, rtol=5e-3, atol=5e-4)
 
