@@ -45,6 +45,18 @@ class FitConfig:
     # compile).  Requires sparse_threshold ≥ sparse_inducing.
     sparse_threshold: int = 0
     sparse_inducing: int = 256
+    # Warm-start refits: after the pilot fit, episode refits start
+    # restart 0 from the INCUMBENT params (the optimum moves little when
+    # a step adds ~10 points to hundreds) and run refit_iters optimizer
+    # steps over refit_restarts inits (the rest stay fresh perturbed
+    # draws from the step key).  Best-ever tracking includes the
+    # incumbent's own NLL, so a warm refit can never end worse than the
+    # params it started from.  0 = disabled (refits are full fits).
+    # Why: the refit program is LATENCY-bound (iters sequential small
+    # ops, ~150 × ~1 ms), and its device time drains into the next fused
+    # step's sync — at 1M it was most of the refit-step overhead.
+    refit_iters: int = 0
+    refit_restarts: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -200,6 +212,10 @@ PRESETS: dict[str, ExperimentConfig] = {
         kernel=KernelSpec(spatial_kind="matern32", ds=2, df=0),
         field=FieldConfig(num_rows=100, num_cols=100, true_ls_spatial=8.0),
         acquisition=AcquisitionConfig(strategy="mi"),
+        # warm refits: held-out RMSE within 0.0002 of full refits over
+        # paired seeds (benchmarks/README.md round-3 study); the refit
+        # program is the dominant refit-step drain
+        fit=FitConfig(refit_iters=60, refit_restarts=2),
         episode=EpisodeConfig(num_pilot=64, budget=400.0, num_waypoints=8,
                               samples_per_step=10, refit_every=4),
     ),
@@ -210,6 +226,7 @@ PRESETS: dict[str, ExperimentConfig] = {
         kernel=KernelSpec(spatial_kind="matern32", ds=2, df=0),
         field=FieldConfig(num_rows=140, num_cols=140, true_ls_spatial=11.0),
         acquisition=AcquisitionConfig(strategy="mi"),
+        fit=FitConfig(refit_iters=60, refit_restarts=2),
         episode=EpisodeConfig(num_pilot=64, budget=560.0, num_waypoints=8,
                               samples_per_step=10, refit_every=4),
     ),
@@ -217,6 +234,9 @@ PRESETS: dict[str, ExperimentConfig] = {
     # regime — FITC field synthesis (synth_inducing) + inducing-point MI
     # complement precision (num_inducing); the exact machinery's N² seed
     # would need ~40 GB HBM here.
+    # (warm refits stay OFF here: over paired seeds one hard field lost
+    # 0.034 held-out RMSE at 60/2 and did not recover by 100/4 — this
+    # preset's FITC fit genuinely benefits from fresh full restarts)
     "c5_100k": ExperimentConfig(
         kernel=KernelSpec(spatial_kind="matern32", ds=2, df=0),
         field=FieldConfig(num_rows=320, num_cols=320, true_ls_spatial=25.0,
@@ -234,6 +254,9 @@ PRESETS: dict[str, ExperimentConfig] = {
         field=FieldConfig(num_rows=1024, num_cols=1024,
                           true_ls_spatial=80.0, synth_inducing=1024),
         acquisition=AcquisitionConfig(strategy="mi", num_inducing=512),
+        # warm refits: bit-equal held-out RMSE on 3 paired seeds at 60/2
+        # (40 iters was measurably worse on ALL seeds — don't lower)
+        fit=FitConfig(refit_iters=60, refit_restarts=2),
         episode=EpisodeConfig(num_pilot=128, budget=4096.0,
                               num_waypoints=8, samples_per_step=10,
                               refit_every=4),
@@ -248,7 +271,8 @@ PRESETS: dict[str, ExperimentConfig] = {
         kernel=KernelSpec(spatial_kind="matern32", ds=2, df=0),
         field=FieldConfig(num_rows=100, num_cols=100, true_ls_spatial=8.0),
         acquisition=AcquisitionConfig(strategy="mi"),
-        fit=FitConfig(restarts=4, sparse_threshold=512, sparse_inducing=256),
+        fit=FitConfig(restarts=4, sparse_threshold=512, sparse_inducing=256,
+                      refit_iters=60, refit_restarts=2),
         episode=EpisodeConfig(num_pilot=64, budget=4800.0, num_waypoints=80,
                               samples_per_step=10, refit_every=4),
     ),

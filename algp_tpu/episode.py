@@ -235,6 +235,18 @@ class Agent:
         — a resumed run derives EXACTLY the keys the uninterrupted run
         would (a split chain would diverge after resume)."""
         x, y, ns, m, _ = self._padded_train(st, raw=True)
+        # warm refits (FitConfig.refit_iters/refit_restarts): every fit
+        # AFTER the pilot fit starts restart 0 from the incumbent params
+        # and runs the shrunk refit_cfg schedule — the refit program is
+        # latency-bound (iters SEQUENTIAL small ops) and its device time
+        # drains into the next fused step's sync.  Deep-kernel episodes
+        # keep full refits (the MLP weights dominate and are already
+        # carried across refits via st.mlp).
+        warm = (
+            st.params is not None
+            and (self.cfg.fit.refit_iters or self.cfg.fit.refit_restarts)
+            and self.cfg.deep is None
+        )
         if self.cfg.deep is not None:
             from algp_tpu.models import networks as nets
 
@@ -255,9 +267,21 @@ class Agent:
             # extra program compile per episode).
             from algp_tpu.models import sparse_gp
 
-            res = sparse_gp.fit_step_sparse(
+            if warm:
+                res = sparse_gp.fit_step_sparse_warm(
+                    self.spec, self.cfg.fit, x, y, ns, base_key, st.step,
+                    num_valid=m, incumbent=st.params,
+                    num_inducing=self.cfg.fit.sparse_inducing,
+                )
+            else:
+                res = sparse_gp.fit_step_sparse(
+                    self.spec, self.cfg.fit, x, y, ns, base_key, st.step,
+                    num_valid=m, num_inducing=self.cfg.fit.sparse_inducing,
+                )
+        elif warm:
+            res = gp_mod.fit_step_warm(
                 self.spec, self.cfg.fit, x, y, ns, base_key, st.step,
-                num_valid=m, num_inducing=self.cfg.fit.sparse_inducing,
+                incumbent=st.params, num_valid=m,
             )
         else:
             res = gp_mod.fit_step(

@@ -305,6 +305,63 @@ def fit_step(
     )
 
 
+def refit_cfg(cfg: FitConfig) -> FitConfig:
+    """The FitConfig a warm REFIT runs under: `refit_iters`/`refit_restarts`
+    override `iters`/`restarts` when set (0 keeps the full-fit value).
+    Identity when warm refits are disabled — single source of the
+    override rule for the exact and sparse warm paths."""
+    if not (cfg.refit_iters or cfg.refit_restarts):
+        return cfg
+    return dataclasses.replace(
+        cfg,
+        iters=cfg.refit_iters or cfg.iters,
+        restarts=cfg.refit_restarts or cfg.restarts,
+    )
+
+
+@partial(jax.jit, static_argnames=("spec", "cfg", "has_noise_scale",
+                                   "has_num_valid"))
+def _fit_step_warm_jit(spec, cfg, x, y, noise_scale, base_key, step,
+                       incumbent, has_noise_scale, num_valid=None,
+                       has_num_valid=False):
+    key = jax.random.fold_in(base_key, step)
+    inits = make_restart_inits(spec, cfg, key)
+    # restart 0: the incumbent replaces the unperturbed config init —
+    # best-ever NLL tracking evaluates it before the first update, so
+    # the refit result is never worse than the params it started from
+    inits = jax.tree_util.tree_map(
+        lambda stacked, inc: stacked.at[0].set(inc), inits, incumbent
+    )
+    return _fit_jit(
+        spec, cfg, x, y, noise_scale, inits, has_noise_scale,
+        num_valid, has_num_valid,
+    )
+
+
+def fit_step_warm(
+    spec: KernelSpec,
+    cfg: FitConfig,
+    x: jax.Array,
+    y: jax.Array,
+    noise_scale: Optional[jax.Array],
+    base_key: jax.Array,
+    step,
+    incumbent: KernelParams,
+    num_valid: Optional[jax.Array] = None,
+) -> FitResult:
+    """`fit_step` with a WARM restart 0: the incumbent params seed the
+    first restart and `refit_cfg` shrinks iters/restarts (the refit
+    program is latency-bound — `cfg.iters` SEQUENTIAL small-op steps —
+    and its device time drains into the next fused episode step's sync).
+    Deterministic for resume exactly like `fit_step`: the key is
+    fold_in(base_key, step) and the incumbent is part of episode state."""
+    return _fit_step_warm_jit(
+        spec, refit_cfg(cfg), x, y, noise_scale, base_key,
+        jnp.asarray(step, jnp.uint32), incumbent, noise_scale is not None,
+        num_valid, num_valid is not None,
+    )
+
+
 @partial(jax.jit, static_argnames=("spec", "cfg", "has_noise_scale"))
 def _fit_multi_jit(spec, cfg, x, Y, noise_scale, inits, has_noise_scale):
     ns = noise_scale if has_noise_scale else None

@@ -215,6 +215,55 @@ def fit_step_sparse(
     )
 
 
+@partial(jax.jit, static_argnames=("spec", "cfg", "num_inducing",
+                                   "has_noise_scale"))
+def _fit_step_sparse_warm_jit(spec, cfg, x, y, noise_scale, base_key, step,
+                              num_valid, incumbent, *, num_inducing,
+                              has_noise_scale):
+    from algp_tpu.acquisition_lowrank import kcenter_indices
+
+    key = jax.random.fold_in(base_key, step)
+    inits = make_restart_inits(spec, cfg, key)
+    # restart 0 = incumbent (see gp.fit_step_warm): best-ever tracking
+    # makes the warm refit's −ELBO ≤ the incumbent's on the new data
+    inits = jax.tree_util.tree_map(
+        lambda stacked, inc: stacked.at[0].set(inc), inits, incumbent
+    )
+    zidx = kcenter_indices(x, num_inducing, num_valid)
+    z = x[zidx]
+    return _fit_sparse_jit(
+        spec, cfg, x, y, z, noise_scale, inits, has_noise_scale,
+        num_valid, True,
+    )
+
+
+def fit_step_sparse_warm(
+    spec: KernelSpec,
+    cfg: FitConfig,
+    x: jax.Array,
+    y: jax.Array,
+    noise_scale: Optional[jax.Array],
+    base_key: jax.Array,
+    step,
+    num_valid: jax.Array,
+    incumbent,
+    *,
+    num_inducing: int,
+) -> FitResult:
+    """`fit_step_sparse` with a warm incumbent restart and
+    `gp.refit_cfg`'s shrunk iters/restarts — the long-campaign refit
+    (O(n·M²) per optimizer step ×150 sequential steps) is the dominant
+    per-refit cost there, and the optimum moves little per step."""
+    from algp_tpu.models.gp import refit_cfg
+
+    return _fit_step_sparse_warm_jit(
+        spec, refit_cfg(cfg), x, y, noise_scale, base_key,
+        jnp.asarray(step, jnp.uint32), jnp.asarray(num_valid, jnp.int32),
+        incumbent, num_inducing=min(num_inducing, x.shape[0]),
+        has_noise_scale=noise_scale is not None,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Posterior
 # ---------------------------------------------------------------------------

@@ -31,6 +31,10 @@ def main() -> None:
                     help="episode preset (c5_10k, or c5_20k for the "
                     "2x-scale headroom run)")
     ap.add_argument("--json", default=None)
+    ap.add_argument("--refit-iters", type=int, default=None,
+                    help="override FitConfig.refit_iters (warm refits)")
+    ap.add_argument("--refit-restarts", type=int, default=None,
+                    help="override FitConfig.refit_restarts (warm refits)")
     args = ap.parse_args()
 
     from algp_tpu.config import PRESETS
@@ -38,6 +42,13 @@ def main() -> None:
     from algp_tpu.field import FieldEnv
 
     base = PRESETS[args.preset]
+    if args.refit_iters is not None or args.refit_restarts is not None:
+        fitc = dataclasses.replace(
+            base.fit,
+            refit_iters=args.refit_iters or base.fit.refit_iters,
+            refit_restarts=args.refit_restarts or base.fit.refit_restarts,
+        )
+        base = dataclasses.replace(base, fit=fitc)
 
     def run(seed: int):
         fieldc = dataclasses.replace(base.field, seed=seed)

@@ -512,3 +512,50 @@ def test_episode_capacity_growth_stays_correct():
     assert agent._max_samples > cap0
     assert np.isfinite(result.rmse)
     assert result.rmse < result.history[0]["rmse"] * 1.2
+
+def test_episode_warm_refits_deterministic_resume_and_quality(tmp_path):
+    """FitConfig.refit_iters/refit_restarts: warm refits (incumbent seeds
+    restart 0, shrunk schedule) keep the episode deterministic and
+    resume-exact — the incumbent is part of the checkpointed state — and
+    land within a sane accuracy band of the full-refit episode."""
+    cfg_full = ExperimentConfig(
+        fit=FitConfig(iters=40, restarts=2),
+        acquisition=AcquisitionConfig(strategy="mi"),
+        episode=EpisodeConfig(num_pilot=8, budget=28.0, num_waypoints=4,
+                              samples_per_step=4, refit_every=2, seed=3),
+    )
+    cfg_warm = dataclasses.replace(
+        cfg_full,
+        fit=FitConfig(iters=40, restarts=2, refit_iters=10,
+                      refit_restarts=2),
+    )
+    full = Agent(small_field(rows=6, cols=10, seed=31), cfg_full).run(
+        max_steps=8
+    )
+    warm = Agent(small_field(rows=6, cols=10, seed=31), cfg_warm).run(
+        max_steps=8
+    )
+    warm2 = Agent(small_field(rows=6, cols=10, seed=31), cfg_warm).run(
+        max_steps=8
+    )
+    np.testing.assert_array_equal(
+        warm.state.sampled_idx, warm2.state.sampled_idx
+    )
+    assert warm.rmse == pytest.approx(warm2.rmse, abs=1e-6)
+    # refits actually ran warm (params moved off the pilot fit) and the
+    # model stayed sane
+    assert np.isfinite(warm.rmse_test)
+    assert abs(warm.rmse_test - full.rmse_test) < 0.2
+    # resume exactness with warm refits
+    half = Agent(small_field(rows=6, cols=10, seed=31), cfg_warm).run(
+        max_steps=3
+    )
+    path = str(tmp_path / "warm.npz")
+    ckpt.save(path, half.state)
+    resumed = Agent(small_field(rows=6, cols=10, seed=31), cfg_warm).run(
+        max_steps=8, resume_from=ckpt.load(path)
+    )
+    np.testing.assert_array_equal(
+        resumed.state.sampled_idx, warm.state.sampled_idx
+    )
+    assert resumed.rmse == pytest.approx(warm.rmse, abs=1e-5)

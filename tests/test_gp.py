@@ -250,3 +250,38 @@ def test_posterior_extend_matches_refactorization(rng):
     m2, v2 = gp_mod.predict(spec, params, post_full, x_test)
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-3)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-3)
+
+def test_refit_cfg_override_rule():
+    cfg = FitConfig(iters=150, restarts=4)
+    assert gp_mod.refit_cfg(cfg) is cfg  # disabled → identity
+    cfg2 = gp_mod.refit_cfg(
+        FitConfig(iters=150, restarts=4, refit_iters=30, refit_restarts=2)
+    )
+    assert cfg2.iters == 30 and cfg2.restarts == 2
+    cfg3 = gp_mod.refit_cfg(FitConfig(iters=150, restarts=4, refit_iters=30))
+    assert cfg3.iters == 30 and cfg3.restarts == 4
+
+
+def test_fit_step_warm_never_worse_than_incumbent(rng):
+    """Warm-refit contract: restart 0 IS the incumbent and best-ever
+    tracking evaluates it before any update, so the refit NLL on the
+    grown data can never exceed the incumbent's NLL there."""
+    spec = KernelSpec("rbf", ds=2)
+    x, y, _ = sample_field(rng, n=140)
+    cfg = FitConfig(iters=80, restarts=2, refit_iters=12, refit_restarts=2)
+    x0 = jnp.asarray(x[:100], jnp.float32)
+    y0 = jnp.asarray(y[:100], jnp.float32)
+    x1, y1 = jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)
+    full = gp_mod.fit(spec, cfg, x0, y0, key=jax.random.PRNGKey(0))
+    warm = gp_mod.fit_step_warm(
+        spec, cfg, x1, y1, None, jax.random.PRNGKey(7), 4, full.params
+    )
+    inc = float(
+        gp_mod.neg_mll(spec, full.params, x1, y1,
+                       min_noise=cfg.min_noise, jitter=cfg.jitter)
+    )
+    assert np.isfinite(float(warm.nll))
+    assert float(warm.nll) <= inc + 1e-3
+    # the shrunk refit schedule actually ran: 2 restarts × 12 iters
+    assert warm.all_nlls.shape == (2,)
+    assert np.array(warm.nll_trace).shape == (2, 12)

@@ -232,3 +232,43 @@ def test_episode_sparse_threshold_validation():
     )
     with pytest.raises(ValueError, match="sparse_threshold"):
         Agent(FieldEnv(bad.field, bad.kernel), bad)
+
+def test_fit_step_sparse_warm_never_worse_than_incumbent(rng):
+    """Warm sparse refit: the incumbent seeds restart 0, so the −ELBO on
+    the grown data (with the SAME in-program k-center design) can never
+    exceed the incumbent's."""
+    import jax
+
+    from algp_tpu.acquisition_lowrank import kcenter_indices
+
+    spec, params, x, K, nv = setup_field(rng, n=80)
+    y = rng.standard_normal(80).astype(np.float32)
+    cap = 96
+    xp = np.zeros((cap, x.shape[1]), np.float32)
+    xp[:80] = x
+    yp = np.zeros(cap, np.float32)
+    yp[:80] = y
+    cfg = FitConfig(iters=40, restarts=2, sparse_inducing=24,
+                    refit_iters=8, refit_restarts=2)
+    base = jax.random.PRNGKey(11)
+    # incumbent: full fit on the first 60 rows
+    m0 = jnp.asarray(60, jnp.int32)
+    inc = sgp.fit_step_sparse(
+        spec, cfg, jnp.asarray(xp), jnp.asarray(yp * (np.arange(cap) < 60)),
+        None, base, 0, num_valid=m0, num_inducing=24,
+    )
+    m1 = jnp.asarray(80, jnp.int32)
+    warm = sgp.fit_step_sparse_warm(
+        spec, cfg, jnp.asarray(xp), jnp.asarray(yp), None, base, 4,
+        num_valid=m1, incumbent=inc.params, num_inducing=24,
+    )
+    zidx = kcenter_indices(jnp.asarray(xp), 24, m1)
+    z = jnp.asarray(xp)[zidx]
+    inc_elbo = float(sgp.neg_elbo(
+        spec, inc.params, jnp.asarray(xp), jnp.asarray(yp), z,
+        min_noise=cfg.min_noise, jitter=cfg.jitter, num_valid=m1,
+    ))
+    assert np.isfinite(float(warm.nll))
+    assert float(warm.nll) <= inc_elbo + 1e-3
+    assert warm.all_nlls.shape == (2,)
+    assert np.array(warm.nll_trace).shape == (2, 8)
