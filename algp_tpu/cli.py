@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rows", type=int, help="field rows")
     p.add_argument("--cols", type=int, help="ranges per row")
     p.add_argument("--features", type=int, help="feature dims (composite kernel)")
+    p.add_argument("--feature-warp", choices=("none", "tanh", "sin"),
+                   help="synthetic truth's nonlinear feature structure "
+                   "(FieldConfig.feature_warp; the regime where "
+                   "--deep-hidden has something to learn)")
     p.add_argument("--budget", type=float, help="episode travel budget")
     p.add_argument("--num-pilot", type=int)
     p.add_argument("--samples-per-step", type=int)
@@ -103,6 +107,7 @@ def config_from_args(args) -> ExperimentConfig:
                num_inducing=args.num_inducing)
     field = rep(field, num_rows=args.rows, num_cols=args.cols,
                 num_features=args.features, noise_std=args.noise_std,
+                feature_warp=args.feature_warp,
                 cheap_noise_mult=args.cheap_noise_mult,
                 data_path=args.data_path, seed=args.seed,
                 num_traits=args.num_traits,

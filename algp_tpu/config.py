@@ -69,6 +69,11 @@ class MLPSpec:
     # tanh keeps embeddings bounded, so the feature lengthscales stay in
     # a sane range and the joint optimization is well-conditioned
     activation: str = "tanh"
+    # L2 penalty on the MLP weight matrices added to the −MLL (deep
+    # kernel learning overfits the marginal likelihood through the
+    # embedding if the weights are unconstrained — the classic DKL
+    # pathology; measured in benchmarks/deepkernel_study.py).  0 = off.
+    weight_decay: float = 0.0
 
     def dims(self, df: int) -> list:
         return [df, *self.hidden, self.out]
@@ -117,6 +122,15 @@ class FieldConfig:
     # fitted jointly by models.gp.fit_multi (one batched program)
     num_traits: int = 1
     value_cols: Optional[tuple] = None
+    # nonlinear feature→response structure for SYNTHETIC fields: "none"
+    # draws truth from the stationary composite GP over the raw features
+    # (a stationary feature kernel is then perfectly specified); "tanh"
+    # warps the features through a fixed random two-layer tanh map ψ
+    # BEFORE the truth kernel while the env still exposes the RAW
+    # features — the mis-specified regime where a learned deep feature
+    # kernel (models/networks.py) has something to learn
+    # (benchmarks/deepkernel_study.py).  Ignored for table data.
+    feature_warp: str = "none"
     seed: int = 0
 
     @property

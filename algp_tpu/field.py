@@ -99,8 +99,42 @@ class FieldEnv:
             if df
             else np.zeros((self.n, 0), np.float32)
         )
+        # feature_warp: the TRUTH kernel sees ψ(feats) while the env
+        # exposes raw feats — a stationary feature kernel on the raw
+        # features is then mis-specified (FieldConfig.feature_warp)
+        truth_feats = feats
+        if df and cfg.feature_warp != "none":
+            if cfg.feature_warp not in ("tanh", "sin"):
+                raise ValueError(
+                    f"unknown feature_warp {cfg.feature_warp!r}; "
+                    "use 'none', 'tanh' or 'sin'"
+                )
+            wrng = np.random.default_rng(cfg.seed + 7919)
+            scale = 2.0 / np.sqrt(df)
+            # low-dimensional latent factor structure (genotype panels:
+            # many markers, few causal factors): the warp PROJECTS df
+            # features onto dz = max(1, df//4) nonlinear factors.  An
+            # ARD kernel on the raw features can only rescale axes — it
+            # cannot rotate into the factor subspace, which is exactly
+            # what a learned embedding can (the textbook DKL regime).
+            dz = max(1, df // 4)
+            W1 = wrng.standard_normal((df, dz)).astype(np.float32) * scale
+            b1 = wrng.standard_normal((dz,)).astype(np.float32)
+            if cfg.feature_warp == "tanh":
+                truth_feats = np.tanh(2.0 * (feats @ W1) + b1)
+            else:
+                # non-monotone multi-scale variant of the same projection
+                truth_feats = np.sin(2.0 * (feats @ W1) + b1)
         if spec is None:
             spec = KernelSpec("rbf", "rbf", ds=2, df=df)
+        if truth_feats.shape[1] != df:
+            # the warp projects to dz latent factors — the TRUTH kernel
+            # samples over (xy, ψ) at feature width dz
+            spec = KernelSpec(
+                spatial_kind=spec.spatial_kind,
+                feature_kind=spec.feature_kind or "rbf",
+                ds=spec.ds, df=truth_feats.shape[1],
+            )
         params = spec.init_params(
             ls_spatial=cfg.true_ls_spatial,
             ls_feature=cfg.true_ls_feature,
@@ -108,7 +142,8 @@ class FieldEnv:
             noise=1.0,  # unused for sampling
         )
         x_all = jnp.asarray(
-            np.concatenate([xy, feats], axis=1) if df else xy, jnp.float32
+            np.concatenate([xy, truth_feats], axis=1) if df else xy,
+            jnp.float32,
         )
         T = max(1, cfg.num_traits)
         if cfg.synth_inducing and cfg.synth_inducing < self.n:

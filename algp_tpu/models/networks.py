@@ -105,10 +105,18 @@ def _deep_fit_jit(kspec, mspec, cfg, x, y, kinits, mlp0,
                 kp, log_noise=lax.stop_gradient(kp.log_noise)
             )
         z = embed_inputs(mspec, mlp, x, kspec.ds)
-        return gp_mod.neg_mll(
+        nll = gp_mod.neg_mll(
             espec, kp, z, y, ns, min_noise=cfg.min_noise,
             jitter=cfg.jitter, num_valid=nvalid,
         )
+        if mspec.weight_decay:
+            # L2 prior on the embedding weights: without it the MLP can
+            # game the marginal likelihood (warp training points to
+            # convenient locations) without generalizing — the standard
+            # DKL regularisation.  Biases stay free.
+            wd = sum(jnp.sum(W * W) for W, _ in mlp)
+            nll = nll + 0.5 * mspec.weight_decay * wd
+        return nll
 
     opt = optax.adam(cfg.learning_rate)
 

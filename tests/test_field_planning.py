@@ -252,3 +252,28 @@ def test_rmse_traits_per_trait_observation_masks(tmp_path):
     assert r[0] == pytest.approx(0.0) and r[1] == pytest.approx(0.0)
     rt = env.rmse_traits(means, test_only=True)
     assert rt[1] == pytest.approx(0.0)
+
+def test_feature_warp_changes_truth_not_inputs():
+    """FieldConfig.feature_warp: the truth kernel sees ψ(feats), the env
+    exposes raw features unchanged — and the warp is deterministic."""
+    from algp_tpu.config import FieldConfig
+    from algp_tpu.field import FieldEnv
+    from algp_tpu.ops.kernels import KernelSpec
+
+    spec = KernelSpec("matern52", "rbf", ds=2, df=3)
+    base = dict(num_rows=6, num_cols=8, num_features=3, seed=5)
+    env0 = FieldEnv(FieldConfig(**base), spec)
+    env1 = FieldEnv(FieldConfig(feature_warp="tanh", **base), spec)
+    env1b = FieldEnv(FieldConfig(feature_warp="tanh", **base), spec)
+    # same raw features exposed either way
+    np.testing.assert_array_equal(env0.features, env1.features)
+    np.testing.assert_array_equal(np.asarray(env0.X), np.asarray(env1.X))
+    # truth differs under the warp, deterministically
+    assert not np.allclose(env0.f, env1.f)
+    np.testing.assert_array_equal(env1.f, env1b.f)
+    assert np.isfinite(env1.f).all()
+    # unknown warp rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        FieldEnv(FieldConfig(feature_warp="bogus", **base), spec)

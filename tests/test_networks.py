@@ -155,3 +155,31 @@ def test_cli_greedy_deep_kernel(capsys):
     out = capsys.readouterr().out.strip().splitlines()
     rec = json.loads(out[-1])
     assert np.isfinite(rec["final_rmse"])
+
+def test_weight_decay_shrinks_embedding_weights(rng):
+    """MLPSpec.weight_decay: the L2 prior on embedding weights must pull
+    the fitted weight norm down (the DKL overfitting mitigation measured
+    in benchmarks/deepkernel_study.py)."""
+    from algp_tpu.config import MLPSpec
+
+    x, y = make_nonlinear_feature_data(rng, n=120)
+    spec = KernelSpec("matern52", "rbf", ds=2, df=1)
+    cfg = FitConfig(iters=60, restarts=1)
+    key = jax.random.PRNGKey(0)
+
+    def wnorm(mlp):
+        return float(sum(float(jnp.sum(W * W)) for W, _ in mlp))
+
+    free = nets.fit_deep(
+        spec, MLPSpec(hidden=(8,), out=2, weight_decay=0.0), cfg,
+        jnp.asarray(x), jnp.asarray(y), key=key,
+    )
+    tight = nets.fit_deep(
+        spec, MLPSpec(hidden=(8,), out=2, weight_decay=5.0), cfg,
+        jnp.asarray(x), jnp.asarray(y), key=key,
+    )
+    assert np.isfinite(float(free.nll)) and np.isfinite(float(tight.nll))
+    assert wnorm(tight.mlp) < wnorm(free.mlp)
+    # the penalized objective includes the prior term, so the free fit's
+    # raw nll must be <= the tight fit's penalized one minus its penalty
+    assert wnorm(tight.mlp) < 0.9 * wnorm(free.mlp)
