@@ -142,3 +142,35 @@ env10 = FieldEnv(cfg10.field, cfg10.kernel)
 r10 = Agent(env10, cfg10).run()
 print(f"10. long campaign: {len(r10.state.sampled_idx)} samples — refits "
       f"switched to the collapsed SGPR bound past 40 (6x cheaper at n≈1k)")
+
+# 11. Warm refits: incumbent-seeded refit schedule (round-3) ----------------
+# the refit program is latency-bound (iters sequential small ops); after
+# the pilot fit, refits start restart 0 from the incumbent and run a
+# shrunk schedule — never worse than the incumbent by construction.
+# Scale presets (c5_10k/20k/1m/long) ship with the measured-safe 60/2.
+cfg11 = dataclasses.replace(
+    cfg, fit=dataclasses.replace(cfg.fit, refit_iters=60, refit_restarts=2)
+)
+env11 = FieldEnv(cfg11.field, cfg11.kernel)
+r11 = Agent(env11, cfg11).run()
+print(f"11. warm refits:  RMSE {r11.rmse:.3f} (refit device time ~2.5x "
+      f"cheaper; quality measured per preset — see benchmarks/README.md)")
+
+# 12. Deep feature kernel on a latent-factor field (round-3) ----------------
+# truth depends on 8 features only through 2 nonlinear factors; the
+# stationary ARD kernel cannot rotate into the factor subspace, the
+# learned embedding can (needs data: wins at n~800, overfits at n~320 —
+# keep MLPSpec.weight_decay on).
+from algp_tpu.config import FieldConfig, MLPSpec
+
+cfg12 = dataclasses.replace(
+    cfg,
+    kernel=KernelSpec("matern52", "rbf", ds=2, df=8),
+    field=FieldConfig(num_rows=20, num_cols=30, num_features=8,
+                      feature_warp="tanh", true_ls_feature=0.8, seed=0),
+    deep=MLPSpec(hidden=(16,), out=8, weight_decay=0.1),
+)
+env12 = FieldEnv(cfg12.field, cfg12.kernel)
+r12 = Agent(env12, cfg12).run(max_steps=6)
+print(f"12. deep kernel:  RMSE {r12.rmse:.3f} on a warped-feature field "
+      f"(embedding trained jointly with the MLL inside the episode)")
