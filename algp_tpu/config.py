@@ -275,6 +275,25 @@ PRESETS: dict[str, ExperimentConfig] = {
                               num_waypoints=8, samples_per_step=10,
                               refit_every=4),
     ),
+    # 5 at 400× north-star scale (2048×2048 ≈ 4.19M points): the
+    # ladder's ceiling probe on one chip.  The dominant residency is the
+    # fused step's two cap×N f32 panels (K rows + conditioned basis,
+    # ~5.9 GB each at cap≈352) — budget/waypoints are chosen to keep
+    # cap at the c5_1m level; M = 512 low-rank state is O(N·M)-free
+    # (small-factor seed).
+    "c5_4m": ExperimentConfig(
+        kernel=KernelSpec(spatial_kind="matern32", ds=2, df=0),
+        field=FieldConfig(num_rows=2048, num_cols=2048,
+                          true_ls_spatial=160.0, synth_inducing=512),
+        acquisition=AcquisitionConfig(strategy="mi", num_inducing=512),
+        fit=FitConfig(refit_iters=60, refit_restarts=2),
+        # cap slots cost 2·N·4 B ≈ 33.5 MB EACH at 4.19M (the two
+        # cap×N panels); 96 pilots + 8 samples/step keep the padded cap
+        # at 272 → ~9.1 GB of panels (128/10 → cap 352 OOMed by 259 MB)
+        episode=EpisodeConfig(num_pilot=96, budget=8192.0,
+                              num_waypoints=8, samples_per_step=8,
+                              refit_every=4),
+    ),
     # 5 as a LONG CAMPAIGN at north-star scale: a budget funding ~160
     # planning steps (~1.7k samples) on the 10k grid — the regime where
     # the exact O(n³)-per-step refit stops being free.  Past 512 sampled

@@ -73,7 +73,9 @@ class _PlanBundle:
 
     @property
     def empty(self) -> bool:
-        return not self.nodes or self.cost <= 0 or not self.sites
+        # len() (not truthiness): nodes may be a numpy view over the
+        # native enumerator's arena rather than a list
+        return len(self.nodes) == 0 or self.cost <= 0 or not self.sites
 
 
 @dataclasses.dataclass
@@ -554,10 +556,11 @@ class Agent:
             mean, var = self.predict_field(st)
             return self._host_bundle(take, float(slice_budget), take, mean, var)
 
-        paths = planning.enumerate_paths(
-            self.env, st.pose, slice_budget, max_paths=self._pad_paths
+        batch = planning.enumerate_batch(
+            self.env, st.pose, slice_budget, max_paths=self._pad_paths,
+            k_max=self._k_max,
         )
-        if not paths:
+        if not len(batch):
             # terminal plan (budget slice exhausted / pose cornered): the
             # full-field posterior fetch here IS the episode's final
             # fetch — log it as such, or at 1M it reads as ~0.5 s of
@@ -569,7 +572,6 @@ class Agent:
                 final_fetch_s=round(time.perf_counter() - t0, 4),
             )
             return self._host_bundle([], 0.0, [], mean, var)
-        batch = planning.paths_to_batch(self.env, paths, k_max=self._k_max)
         # pad the batch to the static compile shape
         P = self._pad_paths
         sets = np.zeros((P, self._k_max), np.int32)

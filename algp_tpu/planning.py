@@ -123,7 +123,22 @@ def enumerate_paths(
     (short stubs waste replanning overhead); falls back to everything
     enumerated if none qualify.  Deterministic: stable enumeration order,
     longest-first among equal-cost.
+
+    Engine: the native C enumerator (`algp_tpu.native/pathenum.c`) when
+    a C compiler is available — the Python generator's per-prefix list
+    churn measured 15-23 ms per planning step at the 1M grid, the C path
+    is < 1 ms with identical semantics (equality-pinned by
+    tests/test_field_planning.py; `ALGP_TPU_NO_NATIVE=1` forces Python).
     """
+    from algp_tpu import native
+
+    res = native.enumerate_paths_native(
+        env.num_rows, env.num_cols,
+        float(env.cfg.col_spacing), float(env.cfg.row_spacing),
+        int(start), float(budget), max_paths, max_turns, min_cost_frac,
+    )
+    if res is not None:
+        return res
     all_paths = []
     seen = set()
     for seq, cost in _row_segments(env, start, budget, max_turns):
@@ -170,6 +185,45 @@ def paths_to_batch(
         ends[p] = seq[-1]
         seqs.append(seq)
     return PathBatch(node_seqs=seqs, sets=sets, sizes=sizes, costs=costs, ends=ends)
+
+
+def enumerate_batch(
+    env: FieldEnv,
+    start: int,
+    budget: float,
+    *,
+    max_paths: int = 256,
+    k_max: int = 10,
+    max_turns: int = 2,
+    min_cost_frac: float = 0.5,
+) -> PathBatch:
+    """`enumerate_paths` + `paths_to_batch` in one call — the episode's
+    per-step entry.  On the native engine this skips the intermediate
+    list-of-lists entirely (node sequences stay numpy views over the C
+    arena buffer), which is where most of the enumeration wall-clock
+    went at large grids; thinning/cost/end math is IDENTICAL to
+    `paths_to_batch` (same np.linspace/round/unique calls on the same
+    scalars), so the resulting batch is bit-equal either way."""
+    from algp_tpu import native
+
+    raw = native.enumerate_paths_raw(
+        env.num_rows, env.num_cols,
+        float(env.cfg.col_spacing), float(env.cfg.row_spacing),
+        int(start), float(budget), max_paths, max_turns, min_cost_frac,
+        k_max=k_max,
+    )
+    if raw is None:
+        return paths_to_batch(
+            env,
+            enumerate_paths(env, start, budget, max_paths=max_paths,
+                            max_turns=max_turns,
+                            min_cost_frac=min_cost_frac),
+            k_max=k_max,
+        )
+    all_nodes, offs, lens, costs_d, P, sets, sizes, ends = raw
+    seqs = [all_nodes[offs[p]: offs[p] + lens[p]] for p in range(P)]
+    return PathBatch(node_seqs=seqs, sets=sets[:P], sizes=sizes[:P],
+                     costs=costs_d[:P].astype(np.float32), ends=ends[:P])
 
 
 def boustrophedon_order(env: FieldEnv) -> np.ndarray:

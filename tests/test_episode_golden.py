@@ -434,7 +434,7 @@ def test_c5_fused_plan_metrics_match_posterior(strategy):
 
     def checking(st):
         bundle = orig(st)
-        if not bundle.nodes:
+        if len(bundle.nodes) == 0:
             return bundle
         # reference posterior over the padded train buffers
         from algp_tpu.models import gp as gp_mod

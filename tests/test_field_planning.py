@@ -277,3 +277,103 @@ def test_feature_warp_changes_truth_not_inputs():
 
     with pytest.raises(ValueError):
         FieldEnv(FieldConfig(feature_warp="bogus", **base), spec)
+
+def test_native_path_enumerator_matches_python(monkeypatch):
+    """The C enumerator (algp_tpu/native/pathenum.c) must reproduce the
+    Python generator EXACTLY — same paths, same order, bit-equal costs —
+    across geometries, spacings, poses and budgets (the planner's
+    determinism is part of the selection-fidelity contract)."""
+    import pytest
+
+    from algp_tpu import native
+    from algp_tpu import planning
+    from algp_tpu.config import FieldConfig
+    from algp_tpu.field import FieldEnv
+
+    probe = native.enumerate_paths_native(4, 6, 1.0, 1.0, 0, 8.0, 64, 2, 0.5)
+    if probe is None:
+        pytest.skip("no C toolchain — native enumerator unavailable")
+
+    cases = [
+        # rows, cols, cs, rs, start, budget, max_paths
+        (6, 10, 1.0, 1.0, 0, 12.0, 256),
+        (6, 10, 1.0, 1.0, 37, 20.0, 256),
+        (8, 12, 0.3, 0.7, 95, 6.5, 128),
+        (3, 25, 1.0, 2.0, 24, 40.0, 256),   # headland-right start
+        (12, 4, 0.5, 0.5, 26, 9.0, 64),     # narrow field, middle start
+        (5, 5, 1.0, 1.0, 12, 100.0, 256),   # budget >> field
+        (2, 30, 1.0, 1.0, 0, 3.0, 32),      # tiny budget
+        (10, 10, 1.7, 0.9, 55, 14.3, 200),  # irrational-ish costs
+    ]
+    for rows, cols, cs, rs, start, budget, mp in cases:
+        env = FieldEnv(FieldConfig(
+            num_rows=rows, num_cols=cols, col_spacing=cs, row_spacing=rs,
+            seed=1,
+        ))
+        nat = native.enumerate_paths_native(
+            rows, cols, cs, rs, start, budget, mp, 2, 0.5
+        )
+        monkeypatch.setenv("ALGP_TPU_NO_NATIVE", "1")
+        py = planning.enumerate_paths(env, start, budget, max_paths=mp)
+        monkeypatch.delenv("ALGP_TPU_NO_NATIVE")
+        assert len(nat) == len(py), (rows, cols, start, budget)
+        for (ns, ncost), (ps, pcost) in zip(nat, py):
+            assert ns == ps, (rows, cols, start, budget)
+            assert ncost == pcost  # bit-equal doubles (same accumulation)
+
+
+def test_episode_identical_with_and_without_native_enumerator(monkeypatch):
+    from algp_tpu.config import (
+        AcquisitionConfig, EpisodeConfig, ExperimentConfig, FieldConfig,
+        FitConfig,
+    )
+    from algp_tpu.episode import Agent
+    from algp_tpu.field import FieldEnv
+
+    cfg = ExperimentConfig(
+        fit=FitConfig(iters=25, restarts=1),
+        acquisition=AcquisitionConfig(strategy="mi"),
+        episode=EpisodeConfig(num_pilot=6, budget=20.0, num_waypoints=4,
+                              samples_per_step=4, seed=2),
+    )
+    fieldc = FieldConfig(num_rows=6, num_cols=10, seed=13)
+    r_native = Agent(FieldEnv(fieldc), cfg).run(max_steps=6)
+    monkeypatch.setenv("ALGP_TPU_NO_NATIVE", "1")
+    r_py = Agent(FieldEnv(fieldc), cfg).run(max_steps=6)
+    np.testing.assert_array_equal(
+        r_native.state.sampled_idx, r_py.state.sampled_idx
+    )
+    assert r_native.rmse == r_py.rmse
+
+def test_enumerate_batch_native_equals_python_batch(monkeypatch):
+    """The episode's one-call batch builder must produce bit-equal
+    sets/sizes/costs/ends and identical node sequences on the native and
+    Python engines."""
+    import pytest
+
+    from algp_tpu import native
+    from algp_tpu import planning
+    from algp_tpu.config import FieldConfig
+    from algp_tpu.field import FieldEnv
+
+    if native.enumerate_paths_raw(4, 6, 1.0, 1.0, 0, 8.0, 64, 2, 0.5) is None:
+        pytest.skip("no C toolchain — native enumerator unavailable")
+
+    for rows, cols, cs, rs, start, budget in (
+        (6, 10, 1.0, 1.0, 0, 12.0),
+        (8, 12, 0.3, 0.7, 95, 6.5),
+        (12, 4, 0.5, 0.5, 26, 9.0),
+    ):
+        env = FieldEnv(FieldConfig(num_rows=rows, num_cols=cols,
+                                   col_spacing=cs, row_spacing=rs, seed=1))
+        b_nat = planning.enumerate_batch(env, start, budget, k_max=6)
+        monkeypatch.setenv("ALGP_TPU_NO_NATIVE", "1")
+        b_py = planning.enumerate_batch(env, start, budget, k_max=6)
+        monkeypatch.delenv("ALGP_TPU_NO_NATIVE")
+        np.testing.assert_array_equal(b_nat.sets, b_py.sets)
+        np.testing.assert_array_equal(b_nat.sizes, b_py.sizes)
+        np.testing.assert_array_equal(b_nat.costs, b_py.costs)
+        np.testing.assert_array_equal(b_nat.ends, b_py.ends)
+        assert len(b_nat.node_seqs) == len(b_py.node_seqs)
+        for a, b in zip(b_nat.node_seqs, b_py.node_seqs):
+            assert list(a) == list(b)
