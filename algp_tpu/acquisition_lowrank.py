@@ -65,6 +65,14 @@ _HIGH = lax.Precision.HIGHEST
 #: the inducing Cholesky PD even with duplicated/near-duplicate centers.
 _Z_JITTER = 1e-6
 
+#: lowrank_factors_seed streams its O(N·M²) B-assembly pass once the
+#: (M, N) Ut buffer would exceed this (the monolithic program peaks at
+#: ~2.5 × the buffer: a 512×4.19M seed measured 16 G on a 15.75 G v5e).
+#: Below it, the monolithic pass is kept so existing seeds (≤ 1M presets)
+#: stay bit-identical.
+_SEED_CHUNK_BYTES = 5 * 2**30
+_SEED_CHUNK = 1 << 20
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
@@ -143,7 +151,12 @@ def lowrank_precision_seed(
     M = z.shape[0]
     os_ = jnp.exp(params.log_outputscale)
     Kzz = gram(spec, params, z, z) + _Z_JITTER * os_ * jnp.eye(M, dtype=jnp.float32)
-    Lzz = jnp.linalg.cholesky(Kzz)
+    # adaptive-jitter rescue: a dense k-center design on a small, smooth
+    # grid can push cond(K_zz) past f32 even with the fixed relative
+    # jitter; try 0 of safe_cholesky IS the plain factor bitwise, so
+    # healthy seeds are unchanged while pathological ones escalate
+    # instead of silently poisoning every selection with NaNs
+    Lzz, _ = la.safe_cholesky(Kzz, initial_jitter=1e-5)
     if use_pallas:
         Kzx = gram_pallas(spec, params, z, x)
     else:
@@ -427,22 +440,59 @@ def lowrank_factors_seed(
     Candidate noise derived from the fitted params in-program, as
     `lowrank_seed_with_z`."""
     M = z.shape[0]
+    N = x.shape[0]
     base = jnp.maximum(jnp.exp(2.0 * params.log_noise), min_noise * min_noise)
-    nv = jnp.full((x.shape[0],), nv_mult, jnp.float32) * base
     os_ = jnp.exp(params.log_outputscale)
     Kzz = gram(spec, params, z, z) + _Z_JITTER * os_ * jnp.eye(
         M, dtype=jnp.float32
     )
-    Lzz = jnp.linalg.cholesky(Kzz)
-    if use_pallas:
-        Kzx = gram_pallas(spec, params, z, x)
-    else:
-        Kzx = gram(spec, params, z, x)
-    Ut = la.solve_triangular(Lzz, Kzx)  # (M, N)
-    qdiag = jnp.sum(Ut * Ut, axis=0)
-    d = jnp.maximum(gram_diag(spec, params, x) - qdiag, 0.0) + nv
-    A = Ut * (1.0 / d)[None, :]
-    B = jnp.eye(M, dtype=jnp.float32) + jnp.dot(A, Ut.T, precision=_HIGH)
+    # adaptive-jitter rescue (see lowrank_precision_seed): try 0 is the
+    # plain factor bitwise, so healthy seeds are unchanged
+    Lzz, _ = la.safe_cholesky(Kzz, initial_jitter=1e-5)
+    if 4 * M * N <= _SEED_CHUNK_BYTES:
+        nv = jnp.full((N,), nv_mult, jnp.float32) * base
+        if use_pallas:
+            Kzx = gram_pallas(spec, params, z, x)
+        else:
+            Kzx = gram(spec, params, z, x)
+        Ut = la.solve_triangular(Lzz, Kzx)  # (M, N)
+        qdiag = jnp.sum(Ut * Ut, axis=0)
+        d = jnp.maximum(gram_diag(spec, params, x) - qdiag, 0.0) + nv
+        A = Ut * (1.0 / d)[None, :]
+        B = jnp.eye(M, dtype=jnp.float32) + jnp.dot(A, Ut.T, precision=_HIGH)
+        return LowRankFactors(Lzz=Lzz, LB=jnp.linalg.cholesky(B), z=z)
+
+    # streamed pass: B = I + Σ_chunks A_c Ut_cᵀ — the (M, N) Ut is never
+    # resident; each chunk's Gram, trisolve, diagonal, and M×M partial
+    # product run inside ONE fori_loop body (still a single async
+    # dispatch).  The tail chunk is padded with x[0] rows whose A-columns
+    # are masked to zero, so padding contributes nothing to B.
+    c = min(_SEED_CHUNK, N)
+    n_pad = (N + c - 1) // c * c
+    x_pad = jnp.concatenate(
+        [x, jnp.broadcast_to(x[:1], (n_pad - N, x.shape[1]))]
+    )
+    valid = (jnp.arange(n_pad) < N).astype(jnp.float32)
+
+    def body(i, Bacc):
+        xc = lax.dynamic_slice_in_dim(x_pad, i * c, c)
+        vc = lax.dynamic_slice_in_dim(valid, i * c, c)
+        if use_pallas:
+            Kzc = gram_pallas(spec, params, z, xc)
+        else:
+            Kzc = gram(spec, params, z, xc)
+        Uc = la.solve_triangular(Lzz, Kzc)  # (M, c)
+        qc = jnp.sum(Uc * Uc, axis=0)
+        dc = (
+            jnp.maximum(gram_diag(spec, params, xc) - qc, 0.0)
+            + nv_mult * base
+        )
+        Ac = Uc * (vc / dc)[None, :]
+        return Bacc + jnp.dot(Ac, Uc.T, precision=_HIGH)
+
+    B = jnp.eye(M, dtype=jnp.float32) + lax.fori_loop(
+        0, n_pad // c, body, jnp.zeros((M, M), jnp.float32)
+    )
     return LowRankFactors(Lzz=Lzz, LB=jnp.linalg.cholesky(B), z=z)
 
 

@@ -30,6 +30,11 @@ from algp_tpu.ops.kernels import KernelSpec
 
 MODALITIES = ("precise", "cheap")
 
+# _synthesize_lowrank streams its candidate axis once the (m, n) Kzx
+# buffer exceeds this (peak HBM ≈ 2.5 × the buffer; see the method)
+_SYNTH_CHUNK_BYTES = 5 * 2**30
+_SYNTH_CHUNK = 1 << 20
+
 
 @dataclasses.dataclass
 class Sample:
@@ -188,16 +193,58 @@ class FieldEnv:
         Kzz = gram(spec, params, z, z) + 1e-6 * os_ * jnp.eye(
             m, dtype=jnp.float32
         )
-        Lzz = jnp.linalg.cholesky(Kzz)
-        Kzx = gram_pallas(spec, params, z, x_all)
-        Ut = ops_la.solve_triangular(Lzz, Kzx)  # (m, n)
-        resid = jnp.maximum(
-            gram_diag(spec, params, x_all) - jnp.sum(Ut * Ut, axis=0), 0.0
-        )
+        # adaptive-jitter rescue: dense k-center designs on small smooth
+        # grids can exceed f32 conditioning at the fixed relative jitter;
+        # try 0 of safe_cholesky is the plain factor bitwise, so every
+        # healthy field is unchanged
+        Lzz, _ = ops_la.safe_cholesky(Kzz, initial_jitter=1e-5)
         k1, k2 = jax.random.split(jax.random.PRNGKey(cfg.seed))
         zm = jax.random.normal(k1, (m, T))
         zn = jax.random.normal(k2, (self.n, T))
-        return Ut.T @ zm + jnp.sqrt(resid)[:, None] * zn
+        # HBM gate: the monolithic path peaks at ~2.5 × the (m, n) Kzx
+        # buffer (arguments + trisolve panel temps + the Ut output — the
+        # c5_4m probe measured 16.25 G at m·n·4 B = 8.6 G, a 259 M OOM on
+        # a 15.75 G v5e).  Past 5 GB, stream the candidate axis through
+        # ONE reused jitted chunk program instead; below it, keep the
+        # monolithic program so existing fields stay bit-identical.
+        if 4 * m * self.n <= _SYNTH_CHUNK_BYTES:
+            Kzx = gram_pallas(spec, params, z, x_all)
+            Ut = ops_la.solve_triangular(Lzz, Kzx)  # (m, n)
+            resid = jnp.maximum(
+                gram_diag(spec, params, x_all) - jnp.sum(Ut * Ut, axis=0),
+                0.0,
+            )
+            return Ut.T @ zm + jnp.sqrt(resid)[:, None] * zn
+
+        @jax.jit
+        def chunk_fn(x_chunk, zn_chunk):
+            Kzc = gram_pallas(spec, params, z, x_chunk)  # (m, c)
+            Ut = ops_la.solve_triangular(Lzz, Kzc)
+            resid = jnp.maximum(
+                gram_diag(spec, params, x_chunk) - jnp.sum(Ut * Ut, axis=0),
+                0.0,
+            )
+            return Ut.T @ zm + jnp.sqrt(resid)[:, None] * zn_chunk
+
+        c = min(_SYNTH_CHUNK, self.n)  # peak ≈ 2.5·m·c·4 B ≈ 5.4 GB @ m=512
+        n_pad = (self.n + c - 1) // c * c
+        # pad with row 0 (inert: padded outputs are truncated below) so
+        # every chunk runs the SAME compiled program
+        x_pad = jnp.concatenate(
+            [x_all, jnp.broadcast_to(x_all[:1], (n_pad - self.n,
+                                                 x_all.shape[1]))]
+        )
+        zn_pad = jnp.concatenate(
+            [zn, jnp.zeros((n_pad - self.n, T), zn.dtype)]
+        )
+        out = [
+            chunk_fn(
+                jax.lax.dynamic_slice_in_dim(x_pad, i * c, c),
+                jax.lax.dynamic_slice_in_dim(zn_pad, i * c, c),
+            )
+            for i in range(n_pad // c)
+        ]
+        return jnp.concatenate(out)[: self.n]
 
     def _load_table(self, path: str):
         """Load a phenotype table: CSV with `row`, `range`, a value column

@@ -134,7 +134,8 @@ def _sharded_lr_seed_jit(mesh, spec, params, x, z, *, min_noise, nv_mult,
         Kzz = gram(spec, params, z, z) + _Z_JITTER * os_ * jnp.eye(
             M, dtype=jnp.float32
         )
-        Lzz = jnp.linalg.cholesky(Kzz)
+        # adaptive-jitter rescue, bitwise-plain when healthy
+        Lzz, _ = la.safe_cholesky(Kzz, initial_jitter=1e-5)
         Ut_loc = la.solve_triangular(Lzz, gram(spec, params, z, x_loc))
         qdiag_loc = jnp.sum(Ut_loc * Ut_loc, axis=0)
         d_fitc = (

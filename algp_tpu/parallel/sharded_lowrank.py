@@ -117,7 +117,9 @@ def _sharded_lowrank_jit(
         Kzz = gram(spec, params, z, z) + _Z_JITTER * os_ * jnp.eye(
             M, dtype=jnp.float32
         )
-        Lzz = jnp.linalg.cholesky(Kzz)
+        # adaptive-jitter rescue, bitwise-plain when healthy (replicated
+        # in-shard: Kzz is built from the replicated z on every shard)
+        Lzz, _ = la.safe_cholesky(Kzz, initial_jitter=1e-5)
         Kzx_loc = gram(spec, params, z, x_loc)  # (M, n_loc)
         Ut_loc = la.solve_triangular(Lzz, Kzx_loc)
         qdiag_loc = jnp.sum(Ut_loc * Ut_loc, axis=0)

@@ -286,6 +286,28 @@ def test_lowrank_field_synthesis(rng):
     assert r_near > 0.9  # rbf ls=6 ⇒ theoretical neighbor corr ≈ 0.986
 
 
+def test_lowrank_field_synthesis_chunked(rng, monkeypatch):
+    """The streamed (chunked-candidate-axis) FITC synthesis — the path
+    grids past ~2.6M points take (the monolithic (m, n) Kzx buffer OOMed
+    a 16 GB v5e at 4.19M) — draws the SAME field as the monolithic
+    program up to float-level reassociation."""
+    from algp_tpu import field as field_mod
+    from algp_tpu.config import FieldConfig
+    from algp_tpu.field import FieldEnv
+    from algp_tpu.ops.kernels import KernelSpec
+
+    cfg = FieldConfig(num_rows=40, num_cols=40, true_ls_spatial=6.0,
+                      synth_inducing=220, seed=3)
+    env_mono = FieldEnv(cfg, KernelSpec("rbf", ds=2))
+    # force the streamed path with a chunk that does NOT divide n = 1600
+    # (exercises the inert-row padding of the last chunk)
+    monkeypatch.setattr(field_mod, "_SYNTH_CHUNK_BYTES", 0)
+    monkeypatch.setattr(field_mod, "_SYNTH_CHUNK", 704)
+    env_chunk = FieldEnv(cfg, KernelSpec("rbf", ds=2))
+    np.testing.assert_allclose(env_chunk.f, env_mono.f, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(env_chunk.test_mask, env_mono.test_mask)
+
+
 def test_episode_lowrank_smoke(rng):
     """A full informative-path MI episode through the low-rank planning
     path (num_inducing > 0): runs to budget, finite metrics, and the
@@ -492,6 +514,33 @@ def test_v_rows_at_matches_full_seed(rng):
         np.asarray(dinv_r), np.asarray(full.dinv)[np.asarray(rows)],
         rtol=5e-3,
     )
+
+
+def test_factors_seed_chunked_matches_monolithic(rng, monkeypatch):
+    """The streamed B-assembly (taken once the (M, N) Ut buffer would
+    blow HBM — the 4.19M-grid regime) produces the same small factors as
+    the monolithic pass up to f32 reassociation, including a tail chunk
+    that needs inert padding."""
+    from algp_tpu.ops.kernels import KernelSpec
+
+    spec = KernelSpec("rbf", ds=2)
+    params = spec.init_params(ls_spatial=2.0, outputscale=1.3, noise=0.12)
+    n = 150
+    x = jnp.asarray(rng.uniform(0, 10, (n, 2)), jnp.float32)
+    z = x[lr.kcenter_indices(x, 40)]
+    fac_mono = lr.lowrank_factors_seed(spec, params, x, z, nv_mult=1.5)
+    monkeypatch.setattr(lr, "_SEED_CHUNK_BYTES", 0)
+    monkeypatch.setattr(lr, "_SEED_CHUNK", 64)  # 64 ∤ 150 → padded tail
+    lr.lowrank_factors_seed.clear_cache()
+    try:
+        fac_chunk = lr.lowrank_factors_seed(spec, params, x, z, nv_mult=1.5)
+    finally:
+        lr.lowrank_factors_seed.clear_cache()
+    np.testing.assert_array_equal(np.asarray(fac_mono.Lzz),
+                                  np.asarray(fac_chunk.Lzz))
+    np.testing.assert_allclose(np.asarray(fac_mono.LB),
+                               np.asarray(fac_chunk.LB),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_plan_step_factors_matches_full_seed(rng):
