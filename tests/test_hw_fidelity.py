@@ -170,3 +170,36 @@ def test_tpu_sgpr_matches_f64_oracle():
     # differences between the MXU and CPU chains
     np.testing.assert_allclose(np.asarray(mean), m_ref, atol=2.5e-2)
     np.testing.assert_allclose(np.asarray(var), v_ref, atol=2.5e-2)
+
+
+def test_tpu_dense_inducing_design_seed_is_finite():
+    """Regression (observed 2026-08-18, TPU-only): a DENSE k-center
+    design on a small smooth grid (220 inducing of a 40x40 / ls=6 field)
+    pushes cond(K_zz) past what f32 + the fixed 1e-6 relative jitter can
+    factor — the TPU's Cholesky NaN'd where the CPU's did not, silently
+    poisoning the whole seed.  The safe_cholesky rescue must keep the
+    factors finite ON HARDWARE for both the precision seed and the
+    small-factor seed, and the streamed field synthesis must produce a
+    finite field."""
+    from algp_tpu import acquisition_lowrank as lr
+    from algp_tpu import field as field_mod
+    from algp_tpu.config import FieldConfig
+
+    rows, cols = 40, 40
+    r, c = np.divmod(np.arange(rows * cols), cols)
+    x = jnp.asarray(np.stack([c * 1.0, r * 1.0], 1), jnp.float32)
+    spec = KernelSpec("rbf", ds=2)
+    params = spec.init_params(ls_spatial=6.0, outputscale=1.0, noise=0.1)
+    z = x[lr.kcenter_indices(x, 220)]
+    seed = lr.lowrank_seed_with_z(spec, params, x, z)
+    assert np.isfinite(np.asarray(seed.VT)).all()
+    assert np.isfinite(np.asarray(seed.pdiag)).all()
+    fac = lr.lowrank_factors_seed(spec, params, x, z)
+    assert np.isfinite(np.asarray(fac.Lzz)).all()
+    assert np.isfinite(np.asarray(fac.LB)).all()
+    env = field_mod.FieldEnv(
+        FieldConfig(num_rows=40, num_cols=40, true_ls_spatial=6.0,
+                    synth_inducing=220, seed=3),
+        spec,
+    )
+    assert np.isfinite(env.f).all()
