@@ -289,7 +289,11 @@ PRESETS: dict[str, ExperimentConfig] = {
         fit=FitConfig(refit_iters=60, refit_restarts=2),
         # cap slots cost 2·N·4 B ≈ 33.5 MB EACH at 4.19M (the two
         # cap×N panels); 96 pilots + 8 samples/step keep the padded cap
-        # at 272 → ~9.1 GB of panels (128/10 → cap 352 OOMed by 259 MB)
+        # at 272 → ~9.1 GB of panels.  (The "cap 352 OOMed by 259 MB"
+        # diagnosis of 2026-08-17 was wrong: that overage reproduced at
+        # cap 272 and was the monolithic (M, N) field-synthesis buffer,
+        # since streamed — see field._SYNTH_CHUNK.  272 is kept as the
+        # validated configuration with ~3.5 GB of panel headroom.)
         episode=EpisodeConfig(num_pilot=96, budget=8192.0,
                               num_waypoints=8, samples_per_step=8,
                               refit_every=4),

@@ -67,6 +67,9 @@ class FieldEnv:
             [cols * cfg.col_spacing, rows * cfg.row_spacing], axis=1
         ).astype(np.float32)
 
+        #: device-resident f32 truth (set by _synthesize; None for table
+        #: envs, whose small fields upload in one cheap transfer)
+        self.f_dev = None
         if cfg.data_path is not None:
             feats, f = self._load_table(cfg.data_path)
         else:
@@ -152,15 +155,18 @@ class FieldEnv:
         )
         T = max(1, cfg.num_traits)
         if cfg.synth_inducing and cfg.synth_inducing < self.n:
-            traits = np.asarray(
-                self._synthesize_lowrank(spec, params, x_all, T),
-                dtype=np.float64,
-            )
+            traits_dev = self._synthesize_lowrank(spec, params, x_all, T)
         else:
             K = gram_pallas(spec, params, x_all, x_all)
             L, jit_used = la.safe_cholesky(K, initial_jitter=1e-5)
             z = jax.random.normal(jax.random.PRNGKey(cfg.seed), (self.n, T))
-            traits = np.asarray(L @ z, dtype=np.float64)  # (n, T) indep.
+            traits_dev = L @ z  # (n, T) indep.
+        # keep the f32 truth field DEVICE-resident for the episode's
+        # device-side metric reductions: the f32→f64→f32 round trip is
+        # exact, so this is bit-identical to re-uploading env.f — and the
+        # re-upload costs ~1.5 s through the relay tunnel at 4.19M
+        self.f_dev = traits_dev[:, 0]
+        traits = np.asarray(traits_dev, dtype=np.float64)
         self.traits = traits
         f = traits[:, 0]
         if not np.isfinite(f).all():

@@ -9,7 +9,7 @@ Runs, on the real TPU:
   4. the 10k-grid config-5 episode benchmark,
   5. the 100k low-rank selection benchmark,
   6. the 100k config-5 episode benchmark,
-  7. the 1M config-5 episode benchmark (5 steps),
+  7. the 1M config-5 episode benchmark (8 steps),
 and writes one committed artifact benchmarks/round_r{N}.json so perf and
 fidelity regressions leave a paper trail per round, not just in driver
 logs.  Each episode's per-step time is asserted against a REGRESSION
@@ -105,21 +105,26 @@ def main() -> None:
 
     rc, lines = run(
         [py, "benchmarks/episode10k_bench.py", "--preset", "c5_1m",
-         "--steps", "5"], timeout=3600,
+         "--steps", "8"], timeout=3600,
     )
     out["episode1m"] = (
         json.loads(lines[-1]) if rc == 0 and lines else {"ok": False}
     )
 
     # per-step regression budgets ≈ 2.2× the best committed artifact
-    # (episode10k/100k/1m ladder: 104.5 / 110.9 / 347.7 ms per step,
-    # benchmarks/README.md r02 final) — a transient pool band passes,
-    # a real 2× regression fails the ritual
+    # (episode10k/100k/1m steady state: ~102 / ~110 / ~200 ms per step,
+    # benchmarks/README.md r03) — a transient pool band passes, a real
+    # 2× regression fails the ritual.  Budgets check the STEADY-STATE
+    # per-step time: at the ritual's short step counts the one-time
+    # episode startup (pilot fit + initial seed + first-execution
+    # stalls) would otherwise dominate the signal.
     budgets_ms = {"episode10k": 230.0, "episode100k": 250.0,
-                  "episode1m": 765.0}
+                  "episode1m": 450.0}
     out["step_budgets"] = {}
     for key, budget in budgets_ms.items():
-        got = out[key].get("per_step_ms")
+        got = out[key].get(
+            "steady_state_per_step_ms", out[key].get("per_step_ms")
+        )
         out["step_budgets"][key] = {
             "budget_ms": budget,
             "per_step_ms": got,

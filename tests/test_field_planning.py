@@ -377,3 +377,74 @@ def test_enumerate_batch_native_equals_python_batch(monkeypatch):
         assert len(b_nat.node_seqs) == len(b_py.node_seqs)
         for a, b in zip(b_nat.node_seqs, b_py.node_seqs):
             assert list(a) == list(b)
+
+
+def test_device_resident_truth_matches_host_upload():
+    """env.f_dev (kept on device from synthesis) must equal the f32
+    upload of env.f bitwise — f32→f64→f32 round-trips exactly — and the
+    Agent's device-built masks must equal the host uploads, for both the
+    dense and the FITC synthesis paths."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from algp_tpu.config import PRESETS
+    from algp_tpu.episode import Agent
+    from algp_tpu.field import FieldEnv
+    from algp_tpu.ops.kernels import KernelSpec
+
+    for synth_inducing in (0, 220):
+        cfg = FieldConfig(num_rows=30, num_cols=30, true_ls_spatial=5.0,
+                          synth_inducing=synth_inducing, seed=11)
+        env = FieldEnv(cfg, KernelSpec("rbf", ds=2))
+        assert env.f_dev is not None
+        np.testing.assert_array_equal(
+            np.asarray(env.f_dev), np.asarray(env.f, np.float32),
+        )
+        base = PRESETS["c5_episode"]
+        ecfg = dataclasses.replace(
+            base, field=cfg,
+            episode=dataclasses.replace(base.episode, device_metrics=True),
+        )
+        agent = Agent(env, ecfg)
+        f_true, obs, test = agent._truth()
+        np.testing.assert_array_equal(
+            np.asarray(f_true), np.asarray(env.f, np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(obs), np.asarray(env.observed_mask, np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(test), np.asarray(env.test_mask, np.float32))
+
+
+def test_lowrank_z_subsample_gate(monkeypatch):
+    """Past the subsample gate the episode's inducing design comes from a
+    strided sub-grid: still actual candidate rows, still m distinct
+    points; below the gate the design is the full-grid maximin."""
+    import dataclasses
+
+    from algp_tpu import episode as ep_mod
+    from algp_tpu.config import PRESETS
+    from algp_tpu.episode import Agent
+    from algp_tpu.field import FieldEnv
+    from algp_tpu.ops.kernels import KernelSpec
+
+    cfg = FieldConfig(num_rows=30, num_cols=30, true_ls_spatial=5.0,
+                      synth_inducing=120, seed=7)
+    env = FieldEnv(cfg, KernelSpec("rbf", ds=2))
+    base = PRESETS["c5_episode"]
+    ecfg = dataclasses.replace(
+        base, field=cfg,
+        acquisition=dataclasses.replace(base.acquisition, num_inducing=48),
+    )
+    z_full = np.asarray(Agent(env, ecfg)._lowrank_z())
+    monkeypatch.setattr(ep_mod, "_KCENTER_SUBSAMPLE", 256)
+    monkeypatch.setattr(ep_mod, "_KCENTER_TARGET", 256)
+    z_sub = np.asarray(Agent(env, ecfg)._lowrank_z())
+    assert z_sub.shape == z_full.shape
+    X = np.asarray(env.X)
+    stride = -(-env.n // 256)
+    Xs = X[::stride]
+    for zrow in z_sub:
+        assert (np.abs(Xs - zrow).sum(1) == 0).any()  # a real sub-grid row
+    assert len(np.unique(z_sub, axis=0)) == len(z_sub)
+    assert len(np.unique(z_full, axis=0)) == len(z_full)
