@@ -4,8 +4,12 @@ path (SURVEY.md §3.5, §6; VERDICT r1 missing #4).
 
 Prints one JSON line with the total wall-clock (warm; compiles excluded by
 a warm-up episode on a second seed) and per-step breakdown.  Timing is
-honest by construction: the episode's metrics come from host transfers of
-the posterior field every step, so wall-clock cannot under-report.
+honest by construction: every step ends in a synchronizing device→host
+read (the full posterior field on ≤16k grids, the device-reduced metric
+scalars past that), so wall-clock cannot under-report.  NOTE: per-step
+figures amortize the one-time episode startup (pilot fit, initial seed,
+first-execution stalls) over `steps`; `steady_state_per_step_ms` excludes
+only the final posterior fetch.
 
     python benchmarks/episode10k_bench.py [--steps 12] [--json out.json]
 """
