@@ -313,6 +313,24 @@ PRESETS: dict[str, ExperimentConfig] = {
         episode=EpisodeConfig(num_pilot=64, budget=4800.0, num_waypoints=80,
                               samples_per_step=10, refit_every=4),
     ),
+    # LONG CAMPAIGN at the MILLION-point grid: the two scale subsystems
+    # combined — low-rank (FITC) MI planning over N = 1.05M candidates
+    # AND episode-scale SGPR refits once the sampled set passes 512.
+    # Budget funds ~80 planning steps (~900 samples); max_samples
+    # pre-sizes the static buffers (capacity growth = full recompiles)
+    # and keeps the fused step's two cap×N panels at 2·960·N·4 B
+    # ≈ 7.7 GB — inside one chip's HBM with ~4 GB headroom.
+    "c5_1m_long": ExperimentConfig(
+        kernel=KernelSpec(spatial_kind="matern32", ds=2, df=0),
+        field=FieldConfig(num_rows=1024, num_cols=1024,
+                          true_ls_spatial=80.0, synth_inducing=1024),
+        acquisition=AcquisitionConfig(strategy="mi", num_inducing=512),
+        fit=FitConfig(sparse_threshold=512, sparse_inducing=256,
+                      refit_iters=60, refit_restarts=2),
+        episode=EpisodeConfig(num_pilot=128, budget=20480.0,
+                              num_waypoints=40, samples_per_step=10,
+                              refit_every=4, max_samples=960),
+    ),
     # Real-table experiment (SURVEY.md §2 C10): phenotype CSV with genotype
     # features, composite spatial×feature kernel, mixed sensing modalities.
     "c10_table": ExperimentConfig(
