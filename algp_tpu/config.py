@@ -316,10 +316,12 @@ PRESETS: dict[str, ExperimentConfig] = {
     # LONG CAMPAIGN at the MILLION-point grid: the two scale subsystems
     # combined — low-rank (FITC) MI planning over N = 1.05M candidates
     # AND episode-scale SGPR refits once the sampled set passes 512.
-    # Budget funds ~80 planning steps (~900 samples); max_samples
+    # Budget funds ~42 planning steps (~548 samples measured at seed 0 —
+    # paths here cost a full slice, not c5_long's half); max_samples
     # pre-sizes the static buffers (capacity growth = full recompiles)
-    # and keeps the fused step's two cap×N panels at 2·960·N·4 B
-    # ≈ 7.7 GB — inside one chip's HBM with ~4 GB headroom.
+    # and keeps the fused step's two cap×N panels at 2·640·N·4 B
+    # ≈ 5.4 GB (a 960-cap first attempt hit a transient runtime
+    # ResourceExhausted at ~8 GB of panels — keep the headroom).
     "c5_1m_long": ExperimentConfig(
         kernel=KernelSpec(spatial_kind="matern32", ds=2, df=0),
         field=FieldConfig(num_rows=1024, num_cols=1024,
@@ -329,7 +331,7 @@ PRESETS: dict[str, ExperimentConfig] = {
                       refit_iters=60, refit_restarts=2),
         episode=EpisodeConfig(num_pilot=128, budget=20480.0,
                               num_waypoints=40, samples_per_step=10,
-                              refit_every=4, max_samples=960),
+                              refit_every=4, max_samples=640),
     ),
     # Real-table experiment (SURVEY.md §2 C10): phenotype CSV with genotype
     # features, composite spatial×feature kernel, mixed sensing modalities.

@@ -217,6 +217,43 @@ def test_episode_sparse_crossover(rng):
     assert r_s.rmse_test < max(2.0 * r_e.rmse_test, r_e.rmse_test + 0.15)
 
 
+def test_episode_sparse_refit_with_lowrank_planner(rng):
+    """SGPR refits and the LOW-RANK MI planner combined in one episode —
+    the c5_1m_long configuration scaled down: refits cross
+    sparse_threshold mid-campaign while planning flows through the FITC
+    complement precision (num_inducing > 0), so the sparse-fit params
+    feed the low-rank seed.  Sane quality, finite state, threshold
+    actually crossed."""
+    import dataclasses
+
+    from algp_tpu.config import PRESETS
+    from algp_tpu.episode import Agent
+    from algp_tpu.field import FieldEnv
+
+    base = PRESETS["c5_episode"]
+    fieldc = dataclasses.replace(base.field, num_rows=10, num_cols=14,
+                                 seed=5)
+    epc = dataclasses.replace(
+        base.episode, num_pilot=12, budget=120.0, num_waypoints=12,
+        samples_per_step=6, refit_every=2, seed=2,
+    )
+    cfg = dataclasses.replace(
+        base, field=fieldc, episode=epc,
+        fit=FitConfig(iters=30, restarts=2, sparse_threshold=40,
+                      sparse_inducing=32, refit_iters=20, refit_restarts=1),
+        acquisition=dataclasses.replace(base.acquisition, strategy="mi",
+                                        num_inducing=48),
+    )
+    env = FieldEnv(fieldc, cfg.kernel)
+    pilot_rmse = None
+    r = Agent(env, cfg).run(max_steps=10)
+    assert len(r.state.sampled_idx) > 40  # crossed the sparse threshold
+    assert np.isfinite(r.rmse) and np.isfinite(r.mean).all()
+    assert np.isfinite(r.var).all() and (r.var >= 0).all()
+    pilot_rmse = [h["rmse_test"] for h in r.history if "rmse_test" in h][0]
+    assert r.rmse_test < pilot_rmse  # the campaign actually learned
+
+
 def test_episode_sparse_threshold_validation():
     import dataclasses
 
