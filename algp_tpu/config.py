@@ -288,15 +288,17 @@ PRESETS: dict[str, ExperimentConfig] = {
         acquisition=AcquisitionConfig(strategy="mi", num_inducing=512),
         fit=FitConfig(refit_iters=60, refit_restarts=2),
         # cap slots cost 2·N·4 B ≈ 33.5 MB EACH at 4.19M (the two
-        # cap×N panels); 96 pilots + 8 samples/step keep the padded cap
-        # at 272 → ~9.1 GB of panels.  (The "cap 352 OOMed by 259 MB"
-        # diagnosis of 2026-08-17 was wrong: that overage reproduced at
-        # cap 272 and was the monolithic (M, N) field-synthesis buffer,
-        # since streamed — see field._SYNTH_CHUNK.  272 is kept as the
-        # validated configuration with ~3.5 GB of panel headroom.)
+        # cap×N panels).  The budget funds 9 full-slice steps × 8
+        # samples + 96 pilots = 168 measured at seed 0; max_samples 192
+        # (3 steps of slack) keeps the panels at ~6.4 GB — the 2·w+6
+        # heuristic would pad to 272 (~9.1 GB), and panel residency AND
+        # step time both scale with cap.  (The 2026-08-17 "cap 352
+        # OOMed by 259 MB" diagnosis was wrong: that overage reproduced
+        # at cap 272 and was the monolithic (M, N) field-synthesis
+        # buffer, since streamed — see field._SYNTH_CHUNK.)
         episode=EpisodeConfig(num_pilot=96, budget=8192.0,
                               num_waypoints=8, samples_per_step=8,
-                              refit_every=4),
+                              refit_every=4, max_samples=192),
     ),
     # 5 as a LONG CAMPAIGN at north-star scale: a budget funding ~160
     # planning steps (~1.7k samples) on the 10k grid — the regime where
