@@ -10,6 +10,8 @@ Runs, on the real TPU:
   5. the 100k low-rank selection benchmark,
   6. the 100k config-5 episode benchmark,
   7. the 1M config-5 episode benchmark (8 steps),
+  8. the 1M LONG-campaign benchmark (SGPR refits + low-rank planning),
+  9. the 4.19M config-5 episode benchmark (the ladder's ceiling),
 and writes one committed artifact benchmarks/round_r{N}.json so perf and
 fidelity regressions leave a paper trail per round, not just in driver
 logs.  Each episode's per-step time is asserted against a REGRESSION
@@ -111,6 +113,22 @@ def main() -> None:
         json.loads(lines[-1]) if rc == 0 and lines else {"ok": False}
     )
 
+    rc, lines = run(
+        [py, "benchmarks/episode10k_bench.py", "--preset", "c5_1m_long",
+         "--steps", "100"], timeout=3600,
+    )
+    out["episode1m_long"] = (
+        json.loads(lines[-1]) if rc == 0 and lines else {"ok": False}
+    )
+
+    rc, lines = run(
+        [py, "benchmarks/episode10k_bench.py", "--preset", "c5_4m",
+         "--steps", "12"], timeout=3600,
+    )
+    out["episode4m"] = (
+        json.loads(lines[-1]) if rc == 0 and lines else {"ok": False}
+    )
+
     # per-step regression budgets ≈ 2.2× the best committed artifact
     # (episode10k/100k/1m steady state: ~102 / ~110 / ~200 ms per step,
     # benchmarks/README.md r03) — a transient pool band passes, a real
@@ -119,7 +137,8 @@ def main() -> None:
     # episode startup (pilot fit + initial seed + first-execution
     # stalls) would otherwise dominate the signal.
     budgets_ms = {"episode10k": 230.0, "episode100k": 250.0,
-                  "episode1m": 450.0}
+                  "episode1m": 450.0, "episode1m_long": 310.0,
+                  "episode4m": 640.0}
     out["step_budgets"] = {}
     for key, budget in budgets_ms.items():
         got = out[key].get(
