@@ -154,19 +154,47 @@ class FieldEnv:
             jnp.float32,
         )
         T = max(1, cfg.num_traits)
-        if cfg.synth_inducing and cfg.synth_inducing < self.n:
-            traits_dev = self._synthesize_lowrank(spec, params, x_all, T)
-        else:
+
+        def draw():
+            if cfg.synth_inducing and cfg.synth_inducing < self.n:
+                return self._synthesize_lowrank(spec, params, x_all, T)
             K = gram_pallas(spec, params, x_all, x_all)
             L, jit_used = la.safe_cholesky(K, initial_jitter=1e-5)
             z = jax.random.normal(jax.random.PRNGKey(cfg.seed), (self.n, T))
-            traits_dev = L @ z  # (n, T) indep.
+            return L @ z  # (n, T) indep.
+
+        # The monolithic synthesis peaks near ~13 GB at the 1M preset
+        # (chunking it is NOT bit-identical — XLA's trisolve varies with
+        # RHS width — so the ≤1M fields keep the monolithic program and
+        # their bits).  On a SHARED TPU pool that peak can transiently
+        # collide with another tenant's residency: a run that fit at
+        # 04:12 threw runtime RESOURCE_EXHAUSTED at 05:10 with the pool
+        # back to 14 GB allocatable minutes later.  Synthesis is a pure
+        # function of the config, so recompute-and-retry is exact.
+        traits = None
+        for attempt in range(3):
+            try:
+                traits_dev = draw()
+                traits = np.asarray(traits_dev, dtype=np.float64)
+                break
+            except Exception as e:  # jax runtime errors share no base
+                if "RESOURCE_EXHAUSTED" not in str(e) or attempt == 2:
+                    raise
+                import time as _time
+                import warnings
+
+                warnings.warn(
+                    f"field synthesis hit a transient device OOM "
+                    f"(attempt {attempt + 1}/3, n={self.n}) — retrying "
+                    f"in 10 s (shared-pool residency pressure)",
+                    RuntimeWarning,
+                )
+                _time.sleep(10.0)
         # keep the f32 truth field DEVICE-resident for the episode's
         # device-side metric reductions: the f32→f64→f32 round trip is
         # exact, so this is bit-identical to re-uploading env.f — and the
         # re-upload costs ~1.5 s through the relay tunnel at 4.19M
         self.f_dev = traits_dev[:, 0]
-        traits = np.asarray(traits_dev, dtype=np.float64)
         self.traits = traits
         f = traits[:, 0]
         if not np.isfinite(f).all():
