@@ -35,6 +35,35 @@ MODALITIES = ("precise", "cheap")
 _SYNTH_CHUNK_BYTES = 5 * 2**30
 _SYNTH_CHUNK = 1 << 20
 
+#: seconds between transient-OOM retries (see _retry_transient_oom)
+_OOM_RETRY_SLEEP_S = 10.0
+
+
+def _retry_transient_oom(fn, attempts: int = 3, what: str = "device work"):
+    """Run `fn()` retrying on RESOURCE_EXHAUSTED — the SHARED TPU pool
+    throws it transiently when another tenant's residency collides with
+    a big-peak program (a c5_1m synthesis that fit at 04:12 failed at
+    05:10 and fit again minutes later with 14 GB allocatable).  Only
+    meaningful when `fn` is a pure recomputation; anything else must
+    re-raise immediately — which non-OOM errors do."""
+    for attempt in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # jax runtime errors share no base class
+            if "RESOURCE_EXHAUSTED" not in str(e) or attempt == attempts - 1:
+                raise
+            import time as _time
+            import warnings
+
+            warnings.warn(
+                f"{what} hit a transient device OOM (attempt "
+                f"{attempt + 1}/{attempts}) — retrying in "
+                f"{_OOM_RETRY_SLEEP_S:.0f} s (shared-pool residency "
+                f"pressure)",
+                RuntimeWarning,
+            )
+            _time.sleep(_OOM_RETRY_SLEEP_S)
+
 
 @dataclasses.dataclass
 class Sample:
@@ -166,30 +195,15 @@ class FieldEnv:
         # The monolithic synthesis peaks near ~13 GB at the 1M preset
         # (chunking it is NOT bit-identical — XLA's trisolve varies with
         # RHS width — so the ≤1M fields keep the monolithic program and
-        # their bits).  On a SHARED TPU pool that peak can transiently
-        # collide with another tenant's residency: a run that fit at
-        # 04:12 threw runtime RESOURCE_EXHAUSTED at 05:10 with the pool
-        # back to 14 GB allocatable minutes later.  Synthesis is a pure
-        # function of the config, so recompute-and-retry is exact.
-        traits = None
-        for attempt in range(3):
-            try:
-                traits_dev = draw()
-                traits = np.asarray(traits_dev, dtype=np.float64)
-                break
-            except Exception as e:  # jax runtime errors share no base
-                if "RESOURCE_EXHAUSTED" not in str(e) or attempt == 2:
-                    raise
-                import time as _time
-                import warnings
+        # their bits).  Synthesis is a pure function of the config, so
+        # recompute-and-retry on a transient pool OOM is exact.
+        def draw_and_fetch():
+            td = draw()
+            return td, np.asarray(td, dtype=np.float64)
 
-                warnings.warn(
-                    f"field synthesis hit a transient device OOM "
-                    f"(attempt {attempt + 1}/3, n={self.n}) — retrying "
-                    f"in 10 s (shared-pool residency pressure)",
-                    RuntimeWarning,
-                )
-                _time.sleep(10.0)
+        traits_dev, traits = _retry_transient_oom(
+            draw_and_fetch, what=f"field synthesis (n={self.n})"
+        )
         # keep the f32 truth field DEVICE-resident for the episode's
         # device-side metric reductions: the f32→f64→f32 round trip is
         # exact, so this is bit-identical to re-uploading env.f — and the

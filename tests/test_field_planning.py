@@ -448,3 +448,42 @@ def test_lowrank_z_subsample_gate(monkeypatch):
         assert (np.abs(Xs - zrow).sum(1) == 0).any()  # a real sub-grid row
     assert len(np.unique(z_sub, axis=0)) == len(z_sub)
     assert len(np.unique(z_full, axis=0)) == len(z_full)
+
+
+def test_retry_transient_oom(monkeypatch):
+    """The shared-pool OOM retry: retries ONLY on RESOURCE_EXHAUSTED,
+    re-raises other errors immediately, gives up after `attempts`, and
+    returns the first successful result."""
+    import pytest
+
+    from algp_tpu import field as field_mod
+
+    monkeypatch.setattr(field_mod, "_OOM_RETRY_SLEEP_S", 0.0)
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("TPU backend error RESOURCE_EXHAUSTED blah")
+        return "ok"
+
+    with pytest.warns(RuntimeWarning, match="transient device OOM"):
+        assert field_mod._retry_transient_oom(flaky) == "ok"
+    assert calls["n"] == 3
+
+    def always_oom():
+        raise RuntimeError("RESOURCE_EXHAUSTED forever")
+
+    with pytest.raises(RuntimeError, match="forever"), \
+            pytest.warns(RuntimeWarning):
+        field_mod._retry_transient_oom(always_oom, attempts=2)
+
+    calls["n"] = 0
+
+    def other_error():
+        calls["n"] += 1
+        raise ValueError("not an OOM")
+
+    with pytest.raises(ValueError):
+        field_mod._retry_transient_oom(other_error)
+    assert calls["n"] == 1  # no retry on non-OOM errors
