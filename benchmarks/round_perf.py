@@ -36,27 +36,34 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run(cmd, env_extra=None, timeout=900, retries=0):
-    """Run a benchmark subprocess; `retries` re-runs it on failure —
-    the shared pool throws TRANSIENT runtime RESOURCE_EXHAUSTED when
-    another tenant's residency collides with a big-peak program (a
-    c5_1m synthesis that fit minutes earlier failed, then fit again),
-    and a ritual artifact should record regressions, not pool weather."""
+    """Run a benchmark subprocess; `retries` re-runs it — but ONLY on
+    the transient pool-weather error class (runtime RESOURCE_EXHAUSTED:
+    another tenant's residency colliding with a big-peak program — a
+    c5_1m synthesis that fit minutes earlier failed, then fit again).
+    Any other nonzero exit (assertion, NaN crash) is returned as-is:
+    a ritual artifact must record regressions, not paper over them.
+    Returns (rc, stdout_lines, retry_count) — retries taken are recorded
+    in the artifact so a weather-assisted pass leaves a trace."""
     env = dict(os.environ)
     # APPEND the repo to PYTHONPATH (never clobber: the TPU plugin's
     # site dir must stay on it — see CLAUDE.md)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     if env_extra:
         env.update(env_extra)
+    retried = 0
     for attempt in range(retries + 1):
         p = subprocess.run(
             cmd, cwd=REPO, env=env, capture_output=True, text=True,
             timeout=timeout,
         )
         if p.returncode == 0 or attempt == retries:
-            return p.returncode, p.stdout.strip().splitlines()
-        print(f"# retrying ({attempt + 1}) after rc={p.returncode}: "
-              f"{' '.join(cmd[-4:])}", file=sys.stderr)
-    return p.returncode, p.stdout.strip().splitlines()
+            break
+        if "RESOURCE_EXHAUSTED" not in (p.stderr or "") + (p.stdout or ""):
+            break  # real failure — do not mask it with a rerun
+        retried += 1
+        print(f"# retrying ({attempt + 1}) after transient "
+              f"RESOURCE_EXHAUSTED: {' '.join(cmd[-4:])}", file=sys.stderr)
+    return p.returncode, p.stdout.strip().splitlines(), retried
 
 
 def main() -> None:
@@ -74,7 +81,7 @@ def main() -> None:
         summary = lines[-1] if lines else ""
         return rc == 0 and "passed" in summary and "skipped" not in summary
 
-    rc, lines = run(
+    rc, lines, rt = run(
         [py, "-m", "pytest", "tests/test_hw_fidelity.py", "-q"],
         env_extra={"ALGP_TPU_HW": "1"}, timeout=3000,
     )
@@ -83,7 +90,7 @@ def main() -> None:
         "summary": lines[-1] if lines else "",
     }
 
-    rc, lines = run(
+    rc, lines, rt = run(
         [py, "-m", "pytest", "tests/test_perf.py", "-q"],
         env_extra={"ALGP_TPU_PERF": "1"}, timeout=1800,
     )
@@ -92,61 +99,43 @@ def main() -> None:
         "summary": lines[-1] if lines else "",
     }
 
-    rc, lines = run([py, "bench.py"])
-    out["bench"] = json.loads(lines[-1]) if rc == 0 and lines else {"ok": False}
+    def bench_json(key, cmd, timeout=900, retries=0):
+        """Run a JSON-line benchmark; record its parsed record (plus the
+        transient-retry count, so a weather-assisted pass is visible)."""
+        rc, lines, rt = run(cmd, timeout=timeout, retries=retries)
+        rec = json.loads(lines[-1]) if rc == 0 and lines else {"ok": False}
+        if rt:
+            rec["transient_retries"] = rt
+        out[key] = rec
 
-    rc, lines = run([py, "benchmarks/episode10k_bench.py", "--steps", "10"],
-                    retries=1)
-    out["episode10k"] = (
-        json.loads(lines[-1]) if rc == 0 and lines else {"ok": False}
-    )
-
-    rc, lines = run(
-        [py, "benchmarks/lowrank_bench.py"], timeout=2400, retries=1
-    )
-    out["lowrank100k"] = (
-        json.loads(lines[-1]) if rc == 0 and lines else {"ok": False}
-    )
-
-    rc, lines = run(
-        [py, "benchmarks/episode10k_bench.py", "--preset", "c5_100k",
-         "--steps", "10"], timeout=2400, retries=1,
-    )
-    out["episode100k"] = (
-        json.loads(lines[-1]) if rc == 0 and lines else {"ok": False}
-    )
-
-    rc, lines = run(
-        [py, "benchmarks/episode10k_bench.py", "--preset", "c5_1m",
-         "--steps", "8"], timeout=3600, retries=1,
-    )
-    out["episode1m"] = (
-        json.loads(lines[-1]) if rc == 0 and lines else {"ok": False}
-    )
-
-    rc, lines = run(
-        [py, "benchmarks/episode10k_bench.py", "--preset", "c5_1m_long",
-         "--steps", "100"], timeout=3600, retries=1,
-    )
-    out["episode1m_long"] = (
-        json.loads(lines[-1]) if rc == 0 and lines else {"ok": False}
-    )
-
-    rc, lines = run(
-        [py, "benchmarks/episode10k_bench.py", "--preset", "c5_4m",
-         "--steps", "12"], timeout=3600, retries=1,
-    )
-    out["episode4m"] = (
-        json.loads(lines[-1]) if rc == 0 and lines else {"ok": False}
-    )
+    bench_json("bench", [py, "bench.py"])
+    bench_json("episode10k",
+               [py, "benchmarks/episode10k_bench.py", "--steps", "10"],
+               retries=1)
+    bench_json("lowrank100k", [py, "benchmarks/lowrank_bench.py"],
+               timeout=2400, retries=1)
+    bench_json("episode100k",
+               [py, "benchmarks/episode10k_bench.py", "--preset", "c5_100k",
+                "--steps", "10"], timeout=2400, retries=1)
+    bench_json("episode1m",
+               [py, "benchmarks/episode10k_bench.py", "--preset", "c5_1m",
+                "--steps", "8"], timeout=3600, retries=1)
+    bench_json("episode1m_long",
+               [py, "benchmarks/episode10k_bench.py", "--preset",
+                "c5_1m_long", "--steps", "100"], timeout=3600, retries=1)
+    bench_json("episode4m",
+               [py, "benchmarks/episode10k_bench.py", "--preset", "c5_4m",
+                "--steps", "12"], timeout=3600, retries=1)
 
     # per-step regression budgets ≈ 2.2× the best committed artifact
     # (episode10k/100k/1m steady state: ~102 / ~110 / ~200 ms per step,
     # benchmarks/README.md r03) — a transient pool band passes, a real
-    # 2× regression fails the ritual.  Budgets check the STEADY-STATE
-    # per-step time: at the ritual's short step counts the one-time
-    # episode startup (pilot fit + initial seed + first-execution
-    # stalls) would otherwise dominate the signal.
+    # 2× regression fails the ritual.  Budgets check
+    # steady_state_per_step_ms, which (per episode10k_bench.py's
+    # documented semantics) excludes only the one-time FINAL posterior
+    # fetch; episode startup (pilot fit, initial seed, first-execution
+    # stalls) is still amortized over the ritual's short step counts,
+    # so the budgets carry that amortized startup in their 2.2× slack.
     budgets_ms = {"episode10k": 230.0, "episode100k": 250.0,
                   "episode1m": 450.0, "episode1m_long": 310.0,
                   "episode4m": 640.0}
@@ -162,6 +151,16 @@ def main() -> None:
         }
 
     path = os.path.join(REPO, "benchmarks", f"round_r{args.round:02d}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+
+    # the numbers-of-record blocks read this artifact — regenerate them
+    # NOW (after the artifact is on disk) so the ritual can never leave
+    # them stale, then re-dump with the regen receipt (tests/
+    # test_perf_tables.py is the tripwire for artifacts written OUTSIDE
+    # the ritual, e.g. the driver's end-of-round BENCH_r*.json)
+    rc, lines, _ = run([py, "benchmarks/gen_perf_tables.py"])
+    out["perf_tables_regen"] = {"rc": rc, "msg": lines[-1] if lines else ""}
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))

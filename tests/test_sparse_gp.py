@@ -245,7 +245,6 @@ def test_episode_sparse_refit_with_lowrank_planner(rng):
                                         num_inducing=48),
     )
     env = FieldEnv(fieldc, cfg.kernel)
-    pilot_rmse = None
     r = Agent(env, cfg).run(max_steps=10)
     assert len(r.state.sampled_idx) > 40  # crossed the sparse threshold
     assert np.isfinite(r.rmse) and np.isfinite(r.mean).all()
