@@ -559,3 +559,22 @@ def test_episode_warm_refits_deterministic_resume_and_quality(tmp_path):
         resumed.state.sampled_idx, warm.state.sampled_idx
     )
     assert resumed.rmse == pytest.approx(warm.rmse, abs=1e-5)
+
+
+def test_kcenter_subgrid_strides_both_axes():
+    """ADVICE r3: the k-center subsample must coarsen BOTH grid axes —
+    the old flat [::4] stride on 2048×2048 kept all rows / 1-in-4 cols."""
+    from algp_tpu.episode import _KCENTER_TARGET, _kcenter_subgrid_indices
+
+    idx = _kcenter_subgrid_indices(2048, 2048, _KCENTER_TARGET)
+    rows, cols = np.unique(idx // 2048), np.unique(idx % 2048)
+    assert len(rows) == 1024 and len(cols) == 1024  # true 2×2-strided grid
+    assert len(idx) == 1024 * 1024
+    assert np.all(np.diff(rows) == 2) and np.all(np.diff(cols) == 2)
+    # non-square, non-divisible case: both axes still strided, size ≈ target
+    idx = _kcenter_subgrid_indices(1500, 3000, 1 << 20)
+    rows, cols = np.unique(idx // 3000), np.unique(idx % 3000)
+    assert len(rows) > 1 and len(cols) > 1
+    assert np.all(np.diff(rows) == np.diff(rows)[0])
+    assert np.all(np.diff(cols) == np.diff(cols)[0])
+    assert len(idx) <= (1 << 20)
