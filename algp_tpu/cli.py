@@ -73,8 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--acq-rounds", type=int, help="greedy rounds (configs 3-4)")
     p.add_argument("--num-inducing", type=int,
                    help="MI complement precision via M k-center inducing "
-                   "points (low-rank path for very large grids); 0/unset "
-                   "= exact")
+                   "points (low-rank path for very large grids); 0 = "
+                   "force exact; unset = preset value or AUTO (exact "
+                   "≤ 16k candidates, low-rank above the measured ~20k "
+                   "crossover — config.resolve_num_inducing)")
     p.add_argument("--runs", type=int, default=1, help="independent episodes")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--metrics-jsonl", help="stream per-round metrics to file")
@@ -183,7 +185,9 @@ def run_greedy(cfg: ExperimentConfig, runs: int, stream=None) -> list[dict]:
         nv_base = float(np.maximum(
             np.exp(2 * np.asarray(res.params.log_noise)), cfg.fit.min_noise**2
         ))
-        m_ind = cfg.acquisition.num_inducing
+        from algp_tpu.config import resolve_num_inducing
+
+        m_ind = resolve_num_inducing(cfg.acquisition.num_inducing, env.n)
         if cfg.acquisition.strategy == "mi" and m_ind:
             # large-grid MI: low-rank complement precision over a k-center
             # inducing design (acquisition_lowrank)

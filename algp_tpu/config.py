@@ -79,6 +79,40 @@ class MLPSpec:
         return [df, *self.hidden, self.out]
 
 
+#: planner auto-selection thresholds (resolve_num_inducing): the exact
+#: N×N implicit precision stays the default through the 10k headline
+#: grid (the fidelity-contract path); the measured crossover sits at
+#: ~20k, where the FITC low-rank planner is 3.2× faster per step AND
+#: better on held-out RMSE (59.6 vs 191.0 ms/step, 0.5536 vs 0.5717 —
+#: benchmarks/episode20k_lr_r03.json), so auto flips to low-rank just
+#: above the last exact-dominant scale.
+_EXACT_MAX_N = 16384
+#: past ~0.5M candidates the auto rule stops growing M: complement
+#: coarseness was measured NOT to matter (re-running the lost 4M field
+#: at M = 1024 changed nothing vs 512 — benchmarks/README.md, 4M
+#: mechanism section) while HBM panel residency and the O(N·M²) re-seed
+#: cost do; M = 512 is the c5_1m/c5_4m-validated setting.
+_LOWRANK_M_SMALL, _LOWRANK_M_LARGE = 1024, 512
+_LOWRANK_M_CAP_N = 1 << 19
+
+
+def resolve_num_inducing(num_inducing: Optional[int], n: int) -> int:
+    """Resolve `AcquisitionConfig.num_inducing` against the candidate
+    count: None = auto-select the MI planner (0 = exact implicit
+    precision at/below the measured-dominant 16k scale, the k-center
+    FITC complement with M = 1024 above it, M = 512 past ~0.5M where
+    HBM residency governs); an explicit int (including 0 = force exact)
+    is honored unchanged.  The single source of planner selection for
+    the episode Agent and the greedy CLI driver."""
+    if num_inducing is not None:
+        return num_inducing
+    if n <= _EXACT_MAX_N:
+        return 0
+    if n <= _LOWRANK_M_CAP_N:
+        return _LOWRANK_M_SMALL
+    return _LOWRANK_M_LARGE
+
+
 @dataclasses.dataclass(frozen=True)
 class AcquisitionConfig:
     """Greedy active-sampling (C6-C8)."""
@@ -86,10 +120,12 @@ class AcquisitionConfig:
     strategy: str = "mi"  # "mi" | "entropy" | "uniform" | "naive"
     rounds: int = 50  # BASELINE.json:9 — 50 greedy rounds
     # Low-rank complement precision for strategy="mi" at large N
-    # (acquisition_lowrank): 0 = exact N×N implicit precision (the
-    # fidelity-contract path, N ≲ 20k); M > 0 = FITC/Nyström with M
-    # k-center inducing points — O(N·M) state, validated to 100k+.
-    num_inducing: int = 0
+    # (acquisition_lowrank): None = AUTO (resolve_num_inducing derives
+    # the planner from the candidate count: exact ≤ 16k, FITC above the
+    # measured ~20k crossover); 0 = force the exact N×N implicit
+    # precision (the fidelity-contract path); M > 0 = FITC/Nyström with
+    # M k-center inducing points — O(N·M) state, validated to 4.19M.
+    num_inducing: Optional[int] = None
     # NOTE: no refresh knob — the episode's Krause-MI complement
     # precision rebuilds its Schur corrections from the per-refit seed
     # inverse in one batched op per replan (acquisition.
@@ -233,9 +269,13 @@ PRESETS: dict[str, ExperimentConfig] = {
         episode=EpisodeConfig(num_pilot=64, budget=400.0, num_waypoints=8,
                               samples_per_step=10, refit_every=4),
     ),
-    # 5 at 2× north-star scale (140×140 = 19.6k points): headroom proof —
-    # the same implicit-precision machinery, nothing re-tuned but the
-    # field extents.  W/Wᵀ cost 2·19600²·4 B ≈ 3.1 GB HBM (of 16).
+    # 5 at 2× north-star scale (140×140 = 19.6k points): the measured
+    # planner crossover.  num_inducing is left at None so the AUTO rule
+    # (resolve_num_inducing) picks the FITC low-rank planner with
+    # M = 1024 — 59.6 vs the exact planner's 191.0 ms/step with BETTER
+    # held-out RMSE (0.5536 vs 0.5717, benchmarks/episode20k_lr_r03.
+    # json).  Force the exact machinery's headroom proof (W/Wᵀ ≈ 3.1 GB
+    # HBM) explicitly with --num-inducing 0.
     "c5_20k": ExperimentConfig(
         kernel=KernelSpec(spatial_kind="matern32", ds=2, df=0),
         field=FieldConfig(num_rows=140, num_cols=140, true_ls_spatial=11.0),

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 
 from algp_tpu import acquisition as acq
 from algp_tpu import planning
-from algp_tpu.config import ExperimentConfig
+from algp_tpu.config import ExperimentConfig, resolve_num_inducing
 from algp_tpu.field import FieldEnv
 from algp_tpu.models import gp as gp_mod
 from algp_tpu.utils.checkpoint import EpisodeState
@@ -153,6 +153,12 @@ class Agent:
         self.rng = np.random.default_rng(cfg.episode.seed)
         self._pad_paths = 256  # static path-batch size (compile once)
         self._k_max = cfg.episode.samples_per_step
+        # planner selection: num_inducing=None auto-picks exact vs FITC
+        # low-rank MI from the candidate count (config.
+        # resolve_num_inducing — the measured ~20k crossover)
+        self._num_inducing = resolve_num_inducing(
+            cfg.acquisition.num_inducing, env.n
+        )
         # static training-buffer capacity: every jitted fn sees ONE shape
         # for the whole episode (identity-padded; SURVEY.md §7.5 #4).
         # Derivation: the planner prefers paths costing ≥ min_cost_frac
@@ -632,7 +638,7 @@ class Agent:
 
         t0 = time.perf_counter()
         idx_pad, m, ns_pad, y_pad = self._padded_obs(st)
-        lowrank = strat == "mi" and bool(self.cfg.acquisition.num_inducing)
+        lowrank = strat == "mi" and bool(self._num_inducing)
         lrseed = W = WT = None
         if lowrank:
             # large-N MI: inducing-point complement precision
@@ -807,14 +813,14 @@ class Agent:
                 )
                 xs = xs[jnp.asarray(sub)]
             zidx = acq_lr.kcenter_indices(
-                xs, min(self.cfg.acquisition.num_inducing, xs.shape[0]),
+                xs, min(self._num_inducing, xs.shape[0]),
             )
             self._z_cache = (self._Xdev, xs[zidx])
         return self._z_cache[1]
 
     def _lowrank_seed(self, st: EpisodeState):
-        """LowRankPrecision seed for large-N episode MI
-        (cfg.acquisition.num_inducing > 0), cached per fitted params —
+        """LowRankPrecision seed for large-N episode MI (the resolved
+        `self._num_inducing` > 0), cached per fitted params —
         the O(N·M²) analogue of `_precision_seed`, dispatched async with
         the noise model derived on device and the episode-cached
         k-center design."""
@@ -929,7 +935,7 @@ class Agent:
                 # largest single device op of a refit step)
                 strat = self.cfg.acquisition.strategy
                 if strat == "mi":
-                    if self.cfg.acquisition.num_inducing:
+                    if self._num_inducing:
                         self._lowrank_seed(st)
                     else:
                         self._precision_seed(st)

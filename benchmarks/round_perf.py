@@ -7,6 +7,8 @@ Runs, on the real TPU:
   2. the perf-budget suite (episode < 1 s assertion),
   3. bench.py (the headline number),
   4. the 10k-grid config-5 episode benchmark,
+  4b. the 20k config-5 episode (the auto-selected low-rank planner —
+     the measured crossover preset),
   5. the 100k low-rank selection benchmark,
   6. the 100k config-5 episode benchmark,
   7. the 1M config-5 episode benchmark (8 steps),
@@ -112,6 +114,9 @@ def main() -> None:
     bench_json("episode10k",
                [py, "benchmarks/episode10k_bench.py", "--steps", "10"],
                retries=1)
+    bench_json("episode20k",
+               [py, "benchmarks/episode10k_bench.py", "--preset", "c5_20k",
+                "--steps", "12"], timeout=2400, retries=1)
     bench_json("lowrank100k", [py, "benchmarks/lowrank_bench.py"],
                timeout=2400, retries=1)
     bench_json("episode100k",
@@ -136,7 +141,8 @@ def main() -> None:
     # fetch; episode startup (pilot fit, initial seed, first-execution
     # stalls) is still amortized over the ritual's short step counts,
     # so the budgets carry that amortized startup in their 2.2× slack.
-    budgets_ms = {"episode10k": 230.0, "episode100k": 250.0,
+    budgets_ms = {"episode10k": 230.0, "episode20k": 130.0,
+                  "episode100k": 250.0,
                   "episode1m": 450.0, "episode1m_long": 310.0,
                   "episode4m": 640.0}
     out["step_budgets"] = {}

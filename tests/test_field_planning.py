@@ -442,8 +442,8 @@ def test_lowrank_z_subsample_gate(monkeypatch):
     z_sub = np.asarray(Agent(env, ecfg)._lowrank_z())
     assert z_sub.shape == z_full.shape
     X = np.asarray(env.X)
-    stride = -(-env.n // 256)
-    Xs = X[::stride]
+    sub = ep_mod._kcenter_subgrid_indices(env.num_rows, env.num_cols, 256)
+    Xs = X[sub]  # the uniform 2-axis sub-grid (ADVICE r3)
     for zrow in z_sub:
         assert (np.abs(Xs - zrow).sum(1) == 0).any()  # a real sub-grid row
     assert len(np.unique(z_sub, axis=0)) == len(z_sub)

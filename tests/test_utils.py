@@ -121,7 +121,7 @@ def test_all_presets_construct_coherently():
     an existing file, synthetic grids match num_points."""
     import os
 
-    from algp_tpu.config import PRESETS
+    from algp_tpu.config import PRESETS, resolve_num_inducing
 
     for name, cfg in PRESETS.items():
         assert cfg.field.num_points == cfg.field.num_rows * cfg.field.num_cols
@@ -129,11 +129,55 @@ def test_all_presets_construct_coherently():
                                             "naive")
         if cfg.field.data_path is not None:
             assert os.path.exists(cfg.field.data_path), name
+        m_eff = resolve_num_inducing(
+            cfg.acquisition.num_inducing, cfg.field.num_points
+        )
         if cfg.field.num_points > 50_000:
             # past the exact ceiling both the synthesis and (for MI) the
             # planner must run low-rank
             assert cfg.field.synth_inducing > 0, name
             if cfg.acquisition.strategy == "mi":
-                assert cfg.acquisition.num_inducing > 0, name
+                assert m_eff > 0, name
         if cfg.field.synth_inducing:
             assert cfg.field.synth_inducing < cfg.field.num_points, name
+
+
+def test_planner_auto_selection_rule():
+    """config.resolve_num_inducing: exact at/below the 16k contract
+    scale, low-rank above the measured ~20k crossover (M = 1024), M
+    capped at 512 past ~0.5M (HBM residency); explicit values — 0
+    included — are honored unchanged (VERDICT r3 #1/#4)."""
+    from algp_tpu.config import PRESETS, resolve_num_inducing
+
+    assert resolve_num_inducing(None, 1_000) == 0
+    assert resolve_num_inducing(None, 10_000) == 0  # headline grid: exact
+    assert resolve_num_inducing(None, 16_384) == 0
+    assert resolve_num_inducing(None, 19_600) == 1024  # measured crossover
+    assert resolve_num_inducing(None, 102_400) == 1024
+    assert resolve_num_inducing(None, 1 << 19) == 1024
+    assert resolve_num_inducing(None, 1_048_576) == 512
+    assert resolve_num_inducing(None, 4_194_304) == 512
+    # explicit settings (including force-exact 0) pass through
+    assert resolve_num_inducing(0, 1_048_576) == 0
+    assert resolve_num_inducing(777, 100) == 777
+    # the c5_20k preset rides the auto rule onto the measured-dominant
+    # low-rank configuration (episode20k_lr_r03.json)
+    c20 = PRESETS["c5_20k"]
+    assert c20.acquisition.num_inducing is None
+    assert resolve_num_inducing(
+        c20.acquisition.num_inducing, c20.field.num_points
+    ) == 1024
+
+
+def test_agent_resolves_auto_planner():
+    """The episode Agent materialises the auto-selected planner from its
+    env's candidate count; small grids stay on the exact path."""
+    from algp_tpu.config import ExperimentConfig
+    from algp_tpu.episode import Agent
+    from algp_tpu.field import FieldEnv
+
+    cfg = ExperimentConfig()
+    assert cfg.acquisition.num_inducing is None  # default = auto
+    env = FieldEnv(cfg.field, cfg.kernel)
+    agent = Agent(env, cfg)
+    assert agent._num_inducing == 0  # 1 000-point grid → exact planner
