@@ -611,7 +611,63 @@ def _fit_and_select_jit(spec, fitcfg, x_train, y_train, x_pad, pilot_idx,
     return fit_res, sel
 
 
-@partial(jax.jit, static_argnames=("spec", "strategy"))
+#: "per_sample" price gate: paths whose cost-per-sample exceeds the
+#: enumeration's best by more than this factor are ineligible (they buy
+#: strictly less campaign data for the same budget).
+_PRICE_TOL = 1.25
+
+PATH_UTILITIES = ("per_cost", "per_sample")
+
+
+def path_set_argmax(
+    scores: jax.Array,
+    set_sizes: jax.Array,
+    costs: jax.Array,
+    *,
+    path_utility: str = "per_cost",
+    price_tol: float = _PRICE_TOL,
+) -> jax.Array:
+    """Pick the winning path set from its joint-information scores — the
+    single cost-model of every fused planning step (exact, low-rank,
+    sharded).
+
+    "per_cost" (default, bit-identical to the pre-round-4 rule):
+    information gain per unit path cost, clamped ≥ 0 so a tiny negative
+    f32 score can never make an expensive path beat a cheap one;
+    jnp.argmax keeps the deterministic min-index tie-break.
+
+    "per_sample" (yield-aware, SURVEY §8c item 14 / VERDICT r3 #2):
+    when `samples_per_step` caps what a path can yield, every qualifying
+    path buys at most k_max samples, so a path at twice the cost halves
+    the campaign's total data no matter how well its spread-out set
+    scores — measured at the 4.19M ladder top, where per-cost MI spent
+    the whole budget in 9 long paths (168 samples) while entropy bought
+    ~200 in 15-16 short ones and won the paired study
+    (benchmarks/README.md, 4M mechanism section).  Here the argmax is
+    restricted to paths within `price_tol` of the enumeration's best
+    cost-per-sample (the sample price a budget actually pays) and ranks
+    THOSE by information per expected sample — placement quality decides
+    among the paths with equally good sample economics, never against
+    them.
+    """
+    if path_utility not in PATH_UTILITIES:
+        raise ValueError(
+            f"unknown path_utility {path_utility!r}; use {PATH_UTILITIES}"
+        )
+    pos = jnp.maximum(scores, 0.0)
+    valid = set_sizes > 0
+    if path_utility == "per_cost":
+        util = pos / (costs + 1e-6)
+        return jnp.argmax(jnp.where(valid, util, -jnp.inf)).astype(jnp.int32)
+    k = jnp.maximum(set_sizes.astype(jnp.float32), 1.0)
+    price = costs / k
+    p_min = jnp.min(jnp.where(valid, price, jnp.inf))
+    eligible = valid & (price <= price_tol * p_min)
+    util = jnp.where(eligible, pos / k, -jnp.inf)
+    return jnp.argmax(util).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("spec", "strategy", "path_utility"))
 def plan_path_step(
     spec: KernelSpec,
     params: KernelParams,
@@ -627,10 +683,12 @@ def plan_path_step(
     WT: Optional[jax.Array] = None,
     *,
     strategy: str = "entropy",
+    path_utility: str = "per_cost",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """The episode's ENTIRE per-replan device work as ONE program:
     conditioning on everything sampled → (MI) fresh implicit-precision
-    corrections → joint path-set scoring → information-per-cost argmax.
+    corrections → joint path-set scoring → utility argmax
+    (`path_set_argmax`; per-cost default, yield-aware "per_sample").
 
     Returns (best_set_index, post_var, scores).  Collapsing the separate
     conditioning / corrections / scoring calls into one jit matters on
@@ -663,17 +721,15 @@ def plan_path_step(
         scores = score_candidate_sets(
             spec, params, x, nv, C, sets, set_sizes, strategy="entropy",
         )
-    # information gain per unit cost (clamped ≥ 0 so a tiny negative f32
-    # score can never make an expensive path beat a cheap one);
-    # jnp.argmax keeps the deterministic min-index tie-break
-    util = jnp.maximum(scores, 0.0) / (costs + 1e-6)
-    util = jnp.where(set_sizes > 0, util, -jnp.inf)
-    return jnp.argmax(util).astype(jnp.int32), d, scores
+    best = path_set_argmax(scores, set_sizes, costs,
+                           path_utility=path_utility)
+    return best, d, scores
 
 
 @partial(
     jax.jit,
-    static_argnames=("spec", "strategy", "min_noise", "nv_mult"),
+    static_argnames=("spec", "strategy", "min_noise", "nv_mult",
+                     "path_utility"),
 )
 def plan_episode_step(
     spec: KernelSpec,
@@ -692,12 +748,13 @@ def plan_episode_step(
     strategy: str = "entropy",
     min_noise: float = 1e-3,
     nv_mult: float = 1.0,
+    path_utility: str = "per_cost",
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """The episode's ENTIRE per-step device work as ONE program and ONE
     host-synchronizing read: the posterior METRICS for the current state
     (mean + variance over the whole grid) fused with the next-path choice
-    (plan_path_step's conditioning → corrections → set scoring → per-cost
-    argmax).
+    (plan_path_step's conditioning → corrections → set scoring →
+    `path_set_argmax` utility argmax).
 
     Why: on this environment every host-SYNCHRONIZING exchange through the
     TPU relay costs ~27 ms.  The unfused step paid one sync to read the
@@ -757,14 +814,13 @@ def plan_episode_step(
         scores = score_candidate_sets(
             spec, params, x, nv, C, sets, set_sizes, strategy="entropy",
         )
-    util = jnp.maximum(scores, 0.0) / (costs + 1e-6)
-    util = jnp.where(set_sizes > 0, util, -jnp.inf)
-    best = jnp.argmax(util).astype(jnp.int32)
+    best = path_set_argmax(scores, set_sizes, costs,
+                           path_utility=path_utility)
     return best, mean, jnp.maximum(d, 0.0), scores
 
 
 @partial(jax.jit, static_argnames=("spec", "strategy", "min_noise",
-                                   "nv_mult"))
+                                   "nv_mult", "path_utility"))
 def plan_episode_step_metrics(
     spec: KernelSpec,
     params: KernelParams,
@@ -785,6 +841,7 @@ def plan_episode_step_metrics(
     strategy: str = "entropy",
     min_noise: float = 1e-3,
     nv_mult: float = 1.0,
+    path_utility: str = "per_cost",
 ) -> tuple[jax.Array, ...]:
     """`plan_episode_step` with the posterior METRICS reduced ON DEVICE
     against the (simulator-resident) ground truth: returns only scalars
@@ -804,6 +861,7 @@ def plan_episode_step_metrics(
         spec, params, x, idx_pad, count, noise_scale_pad, y_pad,
         sets, set_sizes, costs, W, WT,
         strategy=strategy, min_noise=min_noise, nv_mult=nv_mult,
+        path_utility=path_utility,
     )
     err = mean - f_true
     rmse = jnp.sqrt(

@@ -563,7 +563,8 @@ def lowrank_seed_episode(
                                   use_pallas=use_pallas)
 
 
-@partial(jax.jit, static_argnames=("spec", "min_noise", "nv_mult"))
+@partial(jax.jit, static_argnames=("spec", "min_noise", "nv_mult",
+                                   "path_utility"))
 def plan_episode_step_lowrank(
     spec: KernelSpec,
     params: KernelParams,
@@ -579,6 +580,7 @@ def plan_episode_step_lowrank(
     *,
     min_noise: float = 1e-3,
     nv_mult: float = 1.0,
+    path_utility: str = "per_cost",
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """`acquisition.plan_episode_step(strategy="mi")` with the low-rank
     complement precision — the large-N informative episode's ENTIRE
@@ -587,7 +589,7 @@ def plan_episode_step_lowrank(
     corrections → joint path-set scoring → per-cost argmax.
 
     Returns (best_set_index, mean, post_var, scores)."""
-    from algp_tpu.acquisition import score_candidate_sets
+    from algp_tpu.acquisition import path_set_argmax, score_candidate_sets
 
     cap = idx_pad.shape[0]
     base = jnp.maximum(jnp.exp(2.0 * params.log_noise), min_noise * min_noise)
@@ -610,13 +612,13 @@ def plan_episode_step_lowrank(
         P_lowrank=(lr.VT, lr.dinv, F_rows, ZT_rows, taken), strategy="mi",
         corrections_pregathered=True,
     )
-    util = jnp.maximum(scores, 0.0) / (costs + 1e-6)
-    util = jnp.where(set_sizes > 0, util, -jnp.inf)
-    best = jnp.argmax(util).astype(jnp.int32)
+    best = path_set_argmax(scores, set_sizes, costs,
+                           path_utility=path_utility)
     return best, mean, jnp.maximum(d, 0.0), scores
 
 
-@partial(jax.jit, static_argnames=("spec", "min_noise", "nv_mult"))
+@partial(jax.jit, static_argnames=("spec", "min_noise", "nv_mult",
+                                   "path_utility"))
 def plan_episode_step_lowrank_factors(
     spec: KernelSpec,
     params: KernelParams,
@@ -632,6 +634,7 @@ def plan_episode_step_lowrank_factors(
     *,
     min_noise: float = 1e-3,
     nv_mult: float = 1.0,
+    path_utility: str = "per_cost",
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """`plan_episode_step_lowrank` driven by the SMALL-factor seed: the
     VT/dinv rows the step needs (sampled set + path-set rows, ≲3k) are
@@ -644,6 +647,7 @@ def plan_episode_step_lowrank_factors(
         _pblk_finish,
         _pblk_lowrank_prior,
         _score_sets_gathered,
+        path_set_argmax,
     )
 
     cap = idx_pad.shape[0]
@@ -697,13 +701,13 @@ def plan_episode_step_lowrank_factors(
     scores = _score_sets_gathered(
         spec, params, xs, Bs, nvs, set_sizes, Pblk, strategy="mi"
     )
-    util = jnp.maximum(scores, 0.0) / (costs + 1e-6)
-    util = jnp.where(set_sizes > 0, util, -jnp.inf)
-    best = jnp.argmax(util).astype(jnp.int32)
+    best = path_set_argmax(scores, set_sizes, costs,
+                           path_utility=path_utility)
     return best, mean, jnp.maximum(d, 0.0), scores
 
 
-@partial(jax.jit, static_argnames=("spec", "min_noise", "nv_mult"))
+@partial(jax.jit, static_argnames=("spec", "min_noise", "nv_mult",
+                                   "path_utility"))
 def plan_episode_step_lowrank_factors_metrics(
     spec: KernelSpec,
     params: KernelParams,
@@ -722,12 +726,14 @@ def plan_episode_step_lowrank_factors_metrics(
     *,
     min_noise: float = 1e-3,
     nv_mult: float = 1.0,
+    path_utility: str = "per_cost",
 ) -> tuple[jax.Array, ...]:
     """Device-reduced-metrics variant of the small-factor step (same
     contract as `plan_episode_step_lowrank_metrics`)."""
     best, mean, d, _ = plan_episode_step_lowrank_factors(
         spec, params, x, idx_pad, count, noise_scale_pad, y_pad,
         sets, set_sizes, costs, fac, min_noise=min_noise, nv_mult=nv_mult,
+        path_utility=path_utility,
     )
     err = mean - f_true
     rmse = jnp.sqrt(
@@ -741,7 +747,8 @@ def plan_episode_step_lowrank_factors_metrics(
     return best, rmse, rmse_test, mean_var, var_sites
 
 
-@partial(jax.jit, static_argnames=("spec", "min_noise", "nv_mult"))
+@partial(jax.jit, static_argnames=("spec", "min_noise", "nv_mult",
+                                   "path_utility"))
 def plan_episode_step_lowrank_metrics(
     spec: KernelSpec,
     params: KernelParams,
@@ -760,6 +767,7 @@ def plan_episode_step_lowrank_metrics(
     *,
     min_noise: float = 1e-3,
     nv_mult: float = 1.0,
+    path_utility: str = "per_cost",
 ) -> tuple[jax.Array, ...]:
     """`plan_episode_step_lowrank` with device-reduced metrics (see
     `acquisition.plan_episode_step_metrics`): the step's one
@@ -769,6 +777,7 @@ def plan_episode_step_lowrank_metrics(
     best, mean, d, _ = plan_episode_step_lowrank(
         spec, params, x, idx_pad, count, noise_scale_pad, y_pad,
         sets, set_sizes, costs, lr, min_noise=min_noise, nv_mult=nv_mult,
+        path_utility=path_utility,
     )
     err = mean - f_true
     rmse = jnp.sqrt(

@@ -71,6 +71,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iters", type=int)
     p.add_argument("--restarts", type=int)
     p.add_argument("--acq-rounds", type=int, help="greedy rounds (configs 3-4)")
+    p.add_argument("--path-utility", choices=("per_cost", "per_sample"),
+                   help="episode path cost model: 'per_cost' = info gain "
+                   "per unit cost (default); 'per_sample' = yield-aware "
+                   "(restrict to near-best cost-per-sample paths, rank "
+                   "by info per expected sample — the fix for MI's "
+                   "long-path budget pathology at ultra-sparse coverage)")
     p.add_argument("--num-inducing", type=int,
                    help="MI complement precision via M k-center inducing "
                    "points (low-rank path for very large grids); 0 = "
@@ -106,7 +112,8 @@ def config_from_args(args) -> ExperimentConfig:
     fit = rep(fit, optimizer=args.optimizer, learning_rate=args.lr,
               iters=args.iters, restarts=args.restarts)
     acqc = rep(acqc, strategy=args.strategy, rounds=args.acq_rounds,
-               num_inducing=args.num_inducing)
+               num_inducing=args.num_inducing,
+               path_utility=args.path_utility)
     field = rep(field, num_rows=args.rows, num_cols=args.cols,
                 num_features=args.features, noise_std=args.noise_std,
                 feature_warp=args.feature_warp,

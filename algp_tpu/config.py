@@ -126,6 +126,20 @@ class AcquisitionConfig:
     # precision (the fidelity-contract path); M > 0 = FITC/Nyström with
     # M k-center inducing points — O(N·M) state, validated to 4.19M.
     num_inducing: Optional[int] = None
+    # Path-utility cost model for the episode planner
+    # (acquisition.path_set_argmax):
+    #   "per_cost"   — information gain per unit path cost (default; the
+    #                  reference's rule, bit-identical goldens)
+    #   "per_sample" — yield-aware: when samples_per_step caps what a
+    #                  path can yield, restrict the argmax to paths
+    #                  within ~25 % of the enumeration's best
+    #                  cost-per-SAMPLE and rank those by information per
+    #                  expected sample.  Fixes MI's measured long-path
+    #                  budget pathology at ultra-sparse coverage (the
+    #                  4.19M ladder top: per-cost MI bought 168 samples
+    #                  in 9 long paths where entropy bought ~200 in
+    #                  15-16 short ones — benchmarks/README.md).
+    path_utility: str = "per_cost"
     # NOTE: no refresh knob — the episode's Krause-MI complement
     # precision rebuilds its Schur corrections from the per-refit seed
     # inverse in one batched op per replan (acquisition.

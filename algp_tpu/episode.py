@@ -184,6 +184,11 @@ class Agent:
             raise ValueError(
                 f"unknown strategy {cfg.acquisition.strategy!r}; use {STRATEGIES}"
             )
+        if cfg.acquisition.path_utility not in acq.PATH_UTILITIES:
+            raise ValueError(
+                f"unknown path_utility {cfg.acquisition.path_utility!r}; "
+                f"use {acq.PATH_UTILITIES}"
+            )
         if cfg.fit.sparse_threshold:
             if cfg.fit.sparse_threshold < cfg.fit.sparse_inducing:
                 raise ValueError(
@@ -653,7 +658,8 @@ class Agent:
         sizes_d = jnp.asarray(sizes)
         costs_d = jnp.asarray(costs)
         common = dict(min_noise=self.cfg.fit.min_noise,
-                      nv_mult=self._nv_mult)
+                      nv_mult=self._nv_mult,
+                      path_utility=self.cfg.acquisition.path_utility)
         if self._use_device_metrics:
             if self.mesh is not None:
                 from algp_tpu.parallel import sharded_episode as sep

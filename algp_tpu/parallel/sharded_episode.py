@@ -249,7 +249,7 @@ def sharded_precision_seed(
 
 
 def _step_core(spec, strategy, lowrank, metrics, N, n_loc, n_valid,
-               min_noise, nv_mult):
+               min_noise, nv_mult, path_utility):
     """In-shard body of the fused episode step.  Mirrors
     `acquisition.plan_episode_step` / `plan_episode_step_lowrank` +
     their `_metrics` variants stage for stage; every candidate-axis
@@ -368,9 +368,8 @@ def _step_core(spec, strategy, lowrank, metrics, N, n_loc, n_valid,
         scores = acq._score_sets_gathered(
             spec, params, xs, Bs, nvs, set_sizes, Pblk, strategy=strategy
         )
-        util = jnp.maximum(scores, 0.0) / (costs + 1e-6)
-        util = jnp.where(set_sizes > 0, util, -jnp.inf)
-        best = jnp.argmax(util).astype(jnp.int32)
+        best = acq.path_set_argmax(scores, set_sizes, costs,
+                                   path_utility=path_utility)
 
         d_loc = jnp.maximum(d_loc, 0.0)
         if not metrics:
@@ -416,17 +415,19 @@ def _specs_for(lowrank, metrics):
 @partial(
     jax.jit,
     static_argnames=("mesh", "spec", "strategy", "lowrank", "metrics",
-                     "min_noise", "nv_mult", "n_valid", "n_shards"),
+                     "min_noise", "nv_mult", "n_valid", "n_shards",
+                     "path_utility"),
 )
 def _sharded_plan_jit(
     mesh, spec, params, x, idx_pad, count, ns_pad, y_pad, sets, set_sizes,
     costs, seedA, seedB, truth,
     *, strategy, lowrank, metrics, min_noise, nv_mult, n_valid, n_shards,
+    path_utility="per_cost",
 ):
     N = x.shape[0]
     n_loc = N // n_shards
     run = _step_core(spec, strategy, lowrank, metrics, N, n_loc, n_valid,
-                     min_noise, nv_mult)
+                     min_noise, nv_mult, path_utility)
     in_specs, out_specs = _specs_for(lowrank, metrics)
     return jax.shard_map(
         run, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
@@ -475,6 +476,7 @@ def sharded_plan_episode_step(
     min_noise: float = 1e-3,
     nv_mult: float = 1.0,
     n_valid: Optional[int] = None,
+    path_utility: str = "per_cost",
 ):
     """`acquisition.plan_episode_step` / `plan_episode_step_lowrank` over
     the mesh: returns (best_set_index, mean, post_var, scores) with
@@ -488,7 +490,7 @@ def sharded_plan_episode_step(
         mesh, spec, params, x, idx_pad, count, noise_scale_pad, y_pad,
         sets, set_sizes, costs, seedA, seedB, (),
         strategy=strategy, lowrank=lowrank, metrics=False,
-        min_noise=min_noise, nv_mult=nv_mult,
+        min_noise=min_noise, nv_mult=nv_mult, path_utility=path_utility,
         n_valid=n_valid if n_valid is not None else x.shape[0],
         n_shards=mesh.shape["grid"],
     )
@@ -516,6 +518,7 @@ def sharded_plan_episode_step_metrics(
     min_noise: float = 1e-3,
     nv_mult: float = 1.0,
     n_valid: Optional[int] = None,
+    path_utility: str = "per_cost",
 ):
     """`…plan_episode_step_metrics` over the mesh: the step's ONE
     synchronizing read returns (best, rmse, rmse_test, mean_var,
@@ -529,7 +532,7 @@ def sharded_plan_episode_step_metrics(
         sets, set_sizes, costs, seedA, seedB,
         (f_true, obs_mask, test_mask),
         strategy=strategy, lowrank=lowrank, metrics=True,
-        min_noise=min_noise, nv_mult=nv_mult,
+        min_noise=min_noise, nv_mult=nv_mult, path_utility=path_utility,
         n_valid=n_valid if n_valid is not None else x.shape[0],
         n_shards=mesh.shape["grid"],
     )

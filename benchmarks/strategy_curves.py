@@ -45,7 +45,10 @@ def main() -> None:
                     "low-rank regime) instead of the ad-hoc grid flags; "
                     "--seeds still applies, strategy is swept")
     ap.add_argument("--strategies", default="mi,entropy,uniform,naive",
-                    help="comma-separated strategies to sweep")
+                    help="comma-separated strategies to sweep; a token "
+                    "may carry a path-utility suffix, e.g. "
+                    "'mi:per_sample' sweeps strategy=mi with the "
+                    "yield-aware cost model (acquisition.path_set_argmax)")
     ap.add_argument("--json", default=None)
     ap.add_argument("--plot", default=None,
                     help="write the held-out-RMSE-vs-samples figure here")
@@ -61,8 +64,16 @@ def main() -> None:
     from algp_tpu.field import FieldEnv
 
     strategies = tuple(args.strategies.split(","))
+
+    def parse_token(token):
+        """'mi' -> ('mi', 'per_cost'); 'mi:per_sample' -> the yield-aware
+        cost model (the token stays the record/summary key)."""
+        strategy, _, util = token.partition(":")
+        return strategy, util or "per_cost"
+
     records = []
-    for strategy in strategies:
+    for token in strategies:
+        strategy, path_utility = parse_token(token)
         for seed in range(args.seeds):
             if args.preset:
                 base = PRESETS[args.preset]
@@ -71,7 +82,8 @@ def main() -> None:
                     base,
                     field=fieldc,
                     acquisition=dataclasses.replace(
-                        base.acquisition, strategy=strategy
+                        base.acquisition, strategy=strategy,
+                        path_utility=path_utility,
                     ),
                     episode=dataclasses.replace(base.episode, seed=seed),
                 )
@@ -81,7 +93,8 @@ def main() -> None:
                 cfg = ExperimentConfig(
                     kernel=KernelSpec("matern32", ds=2),
                     fit=FitConfig(iters=60, restarts=2),
-                    acquisition=AcquisitionConfig(strategy=strategy),
+                    acquisition=AcquisitionConfig(strategy=strategy,
+                                                  path_utility=path_utility),
                     field=fieldc,
                     episode=EpisodeConfig(num_pilot=24, budget=args.budget,
                                           num_waypoints=8, samples_per_step=8,
@@ -96,7 +109,7 @@ def main() -> None:
                 if "rmse_test" in h
             ]
             rec = {
-                "strategy": strategy,
+                "strategy": token,
                 "seed": seed,
                 "final_rmse_test": round(result.rmse_test, 4),
                 "final_rmse": round(result.rmse, 4),
@@ -128,7 +141,7 @@ def main() -> None:
         )
         vals = np.array([r["final_rmse_test"] for r in recs], float)
         finals[strategy] = vals
-        if strategy != "uniform":  # teleports — not budget-comparable
+        if parse_token(strategy)[0] != "uniform":  # not budget-comparable
             summary["budget_matched_final_rmse_test"][strategy] = {
                 "mean": round(float(vals.mean()), 4),
                 "std": round(float(vals.std(ddof=1)), 4)
@@ -152,7 +165,10 @@ def main() -> None:
     # means the first strategy is better; |mean| > 2·sem ⇒ the gap is
     # real at ~95%.
     summary["paired_diffs"] = {}
-    for a, b in (("mi", "entropy"), ("mi", "naive"), ("entropy", "naive")):
+    import itertools
+
+    traversing = [t for t in strategies if parse_token(t)[0] != "uniform"]
+    for a, b in itertools.combinations(traversing, 2):
         if a in finals and b in finals and len(finals[a]) == len(finals[b]):
             d = finals[a] - finals[b]
             if len(d) > 1:

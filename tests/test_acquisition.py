@@ -426,3 +426,58 @@ def test_fit_and_select_matches_split_pipeline(rng):
         np.asarray(sel.selected), np.asarray(ref_sel.selected)
     )
     assert sel.post_var.shape == (200,)
+
+
+def test_path_set_argmax_per_cost_matches_legacy_formula(rng):
+    """path_utility="per_cost" must be bit-identical to the pre-round-4
+    inline rule (max(score,0)/(cost+1e-6), invalid -> -inf, argmax)."""
+    for _ in range(20):
+        scores = jnp.asarray(rng.standard_normal(16), jnp.float32)
+        sizes = jnp.asarray(rng.integers(0, 6, 16), jnp.int32)
+        costs = jnp.asarray(rng.uniform(1, 9, 16), jnp.float32)
+        util = jnp.maximum(scores, 0.0) / (costs + 1e-6)
+        util = jnp.where(sizes > 0, util, -jnp.inf)
+        legacy = int(jnp.argmax(util))
+        got = int(acq.path_set_argmax(scores, sizes, costs,
+                                      path_utility="per_cost"))
+        assert got == legacy
+
+
+def test_path_set_argmax_per_sample_gates_on_sample_price():
+    """The yield-aware rule: a long path at ~2x the cost-per-sample is
+    INELIGIBLE however well it scores; among near-best-price paths the
+    highest information per sample wins (VERDICT r3 #2)."""
+    # A: long/expensive, best raw score AND best score-per-cost;
+    # B, C: short/cheap (same yield, ~half the price); C scores best
+    # per sample among the cheap ones.
+    scores = jnp.asarray([15.0, 6.0, 7.0], jnp.float32)
+    sizes = jnp.asarray([5, 5, 5], jnp.int32)
+    costs = jnp.asarray([10.0, 5.0, 5.5], jnp.float32)
+    assert int(acq.path_set_argmax(scores, sizes, costs,
+                                   path_utility="per_cost")) == 0
+    assert int(acq.path_set_argmax(scores, sizes, costs,
+                                   path_utility="per_sample")) == 2
+    # sub-yield stubs pay their true sample price: a 1-sample stub at
+    # cost 2 (price 2.0) does not gate out full-yield paths at price 1
+    scores2 = jnp.asarray([3.0, 6.0], jnp.float32)
+    sizes2 = jnp.asarray([1, 5], jnp.int32)
+    costs2 = jnp.asarray([2.0, 5.0], jnp.float32)
+    assert int(acq.path_set_argmax(scores2, sizes2, costs2,
+                                   path_utility="per_sample")) == 1
+    # padded (size-0) slots are never chosen in either mode
+    scores3 = jnp.asarray([99.0, 1.0], jnp.float32)
+    sizes3 = jnp.asarray([0, 3], jnp.int32)
+    costs3 = jnp.asarray([1.0, 5.0], jnp.float32)
+    for mode in ("per_cost", "per_sample"):
+        assert int(acq.path_set_argmax(scores3, sizes3, costs3,
+                                       path_utility=mode)) == 1
+    # deterministic min-index tie-break survives in per_sample mode
+    scores4 = jnp.asarray([4.0, 4.0], jnp.float32)
+    sizes4 = jnp.asarray([4, 4], jnp.int32)
+    costs4 = jnp.asarray([4.0, 4.0], jnp.float32)
+    assert int(acq.path_set_argmax(scores4, sizes4, costs4,
+                                   path_utility="per_sample")) == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        acq.path_set_argmax(scores4, sizes4, costs4, path_utility="bogus")

@@ -487,3 +487,58 @@ def test_retry_transient_oom(monkeypatch):
     with pytest.raises(ValueError):
         field_mod._retry_transient_oom(other_error)
     assert calls["n"] == 1  # no retry on non-OOM errors
+
+
+def test_episode_per_sample_utility_buys_at_least_as_much_data():
+    """path_utility="per_sample" (the yield-aware cost model) must run
+    end-to-end on both informative strategies and never buy LESS data
+    for the same budget than per-cost planning — the 4.19M pathology it
+    exists to fix is per-cost MI spending the budget on long paths
+    whose yield samples_per_step caps (VERDICT r3 #2)."""
+    import dataclasses
+
+    from algp_tpu.config import PRESETS
+    from algp_tpu.episode import Agent
+    from algp_tpu.field import FieldEnv
+
+    base = PRESETS["c5_episode"]
+    for strategy in ("mi", "entropy"):
+        n_sampled = {}
+        for mode in ("per_cost", "per_sample"):
+            cfg = dataclasses.replace(
+                base,
+                field=dataclasses.replace(base.field, num_rows=12,
+                                          num_cols=16, true_ls_spatial=3.0),
+                acquisition=dataclasses.replace(
+                    base.acquisition, strategy=strategy, path_utility=mode,
+                ),
+                episode=dataclasses.replace(base.episode, num_pilot=16,
+                                            budget=60.0, samples_per_step=6),
+            )
+            env = FieldEnv(cfg.field, cfg.kernel)
+            result = Agent(env, cfg).run(max_steps=10)
+            assert np.isfinite(result.rmse) and np.isfinite(result.rmse_test)
+            assert len(result.state.sampled_idx) > 16
+            n_sampled[mode] = len(result.state.sampled_idx)
+        assert n_sampled["per_sample"] >= n_sampled["per_cost"], (
+            strategy, n_sampled,
+        )
+
+
+def test_episode_rejects_unknown_path_utility():
+    import dataclasses
+
+    import pytest
+
+    from algp_tpu.config import PRESETS
+    from algp_tpu.episode import Agent
+    from algp_tpu.field import FieldEnv
+
+    base = PRESETS["c5_episode"]
+    cfg = dataclasses.replace(
+        base, acquisition=dataclasses.replace(base.acquisition,
+                                              path_utility="bogus"),
+    )
+    env = FieldEnv(cfg.field, cfg.kernel)
+    with pytest.raises(ValueError, match="path_utility"):
+        Agent(env, cfg)

@@ -252,7 +252,8 @@ def test_sharded_lowrank_mi_matches_single_device_and_oracle(rng):
 # ---------------------------------------------------------------------------
 
 
-def _episode_cfg(strategy, num_inducing, device_metrics, modality="precise"):
+def _episode_cfg(strategy, num_inducing, device_metrics, modality="precise",
+                 path_utility="per_cost"):
     import dataclasses
 
     from algp_tpu.config import PRESETS
@@ -260,7 +261,8 @@ def _episode_cfg(strategy, num_inducing, device_metrics, modality="precise"):
     base = PRESETS["c5_episode"]
     fieldc = dataclasses.replace(base.field, num_rows=8, num_cols=12, seed=3)
     acqc = dataclasses.replace(
-        base.acquisition, strategy=strategy, num_inducing=num_inducing
+        base.acquisition, strategy=strategy, num_inducing=num_inducing,
+        path_utility=path_utility,
     )
     epc = dataclasses.replace(
         base.episode, num_pilot=10, budget=30.0, samples_per_step=5,
@@ -272,15 +274,16 @@ def _episode_cfg(strategy, num_inducing, device_metrics, modality="precise"):
 
 
 @pytest.mark.parametrize(
-    "strategy,num_inducing,device_metrics",
+    "strategy,num_inducing,device_metrics,path_utility",
     [
-        ("mi", 0, False),       # exact W (distributed strip seed)
-        ("mi", 24, True),       # low-rank VT/dinv, device-reduced metrics
-        ("entropy", 0, True),
+        ("mi", 0, False, "per_cost"),   # exact W (distributed strip seed)
+        ("mi", 24, True, "per_cost"),   # low-rank VT/dinv, device metrics
+        ("entropy", 0, True, "per_cost"),
+        ("mi", 24, True, "per_sample"),  # yield-aware utility over the mesh
     ],
 )
 def test_sharded_episode_matches_single_device(
-    strategy, num_inducing, device_metrics
+    strategy, num_inducing, device_metrics, path_utility
 ):
     """A FULL multi-step config-5 episode driven through the sharded
     per-step program (Agent(mesh=...)) must choose the same paths
@@ -291,7 +294,8 @@ def test_sharded_episode_matches_single_device(
     from algp_tpu.episode import Agent
     from algp_tpu.field import FieldEnv
 
-    cfg = _episode_cfg(strategy, num_inducing, device_metrics)
+    cfg = _episode_cfg(strategy, num_inducing, device_metrics,
+                       path_utility=path_utility)
     r1 = Agent(FieldEnv(cfg.field, cfg.kernel), cfg).run(max_steps=4)
     mesh = make_mesh(8)
     r2 = Agent(FieldEnv(cfg.field, cfg.kernel), cfg, mesh=mesh).run(
