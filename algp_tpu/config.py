@@ -196,6 +196,15 @@ class EpisodeConfig:
     budget: float = 200.0  # total path budget (config 5)
     num_waypoints: int = 8  # planning horizon: paths per replan
     samples_per_step: int = 10
+    # GOAL-CONDITIONED planning (SURVEY.md §2 C11 `[R]`: path
+    # enumeration "between current pose and goal"): an ordered tuple of
+    # grid indices the robot must visit.  Each informative step then
+    # enumerates only budgeted paths ENDING at the next unvisited goal
+    # (planning.enumerate_paths(goal=...)); once the pose reaches it,
+    # planning targets the next one.  A goal unreachable within the
+    # current budget slice falls back to free enumeration for that step
+    # (logged as goal_fallback).  None = free enumeration everywhere.
+    waypoint_goals: Optional[tuple] = None
     refit_every: int = 1  # refit hyperparams every k model updates
     # sensing-modality policy per planning step (C5 / BASELINE.json:11):
     #   "precise" — slow/accurate sensor everywhere
@@ -218,6 +227,15 @@ class EpisodeConfig:
     # recompiles every step program (30 s–5 min each on a remote-compile
     # TPU plugin; the Agent warns when it happens).
     max_samples: Optional[int] = None
+    # hard_cap=True turns max_samples into a STOP condition: the episode
+    # ends (as if the budget ran out) instead of growing the static
+    # capacity when the next path's samples would not fit.  For presets
+    # at the HBM ceiling (c5_4m), where capacity growth both recompiles
+    # every step program AND inflates the two cap×N panels toward the
+    # transient-OOM band, a clean stop is strictly better than a stall
+    # (ADVICE r3: a seed whose paths cost less than a full slice can
+    # outgrow a single-seed-calibrated cap mid-episode).
+    hard_cap: bool = False
     seed: int = 0
 
 
@@ -339,20 +357,32 @@ PRESETS: dict[str, ExperimentConfig] = {
         kernel=KernelSpec(spatial_kind="matern32", ds=2, df=0),
         field=FieldConfig(num_rows=2048, num_cols=2048,
                           true_ls_spatial=160.0, synth_inducing=512),
-        acquisition=AcquisitionConfig(strategy="mi", num_inducing=512),
+        # path_utility="per_sample": at this coverage sparsity the
+        # per-cost rule spent every seed's budget in 9-10 long paths
+        # (168-176 samples) and lost a field at 0.95; the yield-aware
+        # rule buys 12 short steps (186-191 samples) and wins the
+        # 5-seed paired study outright (0.545 ± 0.029 vs 0.721 ± 0.072,
+        # paired diff +0.176 ± 0.079 significant —
+        # strategy_curves_r04_4m_ps.json), matching entropy (the
+        # scale's robustness reference, 0.518 ± 0.0067) on 4/5 fields.
+        acquisition=AcquisitionConfig(strategy="mi", num_inducing=512,
+                                      path_utility="per_sample"),
         fit=FitConfig(refit_iters=60, refit_restarts=2),
         # cap slots cost 2·N·4 B ≈ 33.5 MB EACH at 4.19M (the two
-        # cap×N panels).  The budget funds 9 full-slice steps × 8
-        # samples + 96 pilots = 168 measured at seed 0; max_samples 192
-        # (3 steps of slack) keeps the panels at ~6.4 GB — the 2·w+6
-        # heuristic would pad to 272 (~9.1 GB), and panel residency AND
-        # step time both scale with cap.  (The 2026-08-17 "cap 352
+        # cap×N panels).  max_samples 224 covers the 5-seed measured
+        # range of the per-sample economics (186-191 samples, 12 steps)
+        # with ~4 steps of slack at ~7.5 GB of panels (all 10 study
+        # episodes ran clean at this cap); hard_cap stops the episode
+        # instead of growing past it — growth here would both recompile
+        # every step program and push panel residency toward the
+        # transient-OOM band (ADVICE r3).  (The 2026-08-17 "cap 352
         # OOMed by 259 MB" diagnosis was wrong: that overage reproduced
         # at cap 272 and was the monolithic (M, N) field-synthesis
         # buffer, since streamed — see field._SYNTH_CHUNK.)
         episode=EpisodeConfig(num_pilot=96, budget=8192.0,
                               num_waypoints=8, samples_per_step=8,
-                              refit_every=4, max_samples=192),
+                              refit_every=4, max_samples=224,
+                              hard_cap=True),
     ),
     # 5 as a LONG CAMPAIGN at north-star scale: a budget funding ~160
     # planning steps (~1.7k samples) on the 10k grid — the regime where

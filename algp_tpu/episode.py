@@ -189,6 +189,13 @@ class Agent:
                 f"unknown path_utility {cfg.acquisition.path_utility!r}; "
                 f"use {acq.PATH_UTILITIES}"
             )
+        if cfg.episode.waypoint_goals is not None:
+            bad = [g for g in cfg.episode.waypoint_goals
+                   if not 0 <= int(g) < env.n]
+            if bad:
+                raise ValueError(
+                    f"waypoint_goals outside the grid (n={env.n}): {bad}"
+                )
         if cfg.fit.sparse_threshold:
             if cfg.fit.sparse_threshold < cfg.fit.sparse_inducing:
                 raise ValueError(
@@ -615,10 +622,21 @@ class Agent:
             mean, var = self.predict_field(st)
             return self._host_bundle(take, float(slice_budget), take, mean, var)
 
+        goal = self._current_goal(st)
         batch = planning.enumerate_batch(
-            self.env, st.pose, slice_budget, max_paths=self._pad_paths,
-            k_max=self._k_max,
+            self.env, st.pose, slice_budget, goal=goal,
+            max_paths=self._pad_paths, k_max=self._k_max,
         )
+        if goal is not None and not len(batch):
+            # the waypoint is unreachable within this budget slice —
+            # plan a free step toward it instead of stalling (the next
+            # replan re-targets the same goal from the new pose)
+            self.logger.log(step=st.step, phase="goal_fallback",
+                            goal=int(goal))
+            batch = planning.enumerate_batch(
+                self.env, st.pose, slice_budget,
+                max_paths=self._pad_paths, k_max=self._k_max,
+            )
         if not len(batch):
             # terminal plan (budget slice exhausted / pose cornered): the
             # full-field posterior fetch here IS the episode's final
@@ -736,6 +754,20 @@ class Agent:
         return self._host_bundle(
             batch.node_seqs[best], float(batch.costs[best]), sites, mean, var,
         )
+
+    def _current_goal(self, st: EpisodeState) -> Optional[int]:
+        """Next unvisited EpisodeConfig.waypoint_goals entry (C11
+        goal-conditioned planning), advancing past goals the pose has
+        reached; None when no goals are configured / all are visited or
+        the strategy plans host-side (uniform/naive ignore goals)."""
+        goals = self.cfg.episode.waypoint_goals
+        if not goals:
+            return None
+        while st.goal_i < len(goals) and int(goals[st.goal_i]) == st.pose:
+            st.goal_i += 1
+        if st.goal_i >= len(goals):
+            return None
+        return int(goals[st.goal_i])
 
     def _sense(self, st: EpisodeState, sample_nodes: list):
         """Collect measurements along a path under the modality policy
@@ -912,6 +944,20 @@ class Agent:
 
         while st.budget_left > 0 and st.step < max_steps:
             if bundle.empty:
+                break
+            if (
+                ep.hard_cap
+                and len(st.sampled_idx) + len(bundle.sites) > self._max_samples
+            ):
+                # capacity as a STOP condition (EpisodeConfig.hard_cap):
+                # end cleanly instead of growing — growth recompiles
+                # every step program AND inflates the cap×N panels,
+                # which at the HBM-ceiling presets reads as a pool hang
+                self.logger.log(
+                    step=st.step, phase="hard_cap",
+                    n_sampled=len(st.sampled_idx),
+                    budget_left=round(st.budget_left, 3),
+                )
                 break
             st.step += 1
             nodes, cost, sample_nodes = bundle.nodes, bundle.cost, bundle.sites

@@ -49,6 +49,13 @@ def main() -> None:
                     "may carry a path-utility suffix, e.g. "
                     "'mi:per_sample' sweeps strategy=mi with the "
                     "yield-aware cost model (acquisition.path_set_argmax)")
+    ap.add_argument("--max-samples", type=int, default=None,
+                    help="pre-size EpisodeConfig.max_samples (static "
+                    "buffer capacity): arms with different path "
+                    "economics collect different totals, and outgrowing "
+                    "the capacity mid-episode recompiles every step "
+                    "program; one explicit cap keeps the arms' panel "
+                    "residency and step cost comparable too")
     ap.add_argument("--json", default=None)
     ap.add_argument("--plot", default=None,
                     help="write the held-out-RMSE-vs-samples figure here")
@@ -85,7 +92,11 @@ def main() -> None:
                         base.acquisition, strategy=strategy,
                         path_utility=path_utility,
                     ),
-                    episode=dataclasses.replace(base.episode, seed=seed),
+                    episode=dataclasses.replace(
+                        base.episode, seed=seed,
+                        **({"max_samples": args.max_samples}
+                           if args.max_samples else {}),
+                    ),
                 )
             else:
                 fieldc = FieldConfig(num_rows=args.rows, num_cols=args.cols,
@@ -98,7 +109,8 @@ def main() -> None:
                     field=fieldc,
                     episode=EpisodeConfig(num_pilot=24, budget=args.budget,
                                           num_waypoints=8, samples_per_step=8,
-                                          refit_every=2, seed=seed),
+                                          refit_every=2, seed=seed,
+                                          max_samples=args.max_samples),
                 )
             env = FieldEnv(fieldc, cfg.kernel)
             t0 = time.perf_counter()

@@ -578,3 +578,44 @@ def test_kcenter_subgrid_strides_both_axes():
     assert np.all(np.diff(rows) == np.diff(rows)[0])
     assert np.all(np.diff(cols) == np.diff(cols)[0])
     assert len(idx) <= (1 << 20)
+
+
+def test_hard_cap_stops_instead_of_growing():
+    """EpisodeConfig.hard_cap: the episode must END cleanly at the static
+    capacity (no growth, no RuntimeWarning, a 'hard_cap' history record)
+    where the default config would grow and recompile (ADVICE r3 /
+    c5_4m HBM-ceiling behavior)."""
+    import dataclasses
+    import warnings
+
+    from algp_tpu.config import PRESETS
+    from algp_tpu.episode import Agent
+    from algp_tpu.field import FieldEnv
+
+    base = PRESETS["c5_episode"]
+
+    def run(hard_cap):
+        cfg = dataclasses.replace(
+            base,
+            field=dataclasses.replace(base.field, num_rows=10, num_cols=16,
+                                      true_ls_spatial=3.0),
+            episode=dataclasses.replace(base.episode, num_pilot=12,
+                                        budget=120.0, samples_per_step=6,
+                                        max_samples=24, hard_cap=hard_cap),
+        )
+        env = FieldEnv(cfg.field, cfg.kernel)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            result = Agent(env, cfg).run(max_steps=6)
+        grew = any("outgrew" in str(x.message) for x in w)
+        return result, grew
+
+    capped, grew_capped = run(True)
+    assert not grew_capped
+    assert len(capped.state.sampled_idx) <= 24
+    assert any(h.get("phase") == "hard_cap" for h in capped.history)
+    assert np.isfinite(capped.rmse)
+
+    grown, grew_free = run(False)
+    assert grew_free  # the same campaign outgrows 24 slots without the cap
+    assert len(grown.state.sampled_idx) > 24
