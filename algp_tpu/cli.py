@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--noise-std", type=float)
     p.add_argument("--modality", choices=("precise", "cheap", "mixed"),
                    help="sensing-modality policy for collected samples")
+    p.add_argument("--waypoint-goals",
+                   help="comma-separated grid indices the episode must "
+                   "visit in order (goal-conditioned path enumeration "
+                   "between pose and goal — C11); informative "
+                   "strategies only")
     p.add_argument("--cheap-noise-mult", type=float)
     p.add_argument("--data-path", help="phenotype CSV (row,range,height,feat_*)")
     p.add_argument("--num-traits", type=int,
@@ -124,7 +129,10 @@ def config_from_args(args) -> ExperimentConfig:
                             if args.value_cols else None))
     ep = rep(ep, budget=args.budget, num_pilot=args.num_pilot,
              samples_per_step=args.samples_per_step, seed=args.seed,
-             modality=args.modality)
+             modality=args.modality,
+             waypoint_goals=(tuple(int(g) for g in
+                             args.waypoint_goals.split(","))
+                             if args.waypoint_goals else None))
     deep = cfg.deep
     if args.deep_hidden:
         from algp_tpu.config import MLPSpec

@@ -64,8 +64,8 @@ def _pathenum_lib():
         lib.algp_enumerate_paths.restype = ctypes.c_int
         lib.algp_enumerate_paths.argtypes = [
             ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
-            ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
-            ctypes.c_double,
+            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int,
+            ctypes.c_int, ctypes.c_double,
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64,
@@ -79,7 +79,7 @@ def _pathenum_lib():
 def enumerate_paths_raw(
     num_rows: int, num_cols: int, col_spacing: float, row_spacing: float,
     start: int, budget: float, max_paths: int, max_turns: int,
-    min_cost_frac: float, k_max: int = 0,
+    min_cost_frac: float, k_max: int = 0, goal: int = -1,
 ):
     """C path enumeration, array form: (nodes, offs, lens, costs, n) with
     path k's node sequence at nodes[offs[k]:offs[k]+lens[k]], or None
@@ -105,7 +105,7 @@ def enumerate_paths_raw(
     else:
         pset = psiz = pend = None
     n = lib.algp_enumerate_paths(
-        num_rows, num_cols, col_spacing, row_spacing, start, budget,
+        num_rows, num_cols, col_spacing, row_spacing, start, goal, budget,
         max_paths, max_turns, min_cost_frac,
         costs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -124,14 +124,14 @@ def enumerate_paths_raw(
 def enumerate_paths_native(
     num_rows: int, num_cols: int, col_spacing: float, row_spacing: float,
     start: int, budget: float, max_paths: int, max_turns: int,
-    min_cost_frac: float,
+    min_cost_frac: float, goal: int = -1,
 ):
     """C path enumeration; returns list[(node_seq, cost)] exactly as
     planning's Python enumerator, or None when native is unavailable
     (caller falls back)."""
     raw = enumerate_paths_raw(
         num_rows, num_cols, col_spacing, row_spacing, start, budget,
-        max_paths, max_turns, min_cost_frac,
+        max_paths, max_turns, min_cost_frac, goal=goal,
     )
     if raw is None:
         return None

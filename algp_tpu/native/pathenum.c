@@ -84,6 +84,7 @@ static int seen_add(seen_t *s, int64_t end, int64_t length, int64_t cmicro) {
 
 typedef struct {
     int nr, nc, max_turns;
+    int goal;              /* required end node; -1 = unconstrained */
     double cs, rs, budget;
     int64_t harvest_cap;   /* max_paths * 8 */
     paths_t out;
@@ -94,9 +95,13 @@ typedef struct {
 } ctx_t;
 
 static int emit(ctx_t *g, double cost) {
+    /* goal-conditioned enumeration (SURVEY C11 "between current pose
+     * and goal"): only paths ENDING at the goal are candidates; the
+     * recursion still explores through, exactly as the Python filter */
+    int32_t end = g->stack[g->depth - 1];
+    if (g->goal >= 0 && end != g->goal) return 0;
     /* dedup on (end, len, round(cost, 6)); keep a copy if fresh */
     int64_t cmicro = round6_micro(cost);
-    int32_t end = g->stack[g->depth - 1];
     if (!seen_add(&g->seen, end, g->depth, cmicro)) return 0;
     paths_t *p = &g->out;
     if (p->arena_len + g->depth > p->arena_cap) {
@@ -219,7 +224,7 @@ static int32_t thin_sites(const int32_t *seq, int32_t len, int k_max,
  */
 int algp_enumerate_paths(
     int num_rows, int num_cols, double col_spacing, double row_spacing,
-    int start, double budget, int max_paths, int max_turns,
+    int start, int goal, double budget, int max_paths, int max_turns,
     double min_cost_frac,
     double *sel_costs, int32_t *sel_lens, int32_t *sel_nodes,
     int64_t *sel_offs, int64_t node_cap,
@@ -230,6 +235,7 @@ int algp_enumerate_paths(
     g.nr = num_rows; g.nc = num_cols;
     g.cs = col_spacing; g.rs = row_spacing;
     g.budget = budget; g.max_turns = max_turns;
+    g.goal = goal;
     g.harvest_cap = (int64_t)max_paths * 8;
 
     int64_t cap = g.harvest_cap;
@@ -257,7 +263,9 @@ int algp_enumerate_paths(
     int64_t *idx = malloc(sizeof(int64_t) * (g.out.n ? g.out.n : 1));
     if (!idx) { rc = -1; goto cleanup; }
     int64_t ngood = 0;
-    double thresh = min_cost_frac * budget;
+    /* goal-conditioned: every candidate already reaches the goal, so
+     * the short-stub preference is meaningless — keep them all */
+    double thresh = goal >= 0 ? 0.0 : min_cost_frac * budget;
     for (int64_t i = 0; i < g.out.n; i++)
         if (g.out.cost[i] >= thresh) idx[ngood++] = i;
     if (ngood == 0)

@@ -18,7 +18,7 @@ vmapped device call (acquisition.score_candidate_sets).
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterator
+from typing import Iterator, Optional
 
 import networkx as nx
 import numpy as np
@@ -113,16 +113,27 @@ def enumerate_paths(
     start: int,
     budget: float,
     *,
+    goal: Optional[int] = None,
     max_paths: int = 256,
     max_turns: int = 2,
     min_cost_frac: float = 0.5,
 ) -> list[tuple[list[int], float]]:
     """Budgeted path enumeration from the current pose (C11).
 
-    Prefers paths that use at least `min_cost_frac` of the budget slice
-    (short stubs waste replanning overhead); falls back to everything
-    enumerated if none qualify.  Deterministic: stable enumeration order,
-    longest-first among equal-cost.
+    `goal=None` (free mode): prefers paths that use at least
+    `min_cost_frac` of the budget slice (short stubs waste replanning
+    overhead); falls back to everything enumerated if none qualify.
+
+    `goal=<node>` (goal-conditioned — SURVEY.md §2 C11 `[R]`:
+    enumeration "between current pose and goal"): only paths ENDING at
+    the goal node within the budget are candidates — the waypoint-
+    directed planning the reference's robot simulator drives.  The
+    short-stub preference is meaningless here (every candidate reaches
+    the goal), so min_cost_frac is ignored; an empty result means the
+    goal is unreachable within the budget slice.
+
+    Deterministic either way: stable enumeration order, longest-first
+    among equal-cost.
 
     Engine: the native C enumerator (`algp_tpu.native/pathenum.c`) when
     a C compiler is available — the Python generator's per-prefix list
@@ -136,12 +147,15 @@ def enumerate_paths(
         env.num_rows, env.num_cols,
         float(env.cfg.col_spacing), float(env.cfg.row_spacing),
         int(start), float(budget), max_paths, max_turns, min_cost_frac,
+        goal=-1 if goal is None else int(goal),
     )
     if res is not None:
         return res
     all_paths = []
     seen = set()
     for seq, cost in _row_segments(env, start, budget, max_turns):
+        if goal is not None and seq[-1] != goal:
+            continue
         key = (seq[-1], len(seq), round(cost, 6))
         if key in seen:
             continue
@@ -149,8 +163,11 @@ def enumerate_paths(
         all_paths.append((seq, cost))
         if len(all_paths) >= max_paths * 8:
             break
-    good = [p for p in all_paths if p[1] >= min_cost_frac * budget]
-    if not good:
+    if goal is None:
+        good = [p for p in all_paths if p[1] >= min_cost_frac * budget]
+        if not good:
+            good = all_paths
+    else:
         good = all_paths
     # prefer long informative paths; deterministic tie-break on node seq
     good.sort(key=lambda p: (-p[1], p[0]))
@@ -192,6 +209,7 @@ def enumerate_batch(
     start: int,
     budget: float,
     *,
+    goal: Optional[int] = None,
     max_paths: int = 256,
     k_max: int = 10,
     max_turns: int = 2,
@@ -210,13 +228,13 @@ def enumerate_batch(
         env.num_rows, env.num_cols,
         float(env.cfg.col_spacing), float(env.cfg.row_spacing),
         int(start), float(budget), max_paths, max_turns, min_cost_frac,
-        k_max=k_max,
+        k_max=k_max, goal=-1 if goal is None else int(goal),
     )
     if raw is None:
         return paths_to_batch(
             env,
-            enumerate_paths(env, start, budget, max_paths=max_paths,
-                            max_turns=max_turns,
+            enumerate_paths(env, start, budget, goal=goal,
+                            max_paths=max_paths, max_turns=max_turns,
                             min_cost_frac=min_cost_frac),
             k_max=k_max,
         )

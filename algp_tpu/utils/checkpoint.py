@@ -27,6 +27,7 @@ class EpisodeState:
     params: Optional[KernelParams] = None  # fitted hyperparameters
     rng_state: Optional[dict] = None  # np.random.Generator bit state
     mlp: Optional[list] = None  # deep-kernel embedding weights [(W, b)…]
+    goal_i: int = 0  # next EpisodeConfig.waypoint_goals entry to visit
 
 
 def save(path: str, state: EpisodeState) -> None:
@@ -37,6 +38,7 @@ def save(path: str, state: EpisodeState) -> None:
         "pose": np.asarray(state.pose),
         "budget_left": np.asarray(state.budget_left),
         "step": np.asarray(state.step),
+        "goal_i": np.asarray(state.goal_i),
     }
     if state.params is not None:
         blobs.update(
@@ -92,4 +94,6 @@ def load(path: str) -> EpisodeState:
         params=params,
         rng_state=rng_state,
         mlp=mlp,
+        # absent in pre-round-4 checkpoints — default to the first goal
+        goal_i=int(z["goal_i"]) if "goal_i" in z.files else 0,
     )

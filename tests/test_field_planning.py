@@ -542,3 +542,128 @@ def test_episode_rejects_unknown_path_utility():
     env = FieldEnv(cfg.field, cfg.kernel)
     with pytest.raises(ValueError, match="path_utility"):
         Agent(env, cfg)
+
+
+def test_goal_conditioned_enumeration_semantics(env):
+    """goal= paths (C11 'between current pose and goal'): every
+    candidate ends AT the goal within budget; unreachable goals yield
+    nothing; min_cost_frac does not filter goal paths."""
+    start = env.rowcol_to_index(2, 0)
+    goal = env.rowcol_to_index(4, 9)
+    paths = planning.enumerate_paths(env, start, budget=20.0, goal=goal)
+    assert paths
+    for seq, cost in paths:
+        assert seq[0] == start and seq[-1] == goal
+        assert cost <= 20.0 + 1e-9
+    # deterministic
+    again = planning.enumerate_paths(env, start, budget=20.0, goal=goal)
+    assert [(list(a), c) for a, c in paths] == [(list(a), c) for a, c in again]
+    # unreachable within budget -> empty, not a crash
+    assert planning.enumerate_paths(env, start, budget=3.0, goal=goal) == []
+    # a cheap adjacent goal is NOT dropped by the free mode's
+    # min_cost_frac stub filter
+    near = planning.enumerate_paths(
+        env, start, budget=20.0, goal=env.rowcol_to_index(2, 1),
+        min_cost_frac=0.9,
+    )
+    assert any(cost <= 2.0 for _, cost in near)
+
+
+def test_goal_enumeration_native_matches_python(monkeypatch):
+    """C/Python parity for the goal-conditioned engine over a geometry
+    sweep (same contract as the free-mode parity test)."""
+    from algp_tpu import native
+
+    probe = native.enumerate_paths_native(4, 6, 1.0, 1.0, 0, 8.0, 64, 2, 0.5)
+    if probe is None:
+        pytest.skip("no C toolchain — native enumerator unavailable")
+
+    cases = [
+        (6, 10, 1.0, 1.0, 20, 20.0, 39),   # reachable, across rows
+        (6, 10, 1.0, 1.0, 20, 20.0, 29),   # same row far end
+        (5, 7, 0.7, 1.3, 0, 12.0, 34),     # ragged spacings
+        (12, 4, 0.5, 0.5, 26, 9.0, 47),
+        (6, 10, 1.0, 1.0, 20, 3.0, 59),    # unreachable -> both empty
+    ]
+    for rows, cols, cs, rs, start, budget, goal in cases:
+        env = FieldEnv(FieldConfig(
+            num_rows=rows, num_cols=cols, col_spacing=cs, row_spacing=rs,
+            seed=1,
+        ))
+        nat = planning.enumerate_paths(env, start, budget, goal=goal)
+        b_nat = planning.enumerate_batch(env, start, budget, goal=goal,
+                                         k_max=6)
+        monkeypatch.setenv("ALGP_TPU_NO_NATIVE", "1")
+        py = planning.enumerate_paths(env, start, budget, goal=goal)
+        b_py = planning.enumerate_batch(env, start, budget, goal=goal,
+                                        k_max=6)
+        monkeypatch.delenv("ALGP_TPU_NO_NATIVE")
+        assert len(nat) == len(py), (rows, cols, start, goal)
+        for (ns, ncost), (ps, pcost) in zip(nat, py):
+            assert list(ns) == list(ps)
+            assert ncost == pcost
+        np.testing.assert_array_equal(b_nat.sets, b_py.sets)
+        np.testing.assert_array_equal(b_nat.sizes, b_py.sizes)
+        np.testing.assert_array_equal(b_nat.costs, b_py.costs)
+        np.testing.assert_array_equal(b_nat.ends, b_py.ends)
+
+
+def test_episode_visits_waypoint_goals_in_order():
+    """EpisodeConfig.waypoint_goals drives goal-conditioned planning:
+    the episode reaches every goal (its paths END at the active goal, so
+    each goal node gets sampled) and the goal cursor advances through
+    the list; resume round-trips the cursor."""
+    import dataclasses
+
+    from algp_tpu.config import PRESETS
+    from algp_tpu.episode import Agent
+    from algp_tpu.field import FieldEnv
+    from algp_tpu.utils import checkpoint as ckpt
+
+    base = PRESETS["c5_episode"]
+    fieldc = dataclasses.replace(base.field, num_rows=8, num_cols=12,
+                                 true_ls_spatial=3.0, seed=5)
+    env = FieldEnv(fieldc, base.kernel)
+    goals = (
+        env.rowcol_to_index(0, 11),
+        env.rowcol_to_index(2, 0),
+        env.rowcol_to_index(4, 11),
+    )
+    cfg = dataclasses.replace(
+        base, field=fieldc,
+        episode=dataclasses.replace(base.episode, num_pilot=12, budget=90.0,
+                                    num_waypoints=6, samples_per_step=6,
+                                    waypoint_goals=goals),
+    )
+    result = Agent(env, cfg).run(max_steps=12)
+    assert result.state.goal_i == len(goals)  # every waypoint reached
+    sampled = set(int(i) for i in result.state.sampled_idx)
+    for g in goals:
+        assert g in sampled  # path ends are always thinned-in sample sites
+    assert np.isfinite(result.rmse_test)
+
+    # the goal cursor survives a checkpoint round-trip
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "g.npz")
+        ckpt.save(path, result.state)
+        loaded = ckpt.load(path)
+    assert loaded.goal_i == len(goals)
+
+
+def test_waypoint_goals_validated():
+    import dataclasses
+
+    from algp_tpu.config import PRESETS
+    from algp_tpu.episode import Agent
+    from algp_tpu.field import FieldEnv
+
+    base = PRESETS["c5_episode"]
+    cfg = dataclasses.replace(
+        base, episode=dataclasses.replace(base.episode,
+                                          waypoint_goals=(0, 10**6)),
+    )
+    with pytest.raises(ValueError, match="waypoint_goals"):
+        Agent(FieldEnv(cfg.field, cfg.kernel), cfg)
