@@ -89,6 +89,28 @@ class LowRankPrecision:
     pdiag: jax.Array
 
 
+def check_kcenter_m(num_valid, m: int, caller: str) -> None:
+    """Enforce the `kcenter_indices` contract m ≤ live rows wherever the
+    live count is CONCRETE (the public eager wrappers — the episode and
+    direct users hit these with host-known scalars).  A violation would
+    not crash: exhausted maximin rounds silently duplicate index 0,
+    poisoning the inducing design while the K_zz jitter keeps it
+    factorizable — exactly the silent-wrong-rows class the explicit
+    `corrections_pregathered` flag was introduced to kill.  Inside a
+    trace the count is abstract and the check is a no-op (the jitted
+    wrappers there clamp m statically instead)."""
+    try:
+        nv = int(num_valid)
+    except Exception:
+        return  # traced — the static clamp at the jit wrapper governs
+    if nv < m:
+        raise ValueError(
+            f"{caller}: k-center inducing design needs num_valid ≥ m "
+            f"(got {nv} live rows for m={m}) — maximin rounds past "
+            f"exhaustion would silently duplicate index 0"
+        )
+
+
 @partial(jax.jit, static_argnames=("m",))
 def kcenter_indices(
     x: jax.Array, m: int, n_valid: Optional[jax.Array] = None
@@ -105,8 +127,10 @@ def kcenter_indices(
     point is chosen the maximin distance is −inf everywhere and further
     rounds duplicate index 0, leaving the K_zz jitter as the only thing
     keeping the inducing Cholesky PD.  The jit wrappers that derive z
-    internally clamp m against their static candidate count; callers
-    passing a traced `n_valid` must enforce it themselves.
+    internally clamp m against their static candidate count; wrappers
+    taking a RUNTIME `n_valid` enforce the contract at their eager
+    boundary via `check_kcenter_m` (ADVICE-r2 pattern: conventions that
+    can silently produce wrong rows get code, not comments).
     """
     N = x.shape[0]
     if n_valid is None:

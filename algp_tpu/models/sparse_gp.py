@@ -206,7 +206,12 @@ def fit_step_sparse(
     (long campaigns: the exact fit is O(n³) per optimizer step, this is
     O(n·M²)).  Requires num_valid ≥ num_inducing when invoked — the
     episode's threshold rule guarantees it (threshold ≥ sparse_inducing
-    is validated at Agent construction)."""
+    is validated at Agent construction) and `check_kcenter_m` enforces
+    it here for every other caller."""
+    from algp_tpu.acquisition_lowrank import check_kcenter_m
+
+    check_kcenter_m(num_valid, min(num_inducing, x.shape[0]),
+                    "fit_step_sparse")
     return _fit_step_sparse_jit(
         spec, cfg, x, y, noise_scale, base_key,
         jnp.asarray(step, jnp.uint32), jnp.asarray(num_valid, jnp.int32),
@@ -254,8 +259,11 @@ def fit_step_sparse_warm(
     `gp.refit_cfg`'s shrunk iters/restarts — the long-campaign refit
     (O(n·M²) per optimizer step ×150 sequential steps) is the dominant
     per-refit cost there, and the optimum moves little per step."""
+    from algp_tpu.acquisition_lowrank import check_kcenter_m
     from algp_tpu.models.gp import refit_cfg
 
+    check_kcenter_m(num_valid, min(num_inducing, x.shape[0]),
+                    "fit_step_sparse_warm")
     return _fit_step_sparse_warm_jit(
         spec, refit_cfg(cfg), x, y, noise_scale, base_key,
         jnp.asarray(step, jnp.uint32), jnp.asarray(num_valid, jnp.int32),

@@ -36,6 +36,17 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+#: per-step regression budgets ≈ 2.2× the best committed artifact
+#: (episode10k/20k/100k/1m steady state: ~102 / ~54 / ~90 / ~200 ms per
+#: step, benchmarks/README.md) — a transient pool band passes, a real
+#: 2× slowdown fails.  The SINGLE source for both this ritual and the
+#: pytest hardware gate (tests/test_perf.py::test_episode_ladder_budget,
+#: VERDICT r3 #8); 4M/long stay ritual-only for time.
+BUDGETS_MS = {"episode10k": 230.0, "episode20k": 130.0,
+              "episode100k": 250.0,
+              "episode1m": 450.0, "episode1m_long": 310.0,
+              "episode4m": 640.0}
+
 
 def run(cmd, env_extra=None, timeout=900, retries=0):
     """Run a benchmark subprocess; `retries` re-runs it — but ONLY on
@@ -132,21 +143,14 @@ def main() -> None:
                [py, "benchmarks/episode10k_bench.py", "--preset", "c5_4m",
                 "--steps", "12"], timeout=3600, retries=1)
 
-    # per-step regression budgets ≈ 2.2× the best committed artifact
-    # (episode10k/100k/1m steady state: ~102 / ~110 / ~200 ms per step,
-    # benchmarks/README.md r03) — a transient pool band passes, a real
-    # 2× regression fails the ritual.  Budgets check
-    # steady_state_per_step_ms, which (per episode10k_bench.py's
-    # documented semantics) excludes only the one-time FINAL posterior
-    # fetch; episode startup (pilot fit, initial seed, first-execution
-    # stalls) is still amortized over the ritual's short step counts,
-    # so the budgets carry that amortized startup in their 2.2× slack.
-    budgets_ms = {"episode10k": 230.0, "episode20k": 130.0,
-                  "episode100k": 250.0,
-                  "episode1m": 450.0, "episode1m_long": 310.0,
-                  "episode4m": 640.0}
+    # Budgets (BUDGETS_MS above) check steady_state_per_step_ms, which
+    # (per episode10k_bench.py's documented semantics) excludes only
+    # the one-time FINAL posterior fetch; episode startup (pilot fit,
+    # initial seed, first-execution stalls) is still amortized over the
+    # ritual's short step counts, so the budgets carry that amortized
+    # startup in their 2.2× slack.
     out["step_budgets"] = {}
-    for key, budget in budgets_ms.items():
+    for key, budget in BUDGETS_MS.items():
         got = out[key].get(
             "steady_state_per_step_ms", out[key].get("per_step_ms")
         )

@@ -77,3 +77,52 @@ def test_episode_under_one_second():
         f"regression band (pool band 150-220 ms; reps "
         f"{[round(t * 1e3) for t in times]})"
     )
+
+
+def _round_perf_mod():
+    """Load benchmarks/round_perf.py as a module — the single source of
+    the ladder budgets (BUDGETS_MS) and the transient-retry runner."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks", "round_perf.py")
+    spec = importlib.util.spec_from_file_location("algp_round_perf", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.perf
+@pytest.mark.parametrize(
+    "key,preset,steps,timeout",
+    [
+        ("episode10k", None, 10, 1200),
+        ("episode20k", "c5_20k", 12, 2400),
+        ("episode100k", "c5_100k", 10, 2400),
+        ("episode1m", "c5_1m", 8, 3600),
+    ],
+)
+def test_episode_ladder_budget(key, preset, steps, timeout):
+    """VERDICT r3 #8: the committed steady-state ladder budgets are a
+    pytest-visible HARDWARE gate, not just the manual ritual — a scale
+    regression at 20k/100k/1M surfaces whenever ALGP_TPU_PERF=1 runs,
+    with the budgets imported from round_perf (one source of truth).
+    The 4M/long presets stay ritual-only for wall-clock."""
+    import json
+    import sys
+
+    rp = _round_perf_mod()
+    cmd = [sys.executable, "benchmarks/episode10k_bench.py",
+           "--steps", str(steps)]
+    if preset:
+        cmd[2:2] = ["--preset", preset]
+    rc, lines, retried = rp.run(cmd, timeout=timeout, retries=1)
+    assert rc == 0, f"{key} benchmark failed: {lines[-3:]}"
+    rec = json.loads(lines[-1])
+    got = rec.get("steady_state_per_step_ms", rec.get("per_step_ms"))
+    budget = rp.BUDGETS_MS[key]
+    assert got is not None and got < budget, (
+        f"{key}: {got} ms/step over the {budget} ms budget "
+        f"(transient retries: {retried}; record: {rec})"
+    )
