@@ -95,6 +95,27 @@ def test_cli_config_overrides_compose():
     assert cfg.fit.restarts == 4
 
 
+def test_cli_round4_flags_compose():
+    """--path-utility, --waypoint-goals and --num-inducing 0 (force
+    exact under the auto default) flow into the typed configs."""
+    from algp_tpu import cli
+
+    args = cli.build_parser().parse_args([
+        "--preset", "c5_episode", "--path-utility", "per_sample",
+        "--waypoint-goals", "3,40,77", "--num-inducing", "0",
+    ])
+    cfg = cli.config_from_args(args)
+    assert cfg.acquisition.path_utility == "per_sample"
+    assert cfg.episode.waypoint_goals == (3, 40, 77)
+    assert cfg.acquisition.num_inducing == 0  # explicit force-exact
+    # unset flags leave the preset's auto default intact
+    args2 = cli.build_parser().parse_args(["--preset", "c5_episode"])
+    cfg2 = cli.config_from_args(args2)
+    assert cfg2.acquisition.num_inducing is None
+    assert cfg2.acquisition.path_utility == "per_cost"
+    assert cfg2.episode.waypoint_goals is None
+
+
 def test_plotting_smoke(tmp_path):
     env = FieldEnv(FieldConfig(num_rows=5, num_cols=8, seed=0))
     from algp_tpu.utils import plotting
