@@ -51,9 +51,10 @@ typedef struct {
 } paths_t;
 
 typedef struct {
-    /* open-addressing set of (end, len, cost_micro) triples */
+    /* open-addressing set of (end, len, cost_micro[, route]) tuples */
     int64_t *end_len;    /* packed: end * 2^20 + len  (-1 = empty) */
     int64_t *cost_micro;
+    int64_t *route;      /* goal mode only: packed interior nodes */
     int64_t cap, n;
 } seen_t;
 
@@ -61,23 +62,28 @@ static int seen_init(seen_t *s, int64_t cap) {
     s->cap = cap; s->n = 0;
     s->end_len = malloc(sizeof(int64_t) * cap);
     s->cost_micro = malloc(sizeof(int64_t) * cap);
-    if (!s->end_len || !s->cost_micro) return -1;
+    s->route = malloc(sizeof(int64_t) * cap);
+    if (!s->end_len || !s->cost_micro || !s->route) return -1;
     for (int64_t i = 0; i < cap; i++) s->end_len[i] = -1;
     return 0;
 }
 
 /* returns 1 if newly inserted, 0 if already present */
-static int seen_add(seen_t *s, int64_t end, int64_t length, int64_t cmicro) {
+static int seen_add(seen_t *s, int64_t end, int64_t length, int64_t cmicro,
+                    int64_t route) {
     int64_t key = end * 1048576 + length;
     uint64_t h = (uint64_t)key * 0x9E3779B97F4A7C15ull
-               ^ (uint64_t)cmicro * 0xC2B2AE3D27D4EB4Full;
+               ^ (uint64_t)cmicro * 0xC2B2AE3D27D4EB4Full
+               ^ (uint64_t)route * 0xD6E8FEB86659FD93ull;
     uint64_t i = h % (uint64_t)s->cap;
     while (s->end_len[i] != -1) {
-        if (s->end_len[i] == key && s->cost_micro[i] == cmicro) return 0;
+        if (s->end_len[i] == key && s->cost_micro[i] == cmicro
+            && s->route[i] == route) return 0;
         i = (i + 1) % (uint64_t)s->cap;
     }
     s->end_len[i] = key;
     s->cost_micro[i] = cmicro;
+    s->route[i] = route;
     s->n++;
     return 1;
 }
@@ -100,9 +106,20 @@ static int emit(ctx_t *g, double cost) {
      * recursion still explores through, exactly as the Python filter */
     int32_t end = g->stack[g->depth - 1];
     if (g->goal >= 0 && end != g->goal) return 0;
-    /* dedup on (end, len, round(cost, 6)); keep a copy if fresh */
+    /* dedup on (end, len, round(cost, 6)); keep a copy if fresh.
+     * Goal mode extends the key with two interior route nodes
+     * (seq[1], seq[len/2]): with the end pinned to the goal, distinct
+     * routes routinely share (len, cost) on a uniform grid — the plain
+     * key would collapse them and leave the information scorer nothing
+     * to choose between.  Free mode keeps the original key bit-for-bit. */
     int64_t cmicro = round6_micro(cost);
-    if (!seen_add(&g->seen, end, g->depth, cmicro)) return 0;
+    int64_t route = 0;
+    if (g->goal >= 0 && g->depth > 1) {
+        int64_t n_nodes = (int64_t)g->nr * g->nc;
+        route = (int64_t)g->stack[1] * n_nodes
+              + (int64_t)g->stack[g->depth / 2];
+    }
+    if (!seen_add(&g->seen, end, g->depth, cmicro, route)) return 0;
     paths_t *p = &g->out;
     if (p->arena_len + g->depth > p->arena_cap) {
         p->arena_cap = (p->arena_cap + g->depth) * 2;
@@ -299,5 +316,6 @@ int algp_enumerate_paths(
 cleanup:
     free(g.out.arena); free(g.out.off); free(g.out.len); free(g.out.cost);
     free(g.stack); free(g.seen.end_len); free(g.seen.cost_micro);
+    free(g.seen.route);
     return rc;
 }

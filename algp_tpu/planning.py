@@ -157,6 +157,12 @@ def enumerate_paths(
         if goal is not None and seq[-1] != goal:
             continue
         key = (seq[-1], len(seq), round(cost, 6))
+        if goal is not None and len(seq) > 1:
+            # with the end pinned to the goal, distinct routes routinely
+            # share (len, cost) on a uniform grid — extend the key with
+            # two interior route nodes so the scorer keeps real choices
+            # (free mode keeps the original key bit-for-bit)
+            key = key + (seq[1], seq[len(seq) // 2])
         if key in seen:
             continue
         seen.add(key)
