@@ -103,8 +103,13 @@ def main() -> None:
         "summary": lines[-1] if lines else "",
     }
 
+    # the ladder-budget gate (test_episode_ladder_budget) re-runs the
+    # same episode benches this ritual executes below and asserts the
+    # same BUDGETS_MS — skip it here so the ritual doesn't pay the
+    # ladder twice; standalone ALGP_TPU_PERF=1 pytest runs still cover it
     rc, lines, rt = run(
-        [py, "-m", "pytest", "tests/test_perf.py", "-q"],
+        [py, "-m", "pytest", "tests/test_perf.py", "-q",
+         "-k", "not ladder"],
         env_extra={"ALGP_TPU_PERF": "1"}, timeout=1800,
     )
     out["perf_budget"] = {
