@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--budget", type=float, help="episode travel budget")
     p.add_argument("--num-pilot", type=int)
     p.add_argument("--samples-per-step", type=int)
+    p.add_argument("--min-cost-frac", type=float,
+                   help="minimum path cost as a fraction of the budget "
+                   "slice (default 0.5) — the floor on the cheapest "
+                   "sample price a step can buy; lower it with "
+                   "--path-utility per_sample for more, shorter steps")
     p.add_argument("--noise-std", type=float)
     p.add_argument("--modality", choices=("precise", "cheap", "mixed"),
                    help="sensing-modality policy for collected samples")
@@ -129,7 +134,7 @@ def config_from_args(args) -> ExperimentConfig:
                             if args.value_cols else None))
     ep = rep(ep, budget=args.budget, num_pilot=args.num_pilot,
              samples_per_step=args.samples_per_step, seed=args.seed,
-             modality=args.modality,
+             modality=args.modality, min_cost_frac=args.min_cost_frac,
              waypoint_goals=(tuple(int(g) for g in
                              args.waypoint_goals.split(","))
                              if args.waypoint_goals else None))

@@ -196,6 +196,16 @@ class EpisodeConfig:
     budget: float = 200.0  # total path budget (config 5)
     num_waypoints: int = 8  # planning horizon: paths per replan
     samples_per_step: int = 10
+    # Minimum path cost as a fraction of the per-step budget slice
+    # (planning.enumerate_paths min_cost_frac): the enumeration drops
+    # shorter paths before the utility ever sees them, so this floor
+    # bounds the cheapest sample price a step can buy.  0.5 is the
+    # long-standing default (short stubs waste replanning overhead);
+    # lowering it widens the price range the yield-aware
+    # path_utility="per_sample" can exploit at ultra-sparse coverage —
+    # more, shorter steps for the same travel budget (size
+    # max_samples/hard_cap for the step count it implies).
+    min_cost_frac: float = 0.5
     # GOAL-CONDITIONED planning (SURVEY.md §2 C11 `[R]`: path
     # enumeration "between current pose and goal"): an ordered tuple of
     # grid indices the robot must visit.  Each informative step then

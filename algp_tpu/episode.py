@@ -162,18 +162,20 @@ class Agent:
         # static training-buffer capacity: every jitted fn sees ONE shape
         # for the whole episode (identity-padded; SURVEY.md §7.5 #4).
         # Derivation: the planner prefers paths costing ≥ min_cost_frac
-        # (= 0.5) of the per-step budget slice budget/num_waypoints, so a
-        # budget funds at most num_waypoints/min_cost_frac = 2·num_waypoints
-        # full steps; +6 steps of slack covers fallback stubs when no
-        # qualifying path exists (pose cornered).  Each step collects at
-        # most samples_per_step measurements.  Not a hard bound — an
-        # episode of sub-slice steps can outgrow it (see _grow_capacity);
-        # EpisodeConfig.max_samples pre-sizes such campaigns explicitly.
+        # of the per-step budget slice budget/num_waypoints, so a budget
+        # funds at most ceil(num_waypoints / min_cost_frac) full steps
+        # (2·num_waypoints at the 0.5 default); +6 steps of slack covers
+        # fallback stubs when no qualifying path exists (pose cornered).
+        # Each step collects at most samples_per_step measurements.  Not
+        # a hard bound — an episode of sub-slice steps can outgrow it
+        # (see _grow_capacity); EpisodeConfig.max_samples pre-sizes such
+        # campaigns explicitly.
         if cfg.episode.max_samples is not None:
             cap = cfg.episode.max_samples
         else:
+            frac = max(cfg.episode.min_cost_frac, 1e-6)
             cap = cfg.episode.num_pilot + (
-                2 * cfg.episode.num_waypoints + 6
+                int(np.ceil(cfg.episode.num_waypoints / frac)) + 6
             ) * self._k_max
         self._max_samples = (cap + 7) // 8 * 8
         self._P_cache = None  # (params, W, WT) — exact implicit-precision seed
@@ -626,6 +628,7 @@ class Agent:
         batch = planning.enumerate_batch(
             self.env, st.pose, slice_budget, goal=goal,
             max_paths=self._pad_paths, k_max=self._k_max,
+            min_cost_frac=self.cfg.episode.min_cost_frac,
         )
         if goal is not None and not len(batch):
             # the waypoint is unreachable within this budget slice —
@@ -636,6 +639,7 @@ class Agent:
             batch = planning.enumerate_batch(
                 self.env, st.pose, slice_budget,
                 max_paths=self._pad_paths, k_max=self._k_max,
+                min_cost_frac=self.cfg.episode.min_cost_frac,
             )
         if not len(batch):
             # terminal plan (budget slice exhausted / pose cornered): the

@@ -56,6 +56,11 @@ def main() -> None:
                     "the capacity mid-episode recompiles every step "
                     "program; one explicit cap keeps the arms' panel "
                     "residency and step cost comparable too")
+    ap.add_argument("--min-cost-frac", type=float, default=None,
+                    help="EpisodeConfig.min_cost_frac override: the "
+                    "enumeration's minimum path cost as a fraction of "
+                    "the budget slice (default 0.5) - the floor on the "
+                    "cheapest sample price a step can buy")
     ap.add_argument("--json", default=None)
     ap.add_argument("--plot", default=None,
                     help="write the held-out-RMSE-vs-samples figure here")
@@ -96,6 +101,8 @@ def main() -> None:
                         base.episode, seed=seed,
                         **({"max_samples": args.max_samples}
                            if args.max_samples else {}),
+                        **({"min_cost_frac": args.min_cost_frac}
+                           if args.min_cost_frac is not None else {}),
                     ),
                 )
             else:
@@ -110,7 +117,11 @@ def main() -> None:
                     episode=EpisodeConfig(num_pilot=24, budget=args.budget,
                                           num_waypoints=8, samples_per_step=8,
                                           refit_every=2, seed=seed,
-                                          max_samples=args.max_samples),
+                                          max_samples=args.max_samples,
+                                          **({"min_cost_frac":
+                                              args.min_cost_frac}
+                                             if args.min_cost_frac
+                                             is not None else {})),
                 )
             env = FieldEnv(fieldc, cfg.kernel)
             t0 = time.perf_counter()

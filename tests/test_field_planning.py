@@ -667,3 +667,42 @@ def test_waypoint_goals_validated():
     )
     with pytest.raises(ValueError, match="waypoint_goals"):
         Agent(FieldEnv(cfg.field, cfg.kernel), cfg)
+
+
+def test_min_cost_frac_config_buys_more_shorter_steps():
+    """EpisodeConfig.min_cost_frac reaches the planner: lowering the
+    enumeration floor yields more, cheaper steps for the same budget
+    (the sample-price lever the yield-aware utility exploits), and the
+    default 0.5 keeps the auto-derived capacity formula unchanged."""
+    import dataclasses
+
+    from algp_tpu.config import PRESETS
+    from algp_tpu.episode import Agent
+    from algp_tpu.field import FieldEnv
+
+    base = PRESETS["c5_episode"]
+    steps = {}
+    for frac in (0.5, 0.25):
+        cfg = dataclasses.replace(
+            base,
+            field=dataclasses.replace(base.field, num_rows=12, num_cols=16,
+                                      true_ls_spatial=3.0),
+            acquisition=dataclasses.replace(base.acquisition,
+                                            path_utility="per_sample"),
+            episode=dataclasses.replace(base.episode, num_pilot=16,
+                                        budget=60.0, samples_per_step=6,
+                                        min_cost_frac=frac),
+        )
+        env = FieldEnv(cfg.field, cfg.kernel)
+        agent = Agent(env, cfg)
+        if frac == 0.5:
+            cap_default = agent._max_samples
+        result = agent.run(max_steps=30)
+        steps[frac] = (result.state.step,
+                       60.0 - result.state.budget_left,
+                       len(result.state.sampled_idx))
+        assert np.isfinite(result.rmse_test)
+    assert steps[0.25][0] > steps[0.5][0], steps  # more steps
+    # capacity formula: ceil(w/frac)+6 slack steps == the old 2w+6 at 0.5
+    w, k = base.episode.num_waypoints, 6
+    assert cap_default == ((16 + (2 * w + 6) * k) + 7) // 8 * 8
