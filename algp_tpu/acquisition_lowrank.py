@@ -111,17 +111,23 @@ def check_kcenter_m(num_valid, m: int, caller: str) -> None:
         )
 
 
-@partial(jax.jit, static_argnames=("m",))
+@partial(jax.jit, static_argnames=("m", "start"))
 def kcenter_indices(
-    x: jax.Array, m: int, n_valid: Optional[jax.Array] = None
+    x: jax.Array, m: int, n_valid: Optional[jax.Array] = None,
+    *, start: int = 0,
 ) -> jax.Array:
     """Greedy k-center (maximin) inducing-point selection, deterministic.
 
-    Starts from index 0, then repeatedly takes the candidate farthest (in
+    Starts from index `start` (default 0 — the long-standing design,
+    bit-identical), then repeatedly takes the candidate farthest (in
     raw input space) from the chosen set.  O(N·m) — one fused distance
-    update per round.  `n_valid` masks alignment-padding candidates
-    (`pad_candidates` sentinels sit at far-away coordinates and would
-    otherwise win every maximin round).
+    update per round.  Different `start` values yield distinct,
+    equally-dispersed maximin designs — the deterministic variant knob
+    the z-ENSEMBLE MI mode averages over (`AcquisitionConfig.
+    mi_ensemble`; the measured 4M z-sensitivity is exactly the spread
+    between such variants).  `n_valid` masks alignment-padding
+    candidates (`pad_candidates` sentinels sit at far-away coordinates
+    and would otherwise win every maximin round).
 
     Requires m ≤ the number of distinct live candidates: once every live
     point is chosen the maximin distance is −inf everywhere and further
@@ -141,8 +147,8 @@ def kcenter_indices(
         d = a - b[None, :]
         return jnp.sum(d * d, axis=1)
 
-    d0 = jnp.where(live, sq(x, x[0]), -jnp.inf)
-    idx0 = jnp.zeros((m,), jnp.int32)
+    d0 = jnp.where(live, sq(x, x[start]), -jnp.inf)
+    idx0 = jnp.full((m,), start, jnp.int32)
 
     def body(t, state):
         idx, d = state
@@ -642,7 +648,7 @@ def plan_episode_step_lowrank(
 
 
 @partial(jax.jit, static_argnames=("spec", "min_noise", "nv_mult",
-                                   "path_utility"))
+                                   "path_utility", "ensemble"))
 def plan_episode_step_lowrank_factors(
     spec: KernelSpec,
     params: KernelParams,
@@ -659,13 +665,26 @@ def plan_episode_step_lowrank_factors(
     min_noise: float = 1e-3,
     nv_mult: float = 1.0,
     path_utility: str = "per_cost",
+    ensemble: int = 1,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """`plan_episode_step_lowrank` driven by the SMALL-factor seed: the
     VT/dinv rows the step needs (sampled set + path-set rows, ≲3k) are
     materialised on the fly by `v_rows_at` with arithmetic identical to
     the full factor's rows — selections match the full-seed step
     (tests/test_lowrank.py) while the per-refit seed halves its O(N·M)
-    traffic and drops the (N, M) V residency entirely."""
+    traffic and drops the (N, M) V residency entirely.
+
+    `ensemble > 1` (z-ENSEMBLE MI): `fac` then carries a leading K axis
+    of INDEPENDENT small-factor seeds (distinct k-center design
+    variants); the MI scores are computed per design (vmap) and
+    AVERAGED before the utility argmax.  Rationale: at ultra-sparse
+    coverage (the 4.19M ladder top) the episode outcome is measurably
+    sensitive to small inducing-design perturbations — equally-dispersed
+    designs moved one probe field's RMSE 1.02 → 0.53, and raising M
+    did not help (benchmarks/README.md) — so averaging over design
+    variants attacks the variance directly.  The conditioning pass /
+    posterior metrics are design-independent and computed once;
+    `ensemble=1` is the unchanged single-design path."""
     from algp_tpu.acquisition import (
         _batch_pilot_condition,
         _pblk_finish,
@@ -695,43 +714,52 @@ def plan_episode_step_lowrank_factors(
     vf = vdel.astype(jnp.float32)
     idx_safe = jnp.where(vdel, idx_pad, 0)
     rows = sets.reshape(-1)
-    VA, dA = v_rows_at(
-        spec, params, fac, x[idx_safe], jnp.full((cap,), 1.0) * nv_fut
-    )
-    Vr, dr = v_rows_at(
-        spec, params, fac, x[rows], jnp.full(rows.shape, 1.0) * nv_fut
-    )
-    PA = -jnp.dot(VA, VA.T, precision=_HIGH) + jnp.diag(dA)
-    pair = vdel[:, None] & vdel[None, :]
-    PA = jnp.where(pair, PA, jnp.eye(cap, dtype=jnp.float32))
-    LA2 = jnp.linalg.cholesky(PA)
-    F_rows = -jnp.dot(Vr, VA.T, precision=_HIGH)  # (R, cap)
-    own = (rows[:, None] == idx_safe[None, :]) & vdel[None, :]
-    F_rows = F_rows + jnp.where(own, dr[:, None], 0.0)
-    F_rows = F_rows * vf[None, :]
-    ZT_rows = la.cho_solve(LA2, F_rows.T).T * vf[None, :]
-
-    P0 = _pblk_lowrank_prior(
-        sets, Vr.reshape(*sets.shape, -1), dr.reshape(sets.shape)
-    )
     tk = taken[rows].reshape(sets.shape)
-    Pblk = _pblk_finish(
-        P0, F_rows.reshape(*sets.shape, -1), ZT_rows.reshape(*sets.shape, -1),
-        tk,
-    )
     xs = x[rows].reshape(*sets.shape, -1)
     nvs = jnp.full(sets.shape, 1.0, jnp.float32) * nv_fut
     Bs = jnp.moveaxis(C[:, rows].reshape(cap, *sets.shape), 1, 0)
-    scores = _score_sets_gathered(
-        spec, params, xs, Bs, nvs, set_sizes, Pblk, strategy="mi"
-    )
+
+    def mi_scores(fac_k: LowRankFactors) -> jax.Array:
+        """MI joint scores of every path set under ONE seed's complement
+        precision — the fac-dependent half of the step."""
+        VA, dA = v_rows_at(
+            spec, params, fac_k, x[idx_safe], jnp.full((cap,), 1.0) * nv_fut
+        )
+        Vr, dr = v_rows_at(
+            spec, params, fac_k, x[rows], jnp.full(rows.shape, 1.0) * nv_fut
+        )
+        PA = -jnp.dot(VA, VA.T, precision=_HIGH) + jnp.diag(dA)
+        pair = vdel[:, None] & vdel[None, :]
+        PA = jnp.where(pair, PA, jnp.eye(cap, dtype=jnp.float32))
+        LA2 = jnp.linalg.cholesky(PA)
+        F_rows = -jnp.dot(Vr, VA.T, precision=_HIGH)  # (R, cap)
+        own = (rows[:, None] == idx_safe[None, :]) & vdel[None, :]
+        F_rows = F_rows + jnp.where(own, dr[:, None], 0.0)
+        F_rows = F_rows * vf[None, :]
+        ZT_rows = la.cho_solve(LA2, F_rows.T).T * vf[None, :]
+
+        P0 = _pblk_lowrank_prior(
+            sets, Vr.reshape(*sets.shape, -1), dr.reshape(sets.shape)
+        )
+        Pblk = _pblk_finish(
+            P0, F_rows.reshape(*sets.shape, -1),
+            ZT_rows.reshape(*sets.shape, -1), tk,
+        )
+        return _score_sets_gathered(
+            spec, params, xs, Bs, nvs, set_sizes, Pblk, strategy="mi"
+        )
+
+    if ensemble > 1:
+        scores = jnp.mean(jax.vmap(mi_scores)(fac), axis=0)
+    else:
+        scores = mi_scores(fac)
     best = path_set_argmax(scores, set_sizes, costs,
                            path_utility=path_utility)
     return best, mean, jnp.maximum(d, 0.0), scores
 
 
 @partial(jax.jit, static_argnames=("spec", "min_noise", "nv_mult",
-                                   "path_utility"))
+                                   "path_utility", "ensemble"))
 def plan_episode_step_lowrank_factors_metrics(
     spec: KernelSpec,
     params: KernelParams,
@@ -751,13 +779,14 @@ def plan_episode_step_lowrank_factors_metrics(
     min_noise: float = 1e-3,
     nv_mult: float = 1.0,
     path_utility: str = "per_cost",
+    ensemble: int = 1,
 ) -> tuple[jax.Array, ...]:
     """Device-reduced-metrics variant of the small-factor step (same
     contract as `plan_episode_step_lowrank_metrics`)."""
     best, mean, d, _ = plan_episode_step_lowrank_factors(
         spec, params, x, idx_pad, count, noise_scale_pad, y_pad,
         sets, set_sizes, costs, fac, min_noise=min_noise, nv_mult=nv_mult,
-        path_utility=path_utility,
+        path_utility=path_utility, ensemble=ensemble,
     )
     err = mean - f_true
     rmse = jnp.sqrt(

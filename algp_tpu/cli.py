@@ -81,6 +81,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iters", type=int)
     p.add_argument("--restarts", type=int)
     p.add_argument("--acq-rounds", type=int, help="greedy rounds (configs 3-4)")
+    p.add_argument("--mi-ensemble", type=int,
+                   help="z-ensemble MI: average scores over K distinct "
+                   "k-center design variants (low-rank planner, single "
+                   "chip) — the mitigation for inducing-design "
+                   "sensitivity at ultra-sparse coverage; 1 = off")
     p.add_argument("--path-utility", choices=("per_cost", "per_sample"),
                    help="episode path cost model: 'per_cost' = info gain "
                    "per unit cost (default); 'per_sample' = yield-aware "
@@ -123,7 +128,8 @@ def config_from_args(args) -> ExperimentConfig:
               iters=args.iters, restarts=args.restarts)
     acqc = rep(acqc, strategy=args.strategy, rounds=args.acq_rounds,
                num_inducing=args.num_inducing,
-               path_utility=args.path_utility)
+               path_utility=args.path_utility,
+               mi_ensemble=args.mi_ensemble)
     field = rep(field, num_rows=args.rows, num_cols=args.cols,
                 num_features=args.features, noise_std=args.noise_std,
                 feature_warp=args.feature_warp,

@@ -140,6 +140,16 @@ class AcquisitionConfig:
     #                  in 9 long paths where entropy bought ~200 in
     #                  15-16 short ones — benchmarks/README.md).
     path_utility: str = "per_cost"
+    # z-ENSEMBLE MI (low-rank planner only, single chip): K > 1 builds K
+    # independent k-center design variants (distinct deterministic
+    # maximin start points), seeds K complement precisions per refit,
+    # and AVERAGES the K MI scores before the utility argmax.  Targets
+    # the measured inducing-design sensitivity at ultra-sparse coverage
+    # (4.19M: equally-dispersed designs moved one field's RMSE
+    # 1.02 → 0.53 and raising M did not help — benchmarks/README.md);
+    # costs K× the per-refit seed and the per-step correction work.
+    # 1 = single-design (bit-identical default).
+    mi_ensemble: int = 1
     # NOTE: no refresh knob — the episode's Krause-MI complement
     # precision rebuilds its Schur corrections from the per-refit seed
     # inverse in one batched op per replan (acquisition.

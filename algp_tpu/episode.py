@@ -159,6 +159,19 @@ class Agent:
         self._num_inducing = resolve_num_inducing(
             cfg.acquisition.num_inducing, env.n
         )
+        self._mi_ensemble = max(1, int(cfg.acquisition.mi_ensemble))
+        if self._mi_ensemble > 1:
+            if cfg.acquisition.strategy == "mi" and not self._num_inducing:
+                raise ValueError(
+                    "mi_ensemble > 1 needs the low-rank planner "
+                    "(num_inducing > 0 or auto above the crossover) — "
+                    "the exact W seed has no design to vary"
+                )
+            if mesh is not None:
+                raise ValueError(
+                    "mi_ensemble > 1 is single-chip only (the sharded "
+                    "episode step does not take stacked seeds)"
+                )
         # static training-buffer capacity: every jitted fn sees ONE shape
         # for the whole episode (identity-padded; SURVEY.md §7.5 #4).
         # Derivation: the planner prefers paths costing ≥ min_cost_frac
@@ -701,6 +714,7 @@ class Agent:
                     self.spec, st.params, self._Xdev,
                     idx_pad, m, ns_pad, y_pad, sets_d, sizes_d, costs_d,
                     lrseed, f_true, obs_m, test_m, **common,
+                    ensemble=self._mi_ensemble,
                 )
             else:
                 f_true, obs_m, test_m = self._truth()
@@ -738,7 +752,7 @@ class Agent:
                 acq_lr.plan_episode_step_lowrank_factors(
                     self.spec, st.params, self._Xdev,
                     idx_pad, m, ns_pad, y_pad, sets_d, sizes_d, costs_d,
-                    lrseed, **common,
+                    lrseed, **common, ensemble=self._mi_ensemble,
                 )
             )
         else:
@@ -854,10 +868,22 @@ class Agent:
                     self.env.num_rows, self.env.num_cols, _KCENTER_TARGET
                 )
                 xs = xs[jnp.asarray(sub)]
-            zidx = acq_lr.kcenter_indices(
-                xs, min(self._num_inducing, xs.shape[0]),
-            )
-            self._z_cache = (self._Xdev, xs[zidx])
+            m = min(self._num_inducing, xs.shape[0])
+            if self._mi_ensemble > 1:
+                # K distinct, equally-dispersed maximin design variants
+                # (deterministic start points spread over the candidate
+                # set) — the z-ensemble the step averages over
+                K = self._mi_ensemble
+                zs = [
+                    xs[acq_lr.kcenter_indices(
+                        xs, m, start=(j * int(xs.shape[0])) // K,
+                    )]
+                    for j in range(K)
+                ]
+                self._z_cache = (self._Xdev, jnp.stack(zs))
+            else:
+                zidx = acq_lr.kcenter_indices(xs, m)
+                self._z_cache = (self._Xdev, xs[zidx])
         return self._z_cache[1]
 
     def _lowrank_seed(self, st: EpisodeState):
@@ -879,6 +905,23 @@ class Agent:
                     self.mesh, self.spec, st.params, self._mesh_x(),
                     self._lowrank_z(),
                     min_noise=self.cfg.fit.min_noise, nv_mult=self._nv_mult,
+                )
+            elif self._mi_ensemble > 1:
+                # z-ensemble: K independent small-factor seeds (one per
+                # design variant), tree-stacked to a leading K axis the
+                # ensemble step vmaps over.  K async dispatches.
+                z_all = self._lowrank_z()  # (K, M, d)
+                facs = [
+                    acq_lr.lowrank_factors_seed(
+                        self.spec, st.params, self._Xdev, z_all[j],
+                        min_noise=self.cfg.fit.min_noise,
+                        nv_mult=self._nv_mult,
+                        use_pallas=self.env.n >= 4096,
+                    )
+                    for j in range(self._mi_ensemble)
+                ]
+                lr = jax.tree_util.tree_map(
+                    lambda *ls: jnp.stack(ls), *facs
                 )
             else:
                 # single chip: SMALL-factor seed — the fused step only

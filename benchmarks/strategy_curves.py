@@ -56,6 +56,9 @@ def main() -> None:
                     "the capacity mid-episode recompiles every step "
                     "program; one explicit cap keeps the arms' panel "
                     "residency and step cost comparable too")
+    ap.add_argument("--mi-ensemble", type=int, default=None,
+                    help="z-ensemble MI: average scores over K k-center "
+                    "design variants (applies to mi arms)")
     ap.add_argument("--min-cost-frac", type=float, default=None,
                     help="EpisodeConfig.min_cost_frac override: the "
                     "enumeration's minimum path cost as a fraction of "
@@ -96,6 +99,9 @@ def main() -> None:
                     acquisition=dataclasses.replace(
                         base.acquisition, strategy=strategy,
                         path_utility=path_utility,
+                        **({"mi_ensemble": args.mi_ensemble}
+                           if args.mi_ensemble and strategy == "mi"
+                           else {}),
                     ),
                     episode=dataclasses.replace(
                         base.episode, seed=seed,
@@ -111,8 +117,11 @@ def main() -> None:
                 cfg = ExperimentConfig(
                     kernel=KernelSpec("matern32", ds=2),
                     fit=FitConfig(iters=60, restarts=2),
-                    acquisition=AcquisitionConfig(strategy=strategy,
-                                                  path_utility=path_utility),
+                    acquisition=AcquisitionConfig(
+                        strategy=strategy, path_utility=path_utility,
+                        **({"mi_ensemble": args.mi_ensemble}
+                           if args.mi_ensemble and strategy == "mi"
+                           else {})),
                     field=fieldc,
                     episode=EpisodeConfig(num_pilot=24, budget=args.budget,
                                           num_waypoints=8, samples_per_step=8,

@@ -582,3 +582,97 @@ def test_plan_step_factors_matches_full_seed(rng):
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_array_equal(np.asarray(mean1), np.asarray(mean2))
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_kcenter_start_variants_distinct_valid(rng):
+    """kcenter_indices(start=j): deterministic, starts at j, all-distinct
+    maximin designs; start=0 is the long-standing default bit-for-bit."""
+    from algp_tpu import acquisition_lowrank as acq_lr
+
+    x = jnp.asarray(rng.uniform(0, 20, (300, 2)), jnp.float32)
+    z_default = np.asarray(acq_lr.kcenter_indices(x, 24))
+    z0 = np.asarray(acq_lr.kcenter_indices(x, 24, start=0))
+    np.testing.assert_array_equal(z_default, z0)
+    designs = []
+    for start in (0, 100, 299):
+        zi = np.asarray(acq_lr.kcenter_indices(x, 24, start=start))
+        assert zi[0] == start
+        assert len(np.unique(zi)) == 24  # no duplicates
+        designs.append(tuple(zi))
+    assert len(set(designs)) == 3  # genuinely distinct variants
+
+
+def test_ensemble_step_identical_designs_matches_plain(rng):
+    """The z-ensemble step with K IDENTICAL stacked seeds must reproduce
+    the single-design step exactly (mean of equal scores) — pins the
+    vmap path's arithmetic to the plain path."""
+    import jax
+
+    from algp_tpu import acquisition_lowrank as acq_lr
+
+    spec = KernelSpec("rbf", ds=2)
+    params = spec.init_params(ls_spatial=2.0, outputscale=1.3, noise=0.12)
+    n, cap, S_sets, k, M = 220, 16, 12, 5, 32
+    x = jnp.asarray(rng.uniform(0, 11, (n, 2)), jnp.float32)
+    idx = rng.choice(n, 10, replace=False).astype(np.int32)
+    idx_pad = jnp.asarray(np.pad(idx, (0, cap - 10)))
+    count = jnp.asarray(10, jnp.int32)
+    ns_pad = jnp.ones((cap,), jnp.float32)
+    y_pad = jnp.asarray(
+        np.pad(rng.standard_normal(10).astype(np.float32), (0, cap - 10))
+    )
+    sets = jnp.asarray(rng.integers(0, n, (S_sets, k)).astype(np.int32))
+    sizes = jnp.asarray(np.full(S_sets, k, np.int32))
+    costs = jnp.asarray(rng.uniform(2, 9, S_sets).astype(np.float32))
+
+    z = x[acq_lr.kcenter_indices(x, M)]
+    fac = acq_lr.lowrank_factors_seed(spec, params, x, z)
+    args = (spec, params, x, idx_pad, count, ns_pad, y_pad,
+            sets, sizes, costs)
+    b1, m1, d1, s1 = acq_lr.plan_episode_step_lowrank_factors(*args, fac)
+    fac2 = jax.tree_util.tree_map(lambda l: jnp.stack([l, l]), fac)
+    b2, m2, d2, s2 = acq_lr.plan_episode_step_lowrank_factors(
+        *args, fac2, ensemble=2,
+    )
+    assert int(b1) == int(b2)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_episode_mi_ensemble_runs_and_is_deterministic():
+    """A full informative episode through the z-ensemble MI path
+    (mi_ensemble=3): runs to budget, finite metrics, decisions
+    reproducible run-to-run; config validation rejects the exact
+    planner and the mesh."""
+    import dataclasses
+
+    import pytest
+
+    from algp_tpu.config import PRESETS
+    from algp_tpu.episode import Agent
+    from algp_tpu.field import FieldEnv
+
+    base = PRESETS["c5_episode"]
+    cfg = dataclasses.replace(
+        base,
+        field=dataclasses.replace(base.field, num_rows=12, num_cols=16,
+                                  true_ls_spatial=3.0),
+        acquisition=dataclasses.replace(base.acquisition, num_inducing=48,
+                                        mi_ensemble=3),
+        episode=dataclasses.replace(base.episode, num_pilot=16, budget=60.0,
+                                    samples_per_step=6),
+    )
+    r1 = Agent(FieldEnv(cfg.field, cfg.kernel), cfg).run(max_steps=8)
+    r2 = Agent(FieldEnv(cfg.field, cfg.kernel), cfg).run(max_steps=8)
+    assert r1.state.step >= 2
+    assert np.isfinite(r1.rmse) and np.isfinite(r1.rmse_test)
+    np.testing.assert_array_equal(r1.state.sampled_idx, r2.state.sampled_idx)
+
+    bad = dataclasses.replace(
+        cfg, acquisition=dataclasses.replace(cfg.acquisition,
+                                             num_inducing=0),
+    )
+    with pytest.raises(ValueError, match="mi_ensemble"):
+        Agent(FieldEnv(bad.field, bad.kernel), bad)
