@@ -174,3 +174,33 @@ env12 = FieldEnv(cfg12.field, cfg12.kernel)
 r12 = Agent(env12, cfg12).run(max_steps=6)
 print(f"12. deep kernel:  RMSE {r12.rmse:.3f} on a warped-feature field "
       f"(embedding trained jointly with the MLL inside the episode)")
+
+# 13. Round-4: planner auto-selection + yield-aware utility + z-ensemble ----
+# num_inducing=None (the default) auto-picks exact vs FITC low-rank from
+# the candidate count (exact <= 16k, low-rank above the measured ~20k
+# crossover); path_utility="per_sample" makes the path argmax yield-aware
+# (the 4.19M default); mi_ensemble=K averages MI scores over K k-center
+# design variants (the robustness-parity option at ultra-sparse coverage).
+cfg13 = dataclasses.replace(
+    cfg,
+    acquisition=AcquisitionConfig(strategy="mi", num_inducing=48,
+                                  path_utility="per_sample",
+                                  mi_ensemble=3),
+)
+env13 = FieldEnv(cfg13.field, cfg13.kernel)
+r13 = Agent(env13, cfg13).run()
+print(f"13. r4 planner:   RMSE {r13.rmse:.3f} (low-rank MI, yield-aware "
+      f"utility, 3-design z-ensemble)")
+
+# 14. Round-4: goal-conditioned (waypoint) campaigns — C11 goal mode --------
+# paths are enumerated BETWEEN the pose and each goal; the episode visits
+# the waypoints in order, falling back to a free step when a goal outruns
+# the current budget slice.
+env14 = FieldEnv(cfg.field, cfg.kernel)
+goals = (env14.rowcol_to_index(2, 15), env14.rowcol_to_index(5, 0))
+cfg14 = dataclasses.replace(
+    cfg, episode=dataclasses.replace(cfg.episode, waypoint_goals=goals),
+)
+r14 = Agent(env14, cfg14).run()
+print(f"14. waypoints:    visited {r14.state.goal_i}/{len(goals)} goals, "
+      f"RMSE {r14.rmse:.3f} (goal-conditioned enumeration, C11)")
