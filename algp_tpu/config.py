@@ -140,7 +140,7 @@ class AcquisitionConfig:
     #                  in 9 long paths where entropy bought ~200 in
     #                  15-16 short ones — benchmarks/README.md).
     path_utility: str = "per_cost"
-    # z-ENSEMBLE MI (low-rank planner only, single chip): K > 1 builds K
+    # z-ENSEMBLE MI (low-rank planner only): K > 1 builds K
     # independent k-center design variants (distinct deterministic
     # maximin start points), seeds K complement precisions per refit,
     # and AVERAGES the K MI scores before the utility argmax.  Targets

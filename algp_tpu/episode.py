@@ -167,11 +167,6 @@ class Agent:
                     "(num_inducing > 0 or auto above the crossover) — "
                     "the exact W seed has no design to vary"
                 )
-            if mesh is not None:
-                raise ValueError(
-                    "mi_ensemble > 1 is single-chip only (the sharded "
-                    "episode step does not take stacked seeds)"
-                )
         # static training-buffer capacity: every jitted fn sees ONE shape
         # for the whole episode (identity-padded; SURVEY.md §7.5 #4).
         # Derivation: the planner prefers paths costing ≥ min_cost_frac
@@ -705,6 +700,7 @@ class Agent:
                     idx_pad, m, ns_pad, y_pad, sets_d, sizes_d, costs_d,
                     f_true, obs_m, test_m, lr=lrseed, W=W,
                     strategy=strat, n_valid=self.env.n, **common,
+                    ensemble=self._mi_ensemble,
                 )
             elif lowrank:
                 from algp_tpu import acquisition_lowrank as acq_lr
@@ -743,7 +739,7 @@ class Agent:
                 self.mesh, self.spec, st.params, self._mesh_x(),
                 idx_pad, m, ns_pad, y_pad, sets_d, sizes_d, costs_d,
                 lr=lrseed, W=W, strategy=strat, n_valid=self.env.n,
-                **common,
+                **common, ensemble=self._mi_ensemble,
             )
         elif lowrank:
             from algp_tpu import acquisition_lowrank as acq_lr

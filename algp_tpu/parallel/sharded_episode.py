@@ -161,6 +161,63 @@ def _sharded_lr_seed_jit(mesh, spec, params, x, z, *, min_noise, nv_mult,
     return LowRankPrecision(VT=VT, dinv=dinv, pdiag=pdiag)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "spec", "min_noise", "nv_mult", "n_shards"),
+)
+def _sharded_lr_seed_ens_jit(mesh, spec, params, x, z_all, *, min_noise,
+                             nv_mult, n_shards):
+    """z-ENSEMBLE variant of `_sharded_lr_seed_jit`: z_all (K, M, d) →
+    K independent seeds built in-shard (vmap over designs, collectives
+    batched) and returned with a leading K axis, still rows-sharded at
+    O(K·N·M/S) per chip."""
+    N = x.shape[0]
+    n_loc = N // n_shards
+    M = z_all.shape[1]
+
+    def run(params, x_full, z_all):
+        shard = lax.axis_index("grid")
+        g0 = shard * n_loc
+        x_loc = lax.dynamic_slice_in_dim(x_full, g0, n_loc, axis=0)
+        base = jnp.maximum(
+            jnp.exp(2.0 * params.log_noise), min_noise * min_noise
+        )
+        nv_loc = jnp.full((n_loc,), nv_mult, jnp.float32) * base
+        os_ = jnp.exp(params.log_outputscale)
+
+        def per_design(z):
+            Kzz = gram(spec, params, z, z) + _Z_JITTER * os_ * jnp.eye(
+                M, dtype=jnp.float32
+            )
+            Lzz, _ = la.safe_cholesky(Kzz, initial_jitter=1e-5)
+            Ut_loc = la.solve_triangular(Lzz, gram(spec, params, z, x_loc))
+            qdiag_loc = jnp.sum(Ut_loc * Ut_loc, axis=0)
+            d_fitc = (
+                jnp.maximum(gram_diag(spec, params, x_loc) - qdiag_loc, 0.0)
+                + nv_loc
+            )
+            dinv_loc = 1.0 / d_fitc
+            A_loc = Ut_loc * dinv_loc[None, :]
+            B_M = jnp.eye(M, dtype=jnp.float32) + lax.psum(
+                jnp.dot(A_loc, Ut_loc.T, precision=_HIGH), "grid"
+            )
+            LB = jnp.linalg.cholesky(B_M)
+            VT_loc = la.solve_triangular(LB, A_loc).T  # (n_loc, M)
+            pdiag_loc = dinv_loc - jnp.sum(VT_loc * VT_loc, axis=1)
+            return VT_loc, dinv_loc, pdiag_loc
+
+        VT_k, dinv_k, pdiag_k = jax.vmap(per_design)(z_all)
+        return tuple(_vary(v) for v in (VT_k, dinv_k, pdiag_k))
+
+    VT, dinv, pdiag = jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(None, "grid", None), P(None, "grid"), P(None, "grid")),
+    )(params, x, z_all)
+    return LowRankPrecision(VT=VT, dinv=dinv, pdiag=pdiag)
+
+
 def sharded_lowrank_seed(
     mesh: Mesh,
     spec: KernelSpec,
@@ -175,9 +232,19 @@ def sharded_lowrank_seed(
     built and RETURNED sharded over the mesh's 'grid' axis — O(N·M/S)
     per chip.  The episode driver caches the result per refit and feeds
     it to `sharded_plan_episode_step` without any resharding.
-    x must be an equal-shard multiple (`mesh_pad`)."""
+    x must be an equal-shard multiple (`mesh_pad`).
+
+    z with a leading K axis ((K, M, d)) builds the z-ENSEMBLE seed: K
+    independent design seeds, leaves stacked on a leading K axis, rows
+    still sharded (O(K·N·M/S) per chip) — feed to the step functions
+    with ensemble=K."""
     S = mesh.shape["grid"]
     assert x.shape[0] % S == 0, "pad x with mesh_pad first"
+    if z.ndim == 3:
+        return _sharded_lr_seed_ens_jit(
+            mesh, spec, params, x, z,
+            min_noise=min_noise, nv_mult=nv_mult, n_shards=S,
+        )
     return _sharded_lr_seed_jit(
         mesh, spec, params, x, z,
         min_noise=min_noise, nv_mult=nv_mult, n_shards=S,
@@ -249,7 +316,7 @@ def sharded_precision_seed(
 
 
 def _step_core(spec, strategy, lowrank, metrics, N, n_loc, n_valid,
-               min_noise, nv_mult, path_utility):
+               min_noise, nv_mult, path_utility, ensemble=1):
     """In-shard body of the fused episode step.  Mirrors
     `acquisition.plan_episode_step` / `plan_episode_step_lowrank` +
     their `_metrics` variants stage for stage; every candidate-axis
@@ -316,23 +383,45 @@ def _step_core(spec, strategy, lowrank, metrics, N, n_loc, n_valid,
             vdf = vdel.astype(jnp.float32)
             idx_del = jnp.where(vdel, idx_pad, 0)
             if lowrank:
-                VT_loc, dinv_loc = seedA, seedB
-                VA = _rows_psum(VT_loc, idx_del, g0, n_loc)  # (cap, M)
-                dA = _rows_psum(dinv_loc, idx_del, g0, n_loc)  # (cap,)
-                PA = -jnp.dot(VA, VA.T, precision=_HIGH) + jnp.diag(dA)
-                paird = vdel[:, None] & vdel[None, :]
-                PA = jnp.where(paird, PA, jnp.eye(cap, dtype=jnp.float32))
-                LA2 = jnp.linalg.cholesky(PA)
-                Vr = _rows_psum(VT_loc, rows, g0, n_loc)  # (R, M)
-                dr = _rows_psum(dinv_loc, rows, g0, n_loc)  # (R,)
-                F_rows = -jnp.dot(Vr, VA.T, precision=_HIGH)  # (R, cap)
-                own = (rows[:, None] == idx_del[None, :]) & vdel[None, :]
-                F_rows = F_rows + jnp.where(own, dr[:, None], 0.0)
-                F_rows = F_rows * vdf[None, :]
-                ZT_rows = la.cho_solve(LA2, F_rows.T).T * vdf[None, :]
-                P0 = acq._pblk_lowrank_prior(
-                    sets, Vr.reshape(*sets.shape, -1), dr.reshape(sets.shape)
-                )
+                def lr_scores(VT_loc, dinv_loc):
+                    # path-set MI scores under ONE seed's complement --
+                    # vmapped over the leading K axis in ensemble mode
+                    # (the collectives batch)
+                    VA = _rows_psum(VT_loc, idx_del, g0, n_loc)  # (cap, M)
+                    dA = _rows_psum(dinv_loc, idx_del, g0, n_loc)  # (cap,)
+                    PA = -jnp.dot(VA, VA.T, precision=_HIGH) + jnp.diag(dA)
+                    paird = vdel[:, None] & vdel[None, :]
+                    PA = jnp.where(paird, PA,
+                                   jnp.eye(cap, dtype=jnp.float32))
+                    LA2 = jnp.linalg.cholesky(PA)
+                    Vr = _rows_psum(VT_loc, rows, g0, n_loc)  # (R, M)
+                    dr = _rows_psum(dinv_loc, rows, g0, n_loc)  # (R,)
+                    F_rows = -jnp.dot(Vr, VA.T, precision=_HIGH)  # (R, cap)
+                    own = (rows[:, None] == idx_del[None, :]) & vdel[None, :]
+                    F_rows = F_rows + jnp.where(own, dr[:, None], 0.0)
+                    F_rows = F_rows * vdf[None, :]
+                    ZT_rows = la.cho_solve(LA2, F_rows.T).T * vdf[None, :]
+                    P0 = acq._pblk_lowrank_prior(
+                        sets, Vr.reshape(*sets.shape, -1),
+                        dr.reshape(sets.shape)
+                    )
+                    Pblk_k = acq._pblk_finish(
+                        P0,
+                        F_rows.reshape(*sets.shape, -1),
+                        ZT_rows.reshape(*sets.shape, -1),
+                        tk,
+                    )
+                    return acq._score_sets_gathered(
+                        spec, params, xs, Bs, nvs, set_sizes, Pblk_k,
+                        strategy="mi",
+                    )
+
+                if ensemble > 1:
+                    scores = jnp.mean(
+                        jax.vmap(lr_scores)(seedA, seedB), axis=0
+                    )
+                else:
+                    scores = lr_scores(seedA, seedB)
             else:
                 W_loc = seedA  # (n_loc, N) strip: columns are local
                 WE_loc = W_loc[:, idx_del] * vdf[None, :]  # (n_loc, cap)
@@ -354,20 +443,23 @@ def _step_core(spec, strategy, lowrank, metrics, N, n_loc, n_valid,
                     jnp.einsum("nsk,nsl->skl", Wc, Wc, precision=_HIGH),
                     "grid",
                 )
-            Pblk = acq._pblk_finish(
-                P0,
-                F_rows.reshape(*sets.shape, -1),
-                ZT_rows.reshape(*sets.shape, -1),
-                tk,
-            )
+                Pblk = acq._pblk_finish(
+                    P0,
+                    F_rows.reshape(*sets.shape, -1),
+                    ZT_rows.reshape(*sets.shape, -1),
+                    tk,
+                )
+                # joint set scoring, replicated on the gathered blocks —
+                # the SAME helper the single-chip scorer uses
+                scores = acq._score_sets_gathered(
+                    spec, params, xs, Bs, nvs, set_sizes, Pblk,
+                    strategy="mi",
+                )
         else:
-            Pblk = None
-
-        # ---- joint set scoring, replicated on the gathered blocks —
-        # the SAME helper the single-chip scorer uses
-        scores = acq._score_sets_gathered(
-            spec, params, xs, Bs, nvs, set_sizes, Pblk, strategy=strategy
-        )
+            scores = acq._score_sets_gathered(
+                spec, params, xs, Bs, nvs, set_sizes, None,
+                strategy=strategy,
+            )
         best = acq.path_set_argmax(scores, set_sizes, costs,
                                    path_utility=path_utility)
 
@@ -398,11 +490,19 @@ def _step_core(spec, strategy, lowrank, metrics, N, n_loc, n_valid,
     return run
 
 
-def _specs_for(lowrank, metrics):
+def _specs_for(lowrank, metrics, ensemble=1):
+    if lowrank and ensemble > 1:
+        # stacked z-ensemble seeds: leading K axis replicated, rows
+        # sharded on axis 1
+        seedA_spec = P(None, "grid", None)
+        seedB_spec = P(None, "grid")
+    else:
+        seedA_spec = P("grid", None)
+        seedB_spec = P("grid") if lowrank else P()
     in_specs = (
         P(), P(), P(), P(), P(), P(), P(), P(), P(),
-        P("grid", None),
-        P("grid") if lowrank else P(),
+        seedA_spec,
+        seedB_spec,
         P(),
     )
     if metrics:
@@ -416,19 +516,19 @@ def _specs_for(lowrank, metrics):
     jax.jit,
     static_argnames=("mesh", "spec", "strategy", "lowrank", "metrics",
                      "min_noise", "nv_mult", "n_valid", "n_shards",
-                     "path_utility"),
+                     "path_utility", "ensemble"),
 )
 def _sharded_plan_jit(
     mesh, spec, params, x, idx_pad, count, ns_pad, y_pad, sets, set_sizes,
     costs, seedA, seedB, truth,
     *, strategy, lowrank, metrics, min_noise, nv_mult, n_valid, n_shards,
-    path_utility="per_cost",
+    path_utility="per_cost", ensemble=1,
 ):
     N = x.shape[0]
     n_loc = N // n_shards
     run = _step_core(spec, strategy, lowrank, metrics, N, n_loc, n_valid,
-                     min_noise, nv_mult, path_utility)
-    in_specs, out_specs = _specs_for(lowrank, metrics)
+                     min_noise, nv_mult, path_utility, ensemble)
+    in_specs, out_specs = _specs_for(lowrank, metrics, ensemble)
     return jax.shard_map(
         run, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
     )(params, x, idx_pad, count, ns_pad, y_pad, sets, set_sizes, costs,
@@ -477,6 +577,7 @@ def sharded_plan_episode_step(
     nv_mult: float = 1.0,
     n_valid: Optional[int] = None,
     path_utility: str = "per_cost",
+    ensemble: int = 1,
 ):
     """`acquisition.plan_episode_step` / `plan_episode_step_lowrank` over
     the mesh: returns (best_set_index, mean, post_var, scores) with
@@ -491,6 +592,7 @@ def sharded_plan_episode_step(
         sets, set_sizes, costs, seedA, seedB, (),
         strategy=strategy, lowrank=lowrank, metrics=False,
         min_noise=min_noise, nv_mult=nv_mult, path_utility=path_utility,
+        ensemble=ensemble,
         n_valid=n_valid if n_valid is not None else x.shape[0],
         n_shards=mesh.shape["grid"],
     )
@@ -519,6 +621,7 @@ def sharded_plan_episode_step_metrics(
     nv_mult: float = 1.0,
     n_valid: Optional[int] = None,
     path_utility: str = "per_cost",
+    ensemble: int = 1,
 ):
     """`…plan_episode_step_metrics` over the mesh: the step's ONE
     synchronizing read returns (best, rmse, rmse_test, mean_var,
@@ -533,6 +636,7 @@ def sharded_plan_episode_step_metrics(
         (f_true, obs_mask, test_mask),
         strategy=strategy, lowrank=lowrank, metrics=True,
         min_noise=min_noise, nv_mult=nv_mult, path_utility=path_utility,
+        ensemble=ensemble,
         n_valid=n_valid if n_valid is not None else x.shape[0],
         n_shards=mesh.shape["grid"],
     )

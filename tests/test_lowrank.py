@@ -645,7 +645,8 @@ def test_episode_mi_ensemble_runs_and_is_deterministic():
     """A full informative episode through the z-ensemble MI path
     (mi_ensemble=3): runs to budget, finite metrics, decisions
     reproducible run-to-run; config validation rejects the exact
-    planner and the mesh."""
+    planner (the mesh episode supports the ensemble — see
+    tests/test_sharded.py)."""
     import dataclasses
 
     import pytest

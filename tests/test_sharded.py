@@ -253,7 +253,7 @@ def test_sharded_lowrank_mi_matches_single_device_and_oracle(rng):
 
 
 def _episode_cfg(strategy, num_inducing, device_metrics, modality="precise",
-                 path_utility="per_cost"):
+                 path_utility="per_cost", mi_ensemble=1):
     import dataclasses
 
     from algp_tpu.config import PRESETS
@@ -262,7 +262,7 @@ def _episode_cfg(strategy, num_inducing, device_metrics, modality="precise",
     fieldc = dataclasses.replace(base.field, num_rows=8, num_cols=12, seed=3)
     acqc = dataclasses.replace(
         base.acquisition, strategy=strategy, num_inducing=num_inducing,
-        path_utility=path_utility,
+        path_utility=path_utility, mi_ensemble=mi_ensemble,
     )
     epc = dataclasses.replace(
         base.episode, num_pilot=10, budget=30.0, samples_per_step=5,
@@ -381,3 +381,24 @@ def test_sharded_plan_step_lowrank_matches_single(rng):
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2)[:n],
                                rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_episode_z_ensemble_matches_single_device():
+    """The z-ENSEMBLE episode over the mesh: K stacked seeds built
+    sharded (O(K·N·M/S) per chip), the in-shard scoring vmapped over K
+    with batched collectives — decisions must match the single-chip
+    ensemble episode index-for-index."""
+    from algp_tpu.episode import Agent
+    from algp_tpu.field import FieldEnv
+
+    cfg = _episode_cfg("mi", 24, True, mi_ensemble=3)
+    r1 = Agent(FieldEnv(cfg.field, cfg.kernel), cfg).run(max_steps=4)
+    r2 = Agent(
+        FieldEnv(cfg.field, cfg.kernel), cfg, mesh=make_mesh(8)
+    ).run(max_steps=4)
+    np.testing.assert_array_equal(r1.state.sampled_idx, r2.state.sampled_idx)
+    for h1, h2 in zip(r1.history, r2.history):
+        for k in ("rmse", "rmse_test", "mean_var"):
+            if k in h1:
+                np.testing.assert_allclose(h1[k], h2[k], rtol=5e-4,
+                                           atol=5e-5)

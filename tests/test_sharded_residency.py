@@ -156,3 +156,24 @@ def test_mesh_episode_agent_keeps_seed_sharded_across_steps():
         n_dev, shard_shape = _per_shard_shapes(arr)
         assert n_dev == len(mesh.devices.ravel())
         assert shard_shape == shape
+
+
+def test_ensemble_seed_lives_at_knm_over_s_per_shard(rng):
+    """The z-ensemble's stacked seed: (K, N/S, M) per device — K
+    replicated designs, rows still sharded (O(K·N·M/S))."""
+    from algp_tpu.parallel import sharded_episode as sep
+
+    spec = KernelSpec("rbf", ds=2)
+    params = spec.init_params(ls_spatial=6.0, outputscale=1.0, noise=0.1)
+    N, M, S, K = 8192, 32, 8, 3
+    x = jnp.asarray(rng.uniform(0, 90, (N, 2)), jnp.float32)
+    picks = [np.linspace(j, N - 1, M).round().astype(np.int64)
+             for j in range(K)]
+    z_all = jnp.stack([x[jnp.asarray(pk)] for pk in picks])
+    mesh = _grid_mesh()
+    lr = sep.sharded_lowrank_seed(mesh, spec, params, x, z_all)
+    for arr, shape in ((lr.VT, (K, N // S, M)), (lr.dinv, (K, N // S))):
+        assert not arr.sharding.is_fully_replicated
+        n_dev, shard_shape = _per_shard_shapes(arr)
+        assert n_dev == S
+        assert shard_shape == shape
