@@ -205,6 +205,69 @@ def test_tpu_dense_inducing_design_seed_is_finite():
     assert np.isfinite(env.f).all()
 
 
+@pytest.mark.parametrize("path_utility", ["per_cost", "per_sample"])
+def test_tpu_z_ensemble_step_matches_cpu(path_utility):
+    """The z-ENSEMBLE fused episode step (K stacked small-factor seeds,
+    vmapped MI scoring, averaged before the utility argmax) ON THE TPU
+    vs the same program on CPU: identical path choice, scores to
+    tolerance, everything finite.  Round-4's newest device path — the
+    vmapped v_rows_at/PA-Cholesky chain and the per_sample utility
+    gate have no other hardware pin (the dense k-center NaN regression
+    below showed this seed family is exactly where TPU-only f32
+    breakage appears)."""
+    from algp_tpu import acquisition_lowrank as lr
+
+    K_ens, n, cap, S_sets, k, M = 3, 156, 16, 12, 5, 36
+    rng = np.random.default_rng(41)
+    x_np = _jittered_grid(12, 13, seed=41).astype(np.float32)
+    spec = KernelSpec("rbf", ds=2)
+    params = spec.init_params(ls_spatial=2.5, outputscale=1.2, noise=0.12)
+    idx = rng.choice(n, 10, replace=False).astype(np.int32)
+    idx_pad_np = np.pad(idx, (0, cap - 10))
+    y_np = np.pad(rng.standard_normal(10).astype(np.float32), (0, cap - 10))
+    # distinct sites per set (duplicate sites make the joint singular —
+    # real path sets never contain them)
+    sets_np = np.stack(
+        [rng.choice(n, k, replace=False) for _ in range(S_sets)]
+    ).astype(np.int32)
+    sizes_np = rng.integers(2, k + 1, S_sets).astype(np.int32)
+    costs_np = rng.uniform(2.0, 6.0, S_sets).astype(np.float32)
+
+    # design variants computed ONCE (indices are backend-independent ints)
+    z_starts = [(j * n) // K_ens for j in range(K_ens)]
+    zidx = [
+        np.asarray(lr.kcenter_indices(jnp.asarray(x_np), M, start=s))
+        for s in z_starts
+    ]
+
+    def run(device):
+        with jax.default_device(device):
+            x = jnp.asarray(x_np)
+            facs = [
+                lr.lowrank_factors_seed(spec, params, x,
+                                        jnp.asarray(x_np[zi]))
+                for zi in zidx
+            ]
+            fac = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *facs)
+            best, mean, d, scores = lr.plan_episode_step_lowrank_factors(
+                spec, params, x, jnp.asarray(idx_pad_np),
+                jnp.asarray(10, jnp.int32), jnp.ones((cap,), jnp.float32),
+                jnp.asarray(y_np), jnp.asarray(sets_np),
+                jnp.asarray(sizes_np), jnp.asarray(costs_np), fac,
+                ensemble=K_ens, path_utility=path_utility,
+            )
+            return (int(best), np.asarray(mean), np.asarray(d),
+                    np.asarray(scores))
+
+    b_tpu, m_tpu, d_tpu, s_tpu = run(jax.devices()[0])
+    assert np.isfinite(s_tpu).all() and np.isfinite(m_tpu).all()
+    b_cpu, m_cpu, d_cpu, s_cpu = run(jax.devices("cpu")[0])
+    assert b_tpu == b_cpu
+    np.testing.assert_allclose(s_tpu, s_cpu, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(m_tpu, m_cpu, atol=5e-3)
+    np.testing.assert_allclose(d_tpu, d_cpu, atol=5e-3)
+
+
 @pytest.mark.parametrize("strategy", ["entropy", "mi"])
 def test_tpu_heteroscedastic_selection_equals_f64_oracle(strategy):
     """Greedy selection under a NON-uniform per-candidate noise field
