@@ -706,3 +706,72 @@ def test_min_cost_frac_config_buys_more_shorter_steps():
     # capacity formula: ceil(w/frac)+6 slack steps == the old 2w+6 at 0.5
     w, k = base.episode.num_waypoints, 6
     assert cap_default == ((16 + (2 * w + 6) * k) + 7) // 8 * 8
+
+
+def test_native_enumerator_fuzz_parity(monkeypatch):
+    """Deterministic randomized sweep over the whole enumerator parameter
+    space — free AND goal mode, both API forms — asserting EXACT C ≡
+    Python parity (paths, order, bit-equal costs, batch tensors).  The
+    fixed-case parity tests above pin known geometries; this one walks
+    a few hundred random (spacing, pose, budget, max_turns,
+    min_cost_frac, k_max, goal) combinations including the dedup-
+    rounding edge (repeating-decimal spacings) and exact budget
+    boundaries (budget = an integer multiple of the spacing)."""
+    from algp_tpu import native
+    from algp_tpu import planning
+    from algp_tpu.config import FieldConfig
+    from algp_tpu.field import FieldEnv
+
+    if native.enumerate_paths_native(4, 6, 1.0, 1.0, 0, 8.0, 64, 2, 0.5) is None:
+        pytest.skip("no C toolchain — native enumerator unavailable")
+
+    rng = np.random.default_rng(20260818)
+    # few SHAPES (each new shape costs a synthesis compile), many params
+    shapes = [(2, 9), (3, 5), (5, 12), (7, 7), (9, 3), (1, 20), (6, 1)]
+    n_cases = 0
+    for rows, cols in shapes:
+        n = rows * cols
+        for _ in range(24):
+            cs = float(rng.choice([0.1, 0.3, 0.5, 1.0, 1.7, 2.5]))
+            rs = float(rng.choice([0.1, 0.7, 1.0, 2.0]))
+            env = FieldEnv(FieldConfig(
+                num_rows=rows, num_cols=cols, col_spacing=cs,
+                row_spacing=rs, seed=5,
+            ))
+            start = int(rng.integers(0, n))
+            # half the draws land EXACTLY on a k·spacing budget boundary
+            if rng.random() < 0.5:
+                budget = cs * int(rng.integers(1, 2 * cols + 2))
+            else:
+                budget = float(rng.uniform(0.5, cs * cols + rs * rows))
+            max_turns = int(rng.integers(0, 5))
+            frac = float(rng.choice([0.0, 0.3, 0.5, 0.9]))
+            mp = int(rng.choice([16, 64, 256]))
+            k_max = int(rng.choice([3, 6, 10]))
+            goal = None
+            if rng.random() < 0.4:  # goal mode (incl. goal == start)
+                goal = start if rng.random() < 0.1 else int(rng.integers(0, n))
+            kw = dict(goal=goal, max_paths=mp, max_turns=max_turns,
+                      min_cost_frac=frac)
+            nat = planning.enumerate_paths(env, start, budget, **kw)
+            b_nat = planning.enumerate_batch(env, start, budget,
+                                             k_max=k_max, **kw)
+            monkeypatch.setenv("ALGP_TPU_NO_NATIVE", "1")
+            py = planning.enumerate_paths(env, start, budget, **kw)
+            b_py = planning.enumerate_batch(env, start, budget,
+                                            k_max=k_max, **kw)
+            monkeypatch.delenv("ALGP_TPU_NO_NATIVE")
+            case = (rows, cols, cs, rs, start, budget, max_turns, frac,
+                    mp, k_max, goal)
+            assert len(nat) == len(py), case
+            for (ns, ncost), (ps, pcost) in zip(nat, py):
+                assert list(ns) == list(ps), case
+                assert ncost == pcost, case  # bit-equal doubles
+            np.testing.assert_array_equal(b_nat.sets, b_py.sets, err_msg=str(case))
+            np.testing.assert_array_equal(b_nat.sizes, b_py.sizes, err_msg=str(case))
+            np.testing.assert_array_equal(b_nat.costs, b_py.costs, err_msg=str(case))
+            np.testing.assert_array_equal(b_nat.ends, b_py.ends, err_msg=str(case))
+            assert [list(s) for s in b_nat.node_seqs] == \
+                   [list(s) for s in b_py.node_seqs], case
+            n_cases += 1
+    assert n_cases == len(shapes) * 24
