@@ -52,6 +52,14 @@ from algp_tpu.ops.updates import wtw_column
 
 _HIGH = lax.Precision.HIGHEST
 
+# Candidate count at and above which the conditioning pass solves its
+# (cap, N) system by explicit-inverse matmul instead of the XLA trisolve
+# (ops/linalg.solve_triangular_matmul — measured ~25 ms/step at 4.19M,
+# ~6-10 ms at 1M).  2^20 keeps every sub-1M preset — the scales the CPU
+# goldens and f64 oracles pin — bit-identical; the sharded step gates on
+# the same GLOBAL candidate count so mesh and single-chip agree.
+COND_MATMUL_N = 1 << 20
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
@@ -355,7 +363,15 @@ def _batch_pilot_condition(spec, params, x, pilot_nv, pilot_idx, pilot_count, d0
     KA = jnp.where(pair, KA, jnp.eye(m_max, dtype=jnp.float32))
     LA = jnp.linalg.cholesky(KA)
     Kc = gram(spec, params, xA, x) * valid[:, None].astype(jnp.float32)
-    C = la.solve_triangular(LA, Kc)  # (m_max, N); zero rows where invalid
+    if N >= COND_MATMUL_N:
+        # cap-sized factor vs a ≥1M-candidate RHS: the XLA trisolve's
+        # row-substitution chain costs ~27 ms/step at 4.19M where the
+        # explicit-inverse matmul costs ~2 (ops/linalg.py:
+        # solve_triangular_matmul).  Gated so every sub-1M preset —
+        # the CPU-golden and f64-oracle scales — stays bit-identical.
+        C = la.solve_triangular_matmul(LA, Kc)
+    else:
+        C = la.solve_triangular(LA, Kc)  # (m_max, N); zero rows if invalid
     d = d0 - jnp.sum(C * C, axis=0)
     taken = (
         jnp.zeros((N,), bool)

@@ -48,6 +48,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from algp_tpu import acquisition as _acq
 from algp_tpu.acquisition import (
     SelectionResult,
     _batch_pilot_condition,
@@ -55,6 +56,22 @@ from algp_tpu.acquisition import (
     _posterior_col,
     pad_candidates,
 )
+
+
+def _seed_solve(L, B, n_global):
+    """The seeds' (M, N)-shaped triangular solves: explicit-inverse MXU
+    matmul at gated candidate counts (ops/linalg.solve_triangular_matmul
+    — the XLA trisolve's row-substitution chain costs ~12 ms at
+    (512, 1M), ~29 ms at (1024, 1M), measured), the plain trisolve below
+    so every sub-1M preset stays bit-identical.  `n_global` is the FULL
+    candidate count even when B is a streamed chunk or an in-shard strip
+    — the matmul's columns are independent, so chunked/sharded passes
+    produce bit-identical factors to the monolithic one (the trisolve's
+    bits vary with RHS width — benchmarks/README.md, field synthesis)."""
+    if n_global >= _acq.COND_MATMUL_N:  # module attribute, not a
+        # from-import: tests force the gate by patching acquisition
+        return la.solve_triangular_matmul(L, B)
+    return la.solve_triangular(L, B)
 from algp_tpu.ops import linalg as la
 from algp_tpu.ops.gram import gram_pallas
 from algp_tpu.ops.kernels import KernelParams, KernelSpec, gram, gram_diag
@@ -191,14 +208,14 @@ def lowrank_precision_seed(
         Kzx = gram_pallas(spec, params, z, x)
     else:
         Kzx = gram(spec, params, z, x)
-    Ut = la.solve_triangular(Lzz, Kzx)  # (M, N) = L_zz⁻¹ K_zx
+    Ut = _seed_solve(Lzz, Kzx, x.shape[0])  # (M, N) = L_zz⁻¹ K_zx
     qdiag = jnp.sum(Ut * Ut, axis=0)
     d = jnp.maximum(gram_diag(spec, params, x) - qdiag, 0.0) + nv
     dinv = 1.0 / d
     A = Ut * dinv[None, :]  # (M, N) = Uᵀ D⁻¹
     B = jnp.eye(M, dtype=jnp.float32) + jnp.dot(A, Ut.T, precision=_HIGH)
     LB = jnp.linalg.cholesky(B)
-    V = la.solve_triangular(LB, A)  # (M, N)
+    V = _seed_solve(LB, A, x.shape[0])  # (M, N)
     VT = V.T
     pdiag = dinv - jnp.sum(VT * VT, axis=1)
     return LowRankPrecision(VT=VT, dinv=dinv, pdiag=pdiag)
@@ -485,7 +502,7 @@ def lowrank_factors_seed(
             Kzx = gram_pallas(spec, params, z, x)
         else:
             Kzx = gram(spec, params, z, x)
-        Ut = la.solve_triangular(Lzz, Kzx)  # (M, N)
+        Ut = _seed_solve(Lzz, Kzx, N)  # (M, N)
         qdiag = jnp.sum(Ut * Ut, axis=0)
         d = jnp.maximum(gram_diag(spec, params, x) - qdiag, 0.0) + nv
         A = Ut * (1.0 / d)[None, :]
@@ -503,6 +520,9 @@ def lowrank_factors_seed(
         [x, jnp.broadcast_to(x[:1], (n_pad - N, x.shape[1]))]
     )
     valid = (jnp.arange(n_pad) < N).astype(jnp.float32)
+    # streamed N is always past the matmul gate — hoist the (loop-
+    # invariant) explicit inverse out of the fori body ourselves
+    Lzz_inv = la.tri_inv(Lzz)
 
     def body(i, Bacc):
         xc = lax.dynamic_slice_in_dim(x_pad, i * c, c)
@@ -511,7 +531,7 @@ def lowrank_factors_seed(
             Kzc = gram_pallas(spec, params, z, xc)
         else:
             Kzc = gram(spec, params, z, xc)
-        Uc = la.solve_triangular(Lzz, Kzc)  # (M, c)
+        Uc = jnp.dot(Lzz_inv, Kzc, precision=_HIGH)  # ≡ _seed_solve(…, N)
         qc = jnp.sum(Uc * Uc, axis=0)
         dc = (
             jnp.maximum(gram_diag(spec, params, xc) - qc, 0.0)
@@ -532,17 +552,25 @@ def v_rows_at(
     fac: LowRankFactors,
     x_rows: jax.Array,
     nv_rows: jax.Array,
+    n_global: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """(VT_rows (R, M), dinv_rows (R,)) of the low-rank precision at the
     given candidate locations — identical per-row arithmetic to the full
-    `lowrank_precision_seed` factors (tested row-for-row)."""
+    `lowrank_precision_seed` factors (tested row-for-row).
+
+    `n_global` is the episode's FULL candidate count: at gated sizes the
+    rows must be rebuilt with the same explicit-inverse arithmetic the
+    (sharded) full factors use (`_seed_solve` — per-column bit-equal to
+    a matmul-built factor strip), not the trisolve, so single-chip and
+    mesh episodes keep scoring paths with the same arithmetic family.
+    The default 0 keeps every existing caller bit-identical."""
     Kzr = gram(spec, params, fac.z, x_rows)  # (M, R)
-    Ur = la.solve_triangular(fac.Lzz, Kzr)
+    Ur = _seed_solve(fac.Lzz, Kzr, n_global)
     qr = jnp.sum(Ur * Ur, axis=0)
     d_r = jnp.maximum(gram_diag(spec, params, x_rows) - qr, 0.0) + nv_rows
     dinv_r = 1.0 / d_r
     Ar = Ur * dinv_r[None, :]
-    Vr = la.solve_triangular(fac.LB, Ar)  # (M, R)
+    Vr = _seed_solve(fac.LB, Ar, n_global)  # (M, R)
     return Vr.T, dinv_r
 
 
@@ -723,10 +751,12 @@ def plan_episode_step_lowrank_factors(
         """MI joint scores of every path set under ONE seed's complement
         precision — the fac-dependent half of the step."""
         VA, dA = v_rows_at(
-            spec, params, fac_k, x[idx_safe], jnp.full((cap,), 1.0) * nv_fut
+            spec, params, fac_k, x[idx_safe],
+            jnp.full((cap,), 1.0) * nv_fut, x.shape[0],
         )
         Vr, dr = v_rows_at(
-            spec, params, fac_k, x[rows], jnp.full(rows.shape, 1.0) * nv_fut
+            spec, params, fac_k, x[rows],
+            jnp.full(rows.shape, 1.0) * nv_fut, x.shape[0],
         )
         PA = -jnp.dot(VA, VA.T, precision=_HIGH) + jnp.diag(dA)
         pair = vdel[:, None] & vdel[None, :]

@@ -146,6 +146,24 @@ def cho_solve(L: jax.Array, b: jax.Array, *, block: int = 512) -> jax.Array:
     return blocked_solve_triangular(L, y, lower=True, trans=True, block=block)
 
 
+def solve_triangular_matmul(L: jax.Array, B: jax.Array) -> jax.Array:
+    """``L⁻¹ B`` for a SMALL lower factor with a HUGE RHS, as one MXU
+    matmul against the explicit bisection inverse.
+
+    XLA's (n, m) trisolve is a chain of ~n row-substitution steps over
+    the full m-column panel; for the episode's conditioning pass — a
+    cap-sized factor against the whole candidate axis — that chain is
+    the cost, not the flops.  Measured on a v5e (2026-08-18, forced
+    sync, this module's probe): (224, 4.19M) trisolve ≈ 27.6 ms of
+    device time vs ≈ 2 ms for ``tri_inv(L) @ B``; (640, 1M) saves
+    ~10 ms.  The explicit triangular inverse is the same numerical tool
+    the exact MI seed already rests on (`tri_inv` builds W = L⁻¹ at
+    N = 10k); against the trisolve the conditioning checksum agreed to
+    ≤ 3e-7 relative at every probed shape.
+    """
+    return jnp.dot(tri_inv(L), B, precision=lax.Precision.HIGHEST)
+
+
 def logdet_from_chol(L: jax.Array) -> jax.Array:
     """log|K| from its lower Cholesky factor."""
     return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))

@@ -54,7 +54,11 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from algp_tpu import acquisition as acq
-from algp_tpu.acquisition_lowrank import _Z_JITTER, LowRankPrecision
+from algp_tpu.acquisition_lowrank import (
+    _Z_JITTER,
+    LowRankPrecision,
+    _seed_solve,
+)
 from algp_tpu.ops import linalg as la
 from algp_tpu.ops.kernels import KernelSpec, gram, gram_diag
 
@@ -136,7 +140,9 @@ def _sharded_lr_seed_jit(mesh, spec, params, x, z, *, min_noise, nv_mult,
         )
         # adaptive-jitter rescue, bitwise-plain when healthy
         Lzz, _ = la.safe_cholesky(Kzz, initial_jitter=1e-5)
-        Ut_loc = la.solve_triangular(Lzz, gram(spec, params, z, x_loc))
+        Ut_loc = _seed_solve(
+            Lzz, gram(spec, params, z, x_loc), N
+        )  # gate on GLOBAL N
         qdiag_loc = jnp.sum(Ut_loc * Ut_loc, axis=0)
         d_fitc = (
             jnp.maximum(gram_diag(spec, params, x_loc) - qdiag_loc, 0.0)
@@ -148,7 +154,7 @@ def _sharded_lr_seed_jit(mesh, spec, params, x, z, *, min_noise, nv_mult,
             jnp.dot(A_loc, Ut_loc.T, precision=_HIGH), "grid"
         )
         LB = jnp.linalg.cholesky(B_M)
-        VT_loc = la.solve_triangular(LB, A_loc).T  # (n_loc, M)
+        VT_loc = _seed_solve(LB, A_loc, N).T  # (n_loc, M)
         pdiag_loc = dinv_loc - jnp.sum(VT_loc * VT_loc, axis=1)
         return tuple(_vary(v) for v in (VT_loc, dinv_loc, pdiag_loc))
 
@@ -190,7 +196,9 @@ def _sharded_lr_seed_ens_jit(mesh, spec, params, x, z_all, *, min_noise,
                 M, dtype=jnp.float32
             )
             Lzz, _ = la.safe_cholesky(Kzz, initial_jitter=1e-5)
-            Ut_loc = la.solve_triangular(Lzz, gram(spec, params, z, x_loc))
+            Ut_loc = _seed_solve(
+                Lzz, gram(spec, params, z, x_loc), N
+            )  # gate on GLOBAL N
             qdiag_loc = jnp.sum(Ut_loc * Ut_loc, axis=0)
             d_fitc = (
                 jnp.maximum(gram_diag(spec, params, x_loc) - qdiag_loc, 0.0)
@@ -202,7 +210,7 @@ def _sharded_lr_seed_ens_jit(mesh, spec, params, x, z_all, *, min_noise,
                 jnp.dot(A_loc, Ut_loc.T, precision=_HIGH), "grid"
             )
             LB = jnp.linalg.cholesky(B_M)
-            VT_loc = la.solve_triangular(LB, A_loc).T  # (n_loc, M)
+            VT_loc = _seed_solve(LB, A_loc, N).T  # (n_loc, M)
             pdiag_loc = dinv_loc - jnp.sum(VT_loc * VT_loc, axis=1)
             return VT_loc, dinv_loc, pdiag_loc
 
@@ -350,7 +358,14 @@ def _step_core(spec, strategy, lowrank, metrics, N, n_loc, n_valid,
         Kc_loc = gram(spec, params, xA, x_loc) * valid[:, None].astype(
             jnp.float32
         )
-        C_loc = la.solve_triangular(LA, Kc_loc)  # (cap, n_loc)
+        if N >= acq.COND_MATMUL_N:  # GLOBAL candidate count — the same
+            # gate as acquisition._batch_pilot_condition, so mesh and
+            # single-chip run the same arithmetic (the matmul rows are
+            # column-independent: per-candidate bits match the
+            # single-chip pass exactly)
+            C_loc = la.solve_triangular_matmul(LA, Kc_loc)
+        else:
+            C_loc = la.solve_triangular(LA, Kc_loc)  # (cap, n_loc)
         d_loc = gram_diag(spec, params, x_loc) - jnp.sum(
             C_loc * C_loc, axis=0
         )

@@ -321,7 +321,11 @@ def _sharded_mi_dist_jit(
             KA = jnp.where(pair, KA, jnp.eye(m, dtype=jnp.float32))
             LA = jnp.linalg.cholesky(KA)
             Kc_loc = gram(spec, params, xA, x_loc) * valid[:, None]
-            C_loc = la.solve_triangular(LA, Kc_loc)  # (m, n_loc)
+            if N >= acq.COND_MATMUL_N:  # same GLOBAL-count gate as
+                # acquisition._batch_pilot_condition (mesh ≡ single-chip)
+                C_loc = la.solve_triangular_matmul(LA, Kc_loc)
+            else:
+                C_loc = la.solve_triangular(LA, Kc_loc)  # (m, n_loc)
             d_loc = d_loc - jnp.sum(C_loc * C_loc, axis=0)
             B_loc = lax.dynamic_update_slice(B_loc, C_loc, (0, 0))
             marked = jnp.where(valid, pidx, N)

@@ -481,3 +481,41 @@ def test_path_set_argmax_per_sample_gates_on_sample_price():
 
     with pytest.raises(ValueError):
         acq.path_set_argmax(scores4, sizes4, costs4, path_utility="bogus")
+
+
+def test_conditioning_matmul_gate_preserves_selections(monkeypatch):
+    """Forcing the ≥1M conditioning fast path (COND_MATMUL_N = 1, i.e.
+    tri_inv matmul instead of the XLA trisolve in
+    _batch_pilot_condition) must leave 30-round greedy sequences equal
+    to the f64 oracle on the jittered grid — the gate may move the
+    arithmetic but not a selection."""
+    import jax
+
+    rng = np.random.default_rng(17)
+    rows, cols = 10, 15
+    r, c = np.divmod(np.arange(rows * cols), cols)
+    x = np.stack([c + 0.1 * rng.standard_normal(rows * cols),
+                  r + 0.1 * rng.standard_normal(rows * cols)], 1)
+    spec = KernelSpec("rbf", ds=2)
+    params = spec.init_params(ls_spatial=3.0, outputscale=1.0, noise=0.15)
+    pilot = np.linspace(0, len(x) - 1, 8).round().astype(np.int32)
+    nv = 0.15**2
+    K = oracle.gram(x, x, ls_spatial=3.0, outputscale=1.0)
+
+    monkeypatch.setattr(acq, "COND_MATMUL_N", 1)
+    jax.clear_caches()  # drop executables traced with the default gate
+    try:
+        for strategy in ("entropy", "mi"):
+            res = acq.greedy_select(
+                spec, params, jnp.asarray(x, jnp.float32),
+                jnp.full((len(x),), nv, jnp.float32),
+                jnp.asarray(pilot), rounds=30, num_pilot=8,
+                strategy=strategy,
+            )
+            if strategy == "entropy":
+                sel_ref, _ = oracle.greedy_variance_selection(K, nv, 30, pilot)
+            else:
+                sel_ref, _ = oracle.greedy_mi_selection(K, nv, 30, pilot)
+            np.testing.assert_array_equal(np.asarray(res.selected), sel_ref)
+    finally:
+        jax.clear_caches()  # don't leak gate-on executables to other tests

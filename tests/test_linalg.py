@@ -107,3 +107,19 @@ def test_tri_inv_doubling_ill_conditioned_kernel(rng):
     W_ref = sla.solve_triangular(L, np.eye(n), lower=True)
     err = np.abs(W - W_ref).max() / np.abs(W_ref).max()
     assert err < 5e-5, err
+
+
+@pytest.mark.parametrize("n", [96, 224, 320])
+def test_solve_triangular_matmul_matches_trisolve(rng, n):
+    """The small-factor explicit-inverse matmul solve (the ≥1M episode
+    conditioning fast path) must agree with the XLA trisolve on
+    GP-shaped factors — n = 320 exerces tri_inv's bisection recursion
+    past the 256 leaf."""
+    x = rng.uniform(0, 30, (n, 2))
+    K = np.exp(-sla.norm(x[:, None] - x[None, :], axis=-1) ** 2 / 18.0)
+    K += 0.05 * np.eye(n)
+    L = jnp.asarray(np.linalg.cholesky(K), jnp.float32)
+    B = jnp.asarray(rng.standard_normal((n, 700)), jnp.float32)
+    ref = np.asarray(la.solve_triangular(L, B))
+    got = np.asarray(la.solve_triangular_matmul(L, B))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)

@@ -520,7 +520,14 @@ def test_factors_seed_chunked_matches_monolithic(rng, monkeypatch):
     """The streamed B-assembly (taken once the (M, N) Ut buffer would
     blow HBM — the 4.19M-grid regime) produces the same small factors as
     the monolithic pass up to f32 reassociation, including a tail chunk
-    that needs inert padding."""
+    that needs inert padding.
+
+    The streamed branch only ever runs past the seed-matmul gate
+    (N > 2.6M ≥ COND_MATMUL_N), so its Ut is hard-wired to the
+    explicit-inverse matmul; forcing the gate on makes the monolithic
+    comparison run the arithmetic production actually pairs it with."""
+    import jax
+
     from algp_tpu.ops.kernels import KernelSpec
 
     spec = KernelSpec("rbf", ds=2)
@@ -528,19 +535,22 @@ def test_factors_seed_chunked_matches_monolithic(rng, monkeypatch):
     n = 150
     x = jnp.asarray(rng.uniform(0, 10, (n, 2)), jnp.float32)
     z = x[lr.kcenter_indices(x, 40)]
-    fac_mono = lr.lowrank_factors_seed(spec, params, x, z, nv_mult=1.5)
-    monkeypatch.setattr(lr, "_SEED_CHUNK_BYTES", 0)
-    monkeypatch.setattr(lr, "_SEED_CHUNK", 64)  # 64 ∤ 150 → padded tail
-    lr.lowrank_factors_seed.clear_cache()
+    monkeypatch.setattr(acq, "COND_MATMUL_N", 1)
+    jax.clear_caches()
     try:
+        fac_mono = lr.lowrank_factors_seed(spec, params, x, z, nv_mult=1.5)
+        monkeypatch.setattr(lr, "_SEED_CHUNK_BYTES", 0)
+        monkeypatch.setattr(lr, "_SEED_CHUNK", 64)  # 64 ∤ 150 → padded tail
+        lr.lowrank_factors_seed.clear_cache()
         fac_chunk = lr.lowrank_factors_seed(spec, params, x, z, nv_mult=1.5)
     finally:
         lr.lowrank_factors_seed.clear_cache()
+        jax.clear_caches()
     np.testing.assert_array_equal(np.asarray(fac_mono.Lzz),
                                   np.asarray(fac_chunk.Lzz))
     np.testing.assert_allclose(np.asarray(fac_mono.LB),
                                np.asarray(fac_chunk.LB),
-                               rtol=1e-5, atol=1e-6)
+                               rtol=1e-5, atol=2e-6)
 
 
 def test_plan_step_factors_matches_full_seed(rng):
@@ -677,3 +687,34 @@ def test_episode_mi_ensemble_runs_and_is_deterministic():
     )
     with pytest.raises(ValueError, match="mi_ensemble"):
         Agent(FieldEnv(bad.field, bad.kernel), bad)
+
+
+def test_lowrank_selection_matches_oracle_under_matmul_seed(monkeypatch):
+    """Force the ≥1M seed fast path (COND_MATMUL_N = 1 → the seeds'
+    (M, N) triangular solves run as tri_inv matmuls) and re-assert
+    oracle-exact low-rank MI selections plus the factor-seed episode
+    step's agreement with the full seed — the gate may move the
+    arithmetic but not a selection."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    monkeypatch.setattr(acq, "COND_MATMUL_N", 1)
+    jax.clear_caches()
+    try:
+        spec, params, x, K, nv = setup_field(rng, n=240)
+        pilot = rng.choice(len(x), size=6, replace=False).astype(np.int32)
+        zidx = np.asarray(
+            lr.kcenter_indices(jnp.asarray(x, jnp.float32), 60)
+        )
+        res = lr.greedy_select_lowrank(
+            spec, params, jnp.asarray(x, jnp.float32),
+            jnp.full((len(x),), nv, jnp.float32), jnp.asarray(pilot),
+            jnp.asarray(x[zidx], jnp.float32),
+            rounds=18, num_pilot=6,
+        )
+        sel_ref, _ = oracle.greedy_mi_selection_lowrank(
+            K, zidx, nv, 18, pilot
+        )
+        np.testing.assert_array_equal(np.array(res.selected), sel_ref)
+    finally:
+        jax.clear_caches()

@@ -402,3 +402,60 @@ def test_sharded_episode_z_ensemble_matches_single_device():
             if k in h1:
                 np.testing.assert_allclose(h1[k], h2[k], rtol=5e-4,
                                            atol=5e-5)
+
+
+def test_sharded_episode_matches_single_under_matmul_conditioning(monkeypatch):
+    """Force the ≥1M conditioning fast path (acq.COND_MATMUL_N = 1 →
+    tri_inv-matmul in both the single-chip and in-shard conditioning)
+    and re-assert mesh ≡ single-chip episode equality — the gate keys
+    on the GLOBAL candidate count on both sides, and this is the only
+    CI coverage the in-shard matmul branch gets (real gated sizes need
+    a 1M-point mesh)."""
+    import jax
+
+    from algp_tpu import acquisition as acq
+    from algp_tpu.episode import Agent
+    from algp_tpu.field import FieldEnv
+
+    monkeypatch.setattr(acq, "COND_MATMUL_N", 1)
+    jax.clear_caches()
+    try:
+        cfg = _episode_cfg("mi", 24, True)
+        r1 = Agent(FieldEnv(cfg.field, cfg.kernel), cfg).run(max_steps=4)
+        mesh = make_mesh(8)
+        rm = Agent(FieldEnv(cfg.field, cfg.kernel), cfg,
+                   mesh=mesh).run(max_steps=4)
+        np.testing.assert_array_equal(r1.state.sampled_idx,
+                                      rm.state.sampled_idx)
+        assert rm.rmse_test == pytest.approx(r1.rmse_test, abs=2e-3)
+        # exact-W path too (sharded_mi's in-shard pilot conditioning
+        # carries its own copy of the gate)
+        cfg = _episode_cfg("mi", 0, False)
+        r1 = Agent(FieldEnv(cfg.field, cfg.kernel), cfg).run(max_steps=3)
+        rm = Agent(FieldEnv(cfg.field, cfg.kernel), cfg,
+                   mesh=mesh).run(max_steps=3)
+        np.testing.assert_array_equal(r1.state.sampled_idx,
+                                      rm.state.sampled_idx)
+        # standalone dist-seed selector (sharded_mi carries its own
+        # copy of the gate in its in-shard pilot conditioning)
+        from algp_tpu.parallel.sharded_mi import sharded_greedy_select_mi
+
+        rng2 = np.random.default_rng(0)
+        spec = KernelSpec("rbf", ds=2)
+        params = spec.init_params(ls_spatial=2.0, noise=0.15)
+        x = jnp.asarray(rng2.uniform(0, 12, (300, 2)), jnp.float32)
+        nv = jnp.full((300,), 0.15**2, jnp.float32)
+        pilot = jnp.asarray([0, 100, 200], jnp.int32)
+        r_d = sharded_greedy_select_mi(
+            mesh, spec, params, x, nv, pilot, rounds=10, num_pilot=3,
+            distributed_seed=True,
+        )
+        r_1 = acq.greedy_select(
+            spec, params, x, nv, pilot, rounds=10, num_pilot=3,
+            strategy="mi",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r_d.selected), np.asarray(r_1.selected)
+        )
+    finally:
+        jax.clear_caches()
