@@ -56,6 +56,9 @@ from algp_tpu.acquisition import (
     _posterior_col,
     pad_candidates,
 )
+from algp_tpu.ops import linalg as la
+from algp_tpu.ops.gram import gram_pallas
+from algp_tpu.ops.kernels import KernelParams, KernelSpec, gram, gram_diag
 
 
 def _seed_solve(L, B, n_global):
@@ -72,9 +75,7 @@ def _seed_solve(L, B, n_global):
         # from-import: tests force the gate by patching acquisition
         return la.solve_triangular_matmul(L, B)
     return la.solve_triangular(L, B)
-from algp_tpu.ops import linalg as la
-from algp_tpu.ops.gram import gram_pallas
-from algp_tpu.ops.kernels import KernelParams, KernelSpec, gram, gram_diag
+
 
 _HIGH = lax.Precision.HIGHEST
 
