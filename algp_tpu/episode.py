@@ -618,7 +618,11 @@ class Agent:
         if strat == "naive":
             order = planning.boustrophedon_order(self.env)
             unsampled = order[~np.isin(order, st.sampled_idx)]
-            take = list(unsampled[: self._k_max])
+            # the sweep pays col_spacing per cell — never take more cells
+            # than the remaining budget affords (an unbounded take
+            # overdrew the budget on the final step)
+            afford = int(st.budget_left / max(self.env.cfg.col_spacing, 1e-9))
+            take = list(unsampled[: min(self._k_max, afford)])
             mean, var = self.predict_field(st)
             return self._host_bundle(
                 take, float(len(take) * self.env.cfg.col_spacing), take,
