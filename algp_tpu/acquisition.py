@@ -61,6 +61,22 @@ _HIGH = lax.Precision.HIGHEST
 COND_MATMUL_N = 1 << 20
 
 
+def cond_solve(L: jax.Array, B: jax.Array, n_global: int) -> jax.Array:
+    """The ONE gate between the two triangular-solve families: explicit-
+    inverse MXU matmul at/above COND_MATMUL_N candidates, the plain XLA
+    trisolve below.  `n_global` must be the UNPADDED global candidate
+    count — callers holding an alignment-padded (256/512-multiple) or
+    mesh-padded matrix must pass the true count, not its shape: gating on
+    the padded length would flip the arithmetic family between the padded
+    and unpadded consumers of the same episode in the ±one-pad-block
+    window around the threshold (near-tie selections then diverge —
+    a gate-forced mesh test caught exactly this class).  Reads the module
+    attribute so tests can force the gate by patching COND_MATMUL_N."""
+    if n_global >= COND_MATMUL_N:
+        return la.solve_triangular_matmul(L, B)
+    return la.solve_triangular(L, B)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class SelectionResult:
@@ -221,7 +237,8 @@ def _greedy_select_jit(
     # identical to sequential rank-1 conditioning in pilot order
     if num_pilot:
         C, d0, taken_pilot, _ = _batch_pilot_condition(
-            spec, params, x, pilot_nv, pilot_idx, pilot_count, d0
+            spec, params, x, pilot_nv, pilot_idx, pilot_count, d0,
+            n_valid=n_valid,
         )
         taken0 = jnp.logical_or(taken0, taken_pilot)
         B0 = lax.dynamic_update_slice(B0, C, (0, 0))
@@ -341,7 +358,8 @@ def _implicit_pilot_delete(W, pilot_idx, pilot_count, F, G, pdiag, num_pilot):
     return F, G, pdiag
 
 
-def _batch_pilot_condition(spec, params, x, pilot_nv, pilot_idx, pilot_count, d0):
+def _batch_pilot_condition(spec, params, x, pilot_nv, pilot_idx, pilot_count,
+                           d0, n_valid=None):
     """Condition the candidate field on all pilots in ONE batched op.
 
     Returns (C, d, taken, LA): C (m_max, N) are the basis rows (row t is
@@ -352,6 +370,10 @@ def _batch_pilot_condition(spec, params, x, pilot_nv, pilot_idx, pilot_count, d0
     fused episode step can also form the posterior MEAN (μ = Cᵀ L_A⁻¹ y)
     without a second factorization.  Padded pilot slots (≥ pilot_count)
     are identity-padded and contribute exactly zero.
+
+    `n_valid`: the UNPADDED candidate count for `cond_solve`'s family
+    gate when x carries alignment padding (defaults to x's length —
+    correct for every unpadded caller).
     """
     m_max = pilot_idx.shape[0]
     N = x.shape[0]
@@ -363,15 +385,12 @@ def _batch_pilot_condition(spec, params, x, pilot_nv, pilot_idx, pilot_count, d0
     KA = jnp.where(pair, KA, jnp.eye(m_max, dtype=jnp.float32))
     LA = jnp.linalg.cholesky(KA)
     Kc = gram(spec, params, xA, x) * valid[:, None].astype(jnp.float32)
-    if N >= COND_MATMUL_N:
-        # cap-sized factor vs a ≥1M-candidate RHS: the XLA trisolve's
-        # row-substitution chain costs ~27 ms/step at 4.19M where the
-        # explicit-inverse matmul costs ~2 (ops/linalg.py:
-        # solve_triangular_matmul).  Gated so every sub-1M preset —
-        # the CPU-golden and f64-oracle scales — stays bit-identical.
-        C = la.solve_triangular_matmul(LA, Kc)
-    else:
-        C = la.solve_triangular(LA, Kc)  # (m_max, N); zero rows if invalid
+    # cap-sized factor vs a ≥1M-candidate RHS: the XLA trisolve's
+    # row-substitution chain costs ~27 ms/step at 4.19M where the
+    # explicit-inverse matmul costs ~2.  Gated (cond_solve) so every
+    # sub-1M preset — the CPU-golden and f64-oracle scales — stays
+    # bit-identical.
+    C = cond_solve(LA, Kc, N if n_valid is None else n_valid)
     d = d0 - jnp.sum(C * C, axis=0)
     taken = (
         jnp.zeros((N,), bool)
@@ -494,7 +513,8 @@ def score_candidate_sets(
         basis[:, idx_flat].reshape(basis.shape[0], *sets.shape), 1, 0
     )  # (S, T, k)
     return _score_sets_gathered(
-        spec, params, xs, Bs, nvs, set_sizes, Pblk, strategy=strategy
+        spec, params, xs, Bs, nvs, set_sizes, Pblk, strategy=strategy,
+        sets=sets,
     )
 
 
@@ -525,17 +545,34 @@ def _pblk_finish(P0, Fr, Zr, tk):
 
 
 def _score_sets_gathered(
-    spec, params, xs, Bs, nvs, set_sizes, Pblk, *, strategy
+    spec, params, xs, Bs, nvs, set_sizes, Pblk, *, strategy, sets=None
 ):
     """Joint set utilities from PRE-GATHERED per-set blocks:
     xs (S, k, dim) candidate locations, Bs (S, T, k) basis columns,
     nvs (S, k) measurement noise, Pblk (S, k, k) complement-precision
     blocks (mi) or None (entropy).  Shared by `score_candidate_sets`
-    (plain gathers) and the mesh episode step (masked-psum gathers)."""
-    k_max = xs.shape[1]
+    (plain gathers) and the mesh episode step (masked-psum gathers).
 
-    def one(x_s, B_s, nv_s, size, Pss):
-        mask = jnp.arange(k_max) < size
+    `sets` (S, k int32, optional): the integer candidate indices behind
+    the gathered rows.  When given, WITHIN-set duplicate slots (a path
+    that re-enters an unsampled cell — reachable on narrow grids once
+    the budget slice covers a row round-trip) are masked like padding:
+    a set is a SET, so the duplicate contributes zero information.
+    Without the mask the duplicate's two identical precision rows make
+    the per-set MI block exactly singular and its f32 Cholesky NaN,
+    which then WINS `path_set_argmax` (NaN propagates through max and
+    argmax).  Duplicate-free sets are bit-identical either way."""
+    k_max = xs.shape[1]
+    if sets is not None:
+        dup = jnp.tril(
+            sets[:, :, None] == sets[:, None, :], k=-1
+        ).any(axis=2)  # (S, k): slot repeats an earlier slot's candidate
+        first = ~dup
+    else:
+        first = jnp.ones(xs.shape[:2], bool)
+
+    def one(x_s, B_s, nv_s, size, f_s, Pss):
+        mask = (jnp.arange(k_max) < size) & f_s
         Kp = gram(spec, params, x_s, x_s)  # prior block
         Kpost = Kp - jnp.dot(B_s.T, B_s, precision=_HIGH)
         M1 = Kpost + jnp.diag(nv_s)
@@ -552,9 +589,9 @@ def _score_sets_gathered(
         return h + jnp.sum(jnp.log(jnp.diagonal(L2)))
 
     if Pblk is not None:
-        return jax.vmap(one)(xs, Bs, nvs, set_sizes, Pblk)
-    return jax.vmap(lambda a, b, c, s: one(a, b, c, s, None))(
-        xs, Bs, nvs, set_sizes
+        return jax.vmap(one)(xs, Bs, nvs, set_sizes, first, Pblk)
+    return jax.vmap(lambda a, b, c, s, f: one(a, b, c, s, f, None))(
+        xs, Bs, nvs, set_sizes, first
     )
 
 

@@ -67,14 +67,14 @@ def _seed_solve(L, B, n_global):
     — the XLA trisolve's row-substitution chain costs ~12 ms at
     (512, 1M), ~29 ms at (1024, 1M), measured), the plain trisolve below
     so every sub-1M preset stays bit-identical.  `n_global` is the FULL
-    candidate count even when B is a streamed chunk or an in-shard strip
-    — the matmul's columns are independent, so chunked/sharded passes
-    produce bit-identical factors to the monolithic one (the trisolve's
-    bits vary with RHS width — benchmarks/README.md, field synthesis)."""
-    if n_global >= _acq.COND_MATMUL_N:  # module attribute, not a
-        # from-import: tests force the gate by patching acquisition
-        return la.solve_triangular_matmul(L, B)
-    return la.solve_triangular(L, B)
+    UNPADDED candidate count even when B is a streamed chunk or an
+    in-shard strip — the matmul's columns are independent, so
+    chunked/sharded passes produce bit-identical factors to the
+    monolithic one (the trisolve's bits vary with RHS width —
+    benchmarks/README.md, field synthesis).  Delegates to
+    `acquisition.cond_solve` — the ONE family gate (tests force it by
+    patching acquisition.COND_MATMUL_N)."""
+    return _acq.cond_solve(L, B, n_global)
 
 
 _HIGH = lax.Precision.HIGHEST
@@ -111,12 +111,21 @@ def check_kcenter_m(num_valid, m: int, caller: str) -> None:
     """Enforce the `kcenter_indices` contract m ≤ live rows wherever the
     live count is CONCRETE (the public eager wrappers — the episode and
     direct users hit these with host-known scalars).  A violation would
-    not crash: exhausted maximin rounds silently duplicate index 0,
-    poisoning the inducing design while the K_zz jitter keeps it
-    factorizable — exactly the silent-wrong-rows class the explicit
-    `corrections_pregathered` flag was introduced to kill.  Inside a
-    trace the count is abstract and the check is a no-op (the jitted
-    wrappers there clamp m statically instead)."""
+    not crash: with NO live rows left the masked maximin distances are
+    −inf everywhere and every further round duplicates index 0 — possibly
+    a PADDING row — poisoning the inducing design while the K_zz jitter
+    keeps it factorizable: exactly the silent-wrong-rows class the
+    explicit `corrections_pregathered` flag was introduced to kill.
+
+    Deliberately NOT enforced: m ≤ DISTINCT live rows.  A heavily
+    revisited sampled set (paths may re-measure nodes) can hold fewer
+    distinct points than m; the maximin chain then duplicates LIVE rows
+    (a duplicate's distance-0 beats the dead rows' −inf), which is
+    span-equivalent to the best available design — the distinct points
+    themselves — with the K_zz jitter keeping the factor PD.  Pinned by
+    tests/test_sparse_gp.py::test_sparse_fit_survives_duplicate_heavy_set.
+    Inside a trace the count is abstract and the check is a no-op (the
+    jitted wrappers there clamp m statically instead)."""
     try:
         nv = int(num_valid)
     except Exception:
@@ -180,7 +189,7 @@ def kcenter_indices(
     return idx
 
 
-@partial(jax.jit, static_argnames=("spec", "use_pallas"))
+@partial(jax.jit, static_argnames=("spec", "use_pallas", "n_valid"))
 def lowrank_precision_seed(
     spec: KernelSpec,
     params: KernelParams,
@@ -189,13 +198,17 @@ def lowrank_precision_seed(
     z: jax.Array,
     *,
     use_pallas: bool = False,
+    n_valid: Optional[int] = None,
 ) -> LowRankPrecision:
     """Build the low-rank implicit precision over all N candidates.
 
     O(N M²) flops, O(N M) memory — the large-N replacement for the exact
     `acquisition.implicit_complement_precision` seed.  Valid per
     (params, nv, z); re-seed after every hyperparameter refit.
+    `n_valid`: the UNPADDED candidate count for the solve-family gate
+    when x carries alignment padding (defaults to x's length).
     """
+    n_gate = x.shape[0] if n_valid is None else n_valid
     M = z.shape[0]
     os_ = jnp.exp(params.log_outputscale)
     Kzz = gram(spec, params, z, z) + _Z_JITTER * os_ * jnp.eye(M, dtype=jnp.float32)
@@ -209,14 +222,14 @@ def lowrank_precision_seed(
         Kzx = gram_pallas(spec, params, z, x)
     else:
         Kzx = gram(spec, params, z, x)
-    Ut = _seed_solve(Lzz, Kzx, x.shape[0])  # (M, N) = L_zz⁻¹ K_zx
+    Ut = _seed_solve(Lzz, Kzx, n_gate)  # (M, N) = L_zz⁻¹ K_zx
     qdiag = jnp.sum(Ut * Ut, axis=0)
     d = jnp.maximum(gram_diag(spec, params, x) - qdiag, 0.0) + nv
     dinv = 1.0 / d
     A = Ut * dinv[None, :]  # (M, N) = Uᵀ D⁻¹
     B = jnp.eye(M, dtype=jnp.float32) + jnp.dot(A, Ut.T, precision=_HIGH)
     LB = jnp.linalg.cholesky(B)
-    V = _seed_solve(LB, A, x.shape[0])  # (M, N)
+    V = _seed_solve(LB, A, n_gate)  # (M, N)
     VT = V.T
     pdiag = dinv - jnp.sum(VT * VT, axis=1)
     return LowRankPrecision(VT=VT, dinv=dinv, pdiag=pdiag)
@@ -396,12 +409,14 @@ def _greedy_select_lowrank_jit(
 
     if num_pilot:
         C, d0, taken_pilot, _ = _batch_pilot_condition(
-            spec, params, x, pilot_nv, pilot_idx, pilot_count, d0
+            spec, params, x, pilot_nv, pilot_idx, pilot_count, d0,
+            n_valid=n_valid,
         )
         taken0 = jnp.logical_or(taken0, taken_pilot)
         B0 = lax.dynamic_update_slice(B0, C, (0, 0))
 
-    lr = lowrank_precision_seed(spec, params, x, nv, z, use_pallas=use_pallas)
+    lr = lowrank_precision_seed(spec, params, x, nv, z,
+                                use_pallas=use_pallas, n_valid=n_valid)
     pdiag0 = lr.pdiag
     F0 = jnp.zeros((N, T), jnp.float32)
     G0 = jnp.zeros((T, N), jnp.float32)
@@ -521,9 +536,15 @@ def lowrank_factors_seed(
         [x, jnp.broadcast_to(x[:1], (n_pad - N, x.shape[1]))]
     )
     valid = (jnp.arange(n_pad) < N).astype(jnp.float32)
-    # streamed N is always past the matmul gate — hoist the (loop-
-    # invariant) explicit inverse out of the fori body ourselves
-    Lzz_inv = la.tri_inv(Lzz)
+    # same GLOBAL-count gate as _seed_solve, so the streamed seed stays
+    # in the same arithmetic family as v_rows_at / the mesh seeds.  For
+    # M ≤ 1280 streaming only triggers past the gate anyway, but a large
+    # explicit M (e.g. --num-inducing 2048) streams from N ≈ 655k — the
+    # old hard-wired matmul then disagreed with the sub-gate trisolve
+    # family everywhere else in the episode.  The (loop-invariant)
+    # explicit inverse is hoisted out of the fori body ourselves.
+    use_matmul = N >= _acq.COND_MATMUL_N
+    Lzz_inv = la.tri_inv(Lzz) if use_matmul else None
 
     def body(i, Bacc):
         xc = lax.dynamic_slice_in_dim(x_pad, i * c, c)
@@ -532,7 +553,10 @@ def lowrank_factors_seed(
             Kzc = gram_pallas(spec, params, z, xc)
         else:
             Kzc = gram(spec, params, z, xc)
-        Uc = jnp.dot(Lzz_inv, Kzc, precision=_HIGH)  # ≡ _seed_solve(…, N)
+        if use_matmul:
+            Uc = jnp.dot(Lzz_inv, Kzc, precision=_HIGH)  # ≡ _seed_solve
+        else:
+            Uc = la.solve_triangular(Lzz, Kzc)
         qc = jnp.sum(Uc * Uc, axis=0)
         dc = (
             jnp.maximum(gram_diag(spec, params, xc) - qc, 0.0)
@@ -777,7 +801,8 @@ def plan_episode_step_lowrank_factors(
             ZT_rows.reshape(*sets.shape, -1), tk,
         )
         return _score_sets_gathered(
-            spec, params, xs, Bs, nvs, set_sizes, Pblk, strategy="mi"
+            spec, params, xs, Bs, nvs, set_sizes, Pblk, strategy="mi",
+            sets=sets,
         )
 
     if ensemble > 1:

@@ -572,17 +572,20 @@ class Agent:
     def _mesh_truth(self):
         """`_truth` zero-padded to the mesh-padded candidate length —
         sentinel rows sit outside every mask, so the sharded metric
-        reductions see exactly the real field."""
+        reductions see exactly the real field.  Built FROM `_truth`'s
+        device-resident arrays and padded on device: re-uploading the
+        host copies shipped 3·N f32 through the relay tunnel per episode
+        (the ~45 MB/~1.5 s startup cost the single-chip path was
+        engineered out of — CLAUDE.md transfer rules)."""
         c = getattr(self, "_mesh_truth_cache", None)
         if c is None:
             pad = self._mesh_x().shape[0] - self.env.n
 
             def padz(a):
-                a = np.asarray(a, np.float32)
-                return jnp.asarray(np.concatenate([a, np.zeros(pad, np.float32)]))
+                z = jnp.zeros(pad, jnp.float32)
+                return jnp.concatenate([jnp.asarray(a, jnp.float32), z])
 
-            c = (padz(self.env.f), padz(self.env.observed_mask),
-                 padz(self.env.test_mask))
+            c = tuple(padz(a) for a in self._truth())
             self._mesh_truth_cache = c
         return c
 
@@ -905,6 +908,7 @@ class Agent:
                     self.mesh, self.spec, st.params, self._mesh_x(),
                     self._lowrank_z(),
                     min_noise=self.cfg.fit.min_noise, nv_mult=self._nv_mult,
+                    n_valid=self.env.n,
                 )
             elif self._mi_ensemble > 1:
                 # z-ensemble: K independent small-factor seeds (one per

@@ -118,13 +118,15 @@ def _cols_psum(m_loc, cols, g0, n_loc):
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "spec", "min_noise", "nv_mult", "n_shards"),
+    static_argnames=("mesh", "spec", "min_noise", "nv_mult", "n_shards",
+                     "n_valid"),
 )
 def _sharded_lr_seed_jit(mesh, spec, params, x, z, *, min_noise, nv_mult,
-                         n_shards):
+                         n_shards, n_valid=None):
     N = x.shape[0]
     n_loc = N // n_shards
     M = z.shape[0]
+    n_gate = N if n_valid is None else n_valid
 
     def run(params, x_full, z):
         shard = lax.axis_index("grid")
@@ -141,8 +143,8 @@ def _sharded_lr_seed_jit(mesh, spec, params, x, z, *, min_noise, nv_mult,
         # adaptive-jitter rescue, bitwise-plain when healthy
         Lzz, _ = la.safe_cholesky(Kzz, initial_jitter=1e-5)
         Ut_loc = _seed_solve(
-            Lzz, gram(spec, params, z, x_loc), N
-        )  # gate on GLOBAL N
+            Lzz, gram(spec, params, z, x_loc), n_gate
+        )  # gate on the UNPADDED global count, as the single-chip seed
         qdiag_loc = jnp.sum(Ut_loc * Ut_loc, axis=0)
         d_fitc = (
             jnp.maximum(gram_diag(spec, params, x_loc) - qdiag_loc, 0.0)
@@ -154,7 +156,7 @@ def _sharded_lr_seed_jit(mesh, spec, params, x, z, *, min_noise, nv_mult,
             jnp.dot(A_loc, Ut_loc.T, precision=_HIGH), "grid"
         )
         LB = jnp.linalg.cholesky(B_M)
-        VT_loc = _seed_solve(LB, A_loc, N).T  # (n_loc, M)
+        VT_loc = _seed_solve(LB, A_loc, n_gate).T  # (n_loc, M)
         pdiag_loc = dinv_loc - jnp.sum(VT_loc * VT_loc, axis=1)
         return tuple(_vary(v) for v in (VT_loc, dinv_loc, pdiag_loc))
 
@@ -169,10 +171,11 @@ def _sharded_lr_seed_jit(mesh, spec, params, x, z, *, min_noise, nv_mult,
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "spec", "min_noise", "nv_mult", "n_shards"),
+    static_argnames=("mesh", "spec", "min_noise", "nv_mult", "n_shards",
+                     "n_valid"),
 )
 def _sharded_lr_seed_ens_jit(mesh, spec, params, x, z_all, *, min_noise,
-                             nv_mult, n_shards):
+                             nv_mult, n_shards, n_valid=None):
     """z-ENSEMBLE variant of `_sharded_lr_seed_jit`: z_all (K, M, d) →
     K independent seeds built in-shard (vmap over designs, collectives
     batched) and returned with a leading K axis, still rows-sharded at
@@ -180,6 +183,7 @@ def _sharded_lr_seed_ens_jit(mesh, spec, params, x, z_all, *, min_noise,
     N = x.shape[0]
     n_loc = N // n_shards
     M = z_all.shape[1]
+    n_gate = N if n_valid is None else n_valid
 
     def run(params, x_full, z_all):
         shard = lax.axis_index("grid")
@@ -197,8 +201,8 @@ def _sharded_lr_seed_ens_jit(mesh, spec, params, x, z_all, *, min_noise,
             )
             Lzz, _ = la.safe_cholesky(Kzz, initial_jitter=1e-5)
             Ut_loc = _seed_solve(
-                Lzz, gram(spec, params, z, x_loc), N
-            )  # gate on GLOBAL N
+                Lzz, gram(spec, params, z, x_loc), n_gate
+            )  # gate on the UNPADDED global count
             qdiag_loc = jnp.sum(Ut_loc * Ut_loc, axis=0)
             d_fitc = (
                 jnp.maximum(gram_diag(spec, params, x_loc) - qdiag_loc, 0.0)
@@ -210,7 +214,7 @@ def _sharded_lr_seed_ens_jit(mesh, spec, params, x, z_all, *, min_noise,
                 jnp.dot(A_loc, Ut_loc.T, precision=_HIGH), "grid"
             )
             LB = jnp.linalg.cholesky(B_M)
-            VT_loc = _seed_solve(LB, A_loc, N).T  # (n_loc, M)
+            VT_loc = _seed_solve(LB, A_loc, n_gate).T  # (n_loc, M)
             pdiag_loc = dinv_loc - jnp.sum(VT_loc * VT_loc, axis=1)
             return VT_loc, dinv_loc, pdiag_loc
 
@@ -235,6 +239,7 @@ def sharded_lowrank_seed(
     *,
     min_noise: float = 1e-3,
     nv_mult: float = 1.0,
+    n_valid: Optional[int] = None,
 ) -> LowRankPrecision:
     """`acquisition_lowrank.lowrank_seed_with_z` with the N-axis factors
     built and RETURNED sharded over the mesh's 'grid' axis — O(N·M/S)
@@ -252,10 +257,11 @@ def sharded_lowrank_seed(
         return _sharded_lr_seed_ens_jit(
             mesh, spec, params, x, z,
             min_noise=min_noise, nv_mult=nv_mult, n_shards=S,
+            n_valid=n_valid,
         )
     return _sharded_lr_seed_jit(
         mesh, spec, params, x, z,
-        min_noise=min_noise, nv_mult=nv_mult, n_shards=S,
+        min_noise=min_noise, nv_mult=nv_mult, n_shards=S, n_valid=n_valid,
     )
 
 
@@ -358,14 +364,13 @@ def _step_core(spec, strategy, lowrank, metrics, N, n_loc, n_valid,
         Kc_loc = gram(spec, params, xA, x_loc) * valid[:, None].astype(
             jnp.float32
         )
-        if N >= acq.COND_MATMUL_N:  # GLOBAL candidate count — the same
-            # gate as acquisition._batch_pilot_condition, so mesh and
-            # single-chip run the same arithmetic (the matmul rows are
-            # column-independent: per-candidate bits match the
-            # single-chip pass exactly)
-            C_loc = la.solve_triangular_matmul(LA, Kc_loc)
-        else:
-            C_loc = la.solve_triangular(LA, Kc_loc)  # (cap, n_loc)
+        # cond_solve on the UNPADDED global candidate count — the same
+        # gate operand as acquisition._batch_pilot_condition, so mesh and
+        # single-chip run the same arithmetic (the matmul rows are
+        # column-independent: per-candidate bits match the single-chip
+        # pass exactly; gating on the mesh-padded N would flip the
+        # family in the ±one-pad-block window around the threshold)
+        C_loc = acq.cond_solve(LA, Kc_loc, n_valid)  # (cap, n_loc)
         d_loc = gram_diag(spec, params, x_loc) - jnp.sum(
             C_loc * C_loc, axis=0
         )
@@ -428,7 +433,7 @@ def _step_core(spec, strategy, lowrank, metrics, N, n_loc, n_valid,
                     )
                     return acq._score_sets_gathered(
                         spec, params, xs, Bs, nvs, set_sizes, Pblk_k,
-                        strategy="mi",
+                        strategy="mi", sets=sets,
                     )
 
                 if ensemble > 1:
@@ -468,12 +473,12 @@ def _step_core(spec, strategy, lowrank, metrics, N, n_loc, n_valid,
                 # the SAME helper the single-chip scorer uses
                 scores = acq._score_sets_gathered(
                     spec, params, xs, Bs, nvs, set_sizes, Pblk,
-                    strategy="mi",
+                    strategy="mi", sets=sets,
                 )
         else:
             scores = acq._score_sets_gathered(
                 spec, params, xs, Bs, nvs, set_sizes, None,
-                strategy=strategy,
+                strategy=strategy, sets=sets,
             )
         best = acq.path_set_argmax(scores, set_sizes, costs,
                                    path_utility=path_utility)

@@ -121,7 +121,8 @@ def _sharded_lowrank_jit(
         # in-shard: Kzz is built from the replicated z on every shard)
         Lzz, _ = la.safe_cholesky(Kzz, initial_jitter=1e-5)
         Kzx_loc = gram(spec, params, z, x_loc)  # (M, n_loc)
-        Ut_loc = _seed_solve(Lzz, Kzx_loc, N)  # gate on GLOBAL N
+        Ut_loc = _seed_solve(Lzz, Kzx_loc, n_valid)  # gate on the
+        # UNPADDED global count, as the single-chip seed does
         qdiag_loc = jnp.sum(Ut_loc * Ut_loc, axis=0)
         d_fitc_loc = (
             jnp.maximum(gram_diag(spec, params, x_loc) - qdiag_loc, 0.0)
@@ -133,7 +134,7 @@ def _sharded_lowrank_jit(
             jnp.dot(A_loc, Ut_loc.T, precision=_HIGH), "grid"
         )
         LB = jnp.linalg.cholesky(B_M)
-        VT_loc = _seed_solve(LB, A_loc, N).T  # (n_loc, M)
+        VT_loc = _seed_solve(LB, A_loc, n_valid).T  # (n_loc, M)
         pdiag_loc = dinv_loc - jnp.sum(VT_loc * VT_loc, axis=1)
 
         d_loc = gram_diag(spec, params, x_loc)
@@ -153,11 +154,8 @@ def _sharded_lowrank_jit(
             KA = jnp.where(pair, KA, jnp.eye(m, dtype=jnp.float32))
             LA = jnp.linalg.cholesky(KA)
             Kc_loc = gram(spec, params, xA, x_loc) * valid[:, None]
-            if N >= acq.COND_MATMUL_N:  # same GLOBAL-count gate as
-                # acquisition._batch_pilot_condition (mesh ≡ single)
-                C_loc = la.solve_triangular_matmul(LA, Kc_loc)
-            else:
-                C_loc = la.solve_triangular(LA, Kc_loc)  # (m, n_loc)
+            # cond_solve on the UNPADDED global count (mesh ≡ single)
+            C_loc = acq.cond_solve(LA, Kc_loc, n_valid)  # (m, n_loc)
             d_loc = d_loc - jnp.sum(C_loc * C_loc, axis=0)
             B_loc = lax.dynamic_update_slice(B_loc, C_loc, (0, 0))
             marked = jnp.where(valid, pidx, N)

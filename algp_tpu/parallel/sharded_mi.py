@@ -59,6 +59,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from algp_tpu import acquisition as acq
 from algp_tpu.ops import linalg as la
+from algp_tpu.ops.gram import gram_pallas_with_noise
 from algp_tpu.ops.kernels import KernelSpec, gram, gram_diag
 
 _HIGH = lax.Precision.HIGHEST
@@ -214,12 +215,18 @@ def _sharded_mi_jit(
     B0 = jnp.zeros((T, N), jnp.float32)
     if num_pilot:
         C, d0, taken_pilot, _ = acq._batch_pilot_condition(
-            spec, params, x, pilot_nv, pilot_idx, pilot_count, d0
+            spec, params, x, pilot_nv, pilot_idx, pilot_count, d0,
+            n_valid=n_valid,
         )
         taken0 = jnp.logical_or(taken0, taken_pilot)
         B0 = lax.dynamic_update_slice(B0, C, (0, 0))
 
-    K = gram(spec, params, x, x) + jnp.diag(nv)
+    # EXACTLY the single-chip seed construction (acquisition.
+    # _greedy_select_jit): same Gram program, same diagonal assembly
+    # (noise_var · (nv / noise_var)) — a plain gram + diag(nv) build
+    # differed in last-ulp diagonal bits, quietly narrowing the
+    # "bit-exact incl. ties" claim of the replicated-seed mode
+    K = gram_pallas_with_noise(spec, params, x, nv / params.noise_var)
     W = la.tri_inv(jnp.linalg.cholesky(K))
     W = lax.with_sharding_constraint(W, shard_rows)
     pdiag0 = jnp.sum(W * W, axis=0)
@@ -321,11 +328,11 @@ def _sharded_mi_dist_jit(
             KA = jnp.where(pair, KA, jnp.eye(m, dtype=jnp.float32))
             LA = jnp.linalg.cholesky(KA)
             Kc_loc = gram(spec, params, xA, x_loc) * valid[:, None]
-            if N >= acq.COND_MATMUL_N:  # same GLOBAL-count gate as
-                # acquisition._batch_pilot_condition (mesh ≡ single-chip)
-                C_loc = la.solve_triangular_matmul(LA, Kc_loc)
-            else:
-                C_loc = la.solve_triangular(LA, Kc_loc)  # (m, n_loc)
+            # cond_solve on the UNPADDED global count — the same gate
+            # operand as acquisition._batch_pilot_condition (mesh ≡
+            # single-chip; gating on the mesh-padded N would flip the
+            # family in the ±one-pad-block window around the threshold)
+            C_loc = acq.cond_solve(LA, Kc_loc, n_valid)  # (m, n_loc)
             d_loc = d_loc - jnp.sum(C_loc * C_loc, axis=0)
             B_loc = lax.dynamic_update_slice(B_loc, C_loc, (0, 0))
             marked = jnp.where(valid, pidx, N)

@@ -227,6 +227,51 @@ def test_score_candidate_sets_mi_matches_dense(rng):
         assert scores_imp[si] == pytest.approx(h1 + h2, rel=1e-2, abs=1e-2)
 
 
+def test_score_sets_within_set_duplicate_is_inert(rng):
+    """A path that re-enters an unsampled cell puts the SAME candidate in
+    a set twice (reachable on narrow grids once the budget slice covers a
+    row round-trip).  The duplicate's two identical precision rows make
+    the per-set MI block exactly singular — before the dedup mask its f32
+    Cholesky returned NaN, which then WON path_set_argmax.  Contract: the
+    duplicate slot is inert, so the set scores exactly as its dedup'd
+    version, for every precision representation and for entropy."""
+    spec, params, x, K, nv = setup_field(rng, n=80)
+    x32 = jnp.asarray(x, jnp.float32)
+    nvec = jnp.full((80,), nv, jnp.float32)
+    P = acq.complement_precision(spec, params, x32, nvec)
+    W, WT = acq.implicit_complement_precision(spec, params, x32, nvec)
+    F, ZT = acq.implicit_corrections(
+        W, WT, jnp.zeros((8,), jnp.int32), jnp.asarray(0, jnp.int32)
+    )
+    taken = jnp.zeros((80,), bool)
+    from algp_tpu import acquisition_lowrank as lr
+
+    seed = lr.lowrank_precision_seed(
+        spec, params, x32, nvec, jnp.asarray(x[np.arange(0, 80, 2)],
+                                             jnp.float32)
+    )
+    Flr, ZTlr = lr.lowrank_corrections(
+        seed, jnp.zeros((8,), jnp.int32), jnp.asarray(0, jnp.int32)
+    )
+    basis = jnp.zeros((4, 80), jnp.float32)
+    # row 0: duplicate (17 twice); row 1: its dedup'd version
+    sets = jnp.asarray([[17, 30, 17, 55], [17, 30, 55, 0]], jnp.int32)
+    sizes = jnp.asarray([4, 3], jnp.int32)
+    variants = {
+        "dense": dict(P=P, strategy="mi"),
+        "implicit": dict(P_implicit=(WT, F, ZT, taken), strategy="mi"),
+        "lowrank": dict(P_lowrank=(seed.VT, seed.dinv, Flr, ZTlr, taken),
+                        strategy="mi"),
+        "entropy": dict(strategy="entropy"),
+    }
+    for name, kw in variants.items():
+        s = np.asarray(acq.score_candidate_sets(
+            spec, params, x32, nvec, basis, sets, sizes, **kw))
+        assert np.isfinite(s).all(), (name, s)
+        assert s[0] == s[1], (name, s)
+        assert s[0] > 0, (name, s)
+
+
 def test_implicit_corrections_match_complement_inverse(rng):
     """F/ZT corrections restricted off the deleted set must equal the f64
     inverse of the complement covariance (duplicates are exact no-ops)."""

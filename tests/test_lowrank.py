@@ -522,10 +522,14 @@ def test_factors_seed_chunked_matches_monolithic(rng, monkeypatch):
     the monolithic pass up to f32 reassociation, including a tail chunk
     that needs inert padding.
 
-    The streamed branch only ever runs past the seed-matmul gate
-    (N > 2.6M ≥ COND_MATMUL_N), so its Ut is hard-wired to the
-    explicit-inverse matmul; forcing the gate on makes the monolithic
-    comparison run the arithmetic production actually pairs it with."""
+    The streamed branch gates its per-chunk solve on the same GLOBAL
+    candidate count as _seed_solve (for M ≤ 1280 streaming only ever
+    triggers past the gate; a larger explicit M streams from smaller N
+    and must stay in the sub-gate trisolve family with v_rows_at).
+    Forcing the gate ON here makes both passes run the explicit-inverse
+    arithmetic the production streamed regime uses — where chunked and
+    monolithic are per-column bit-comparable (the trisolve's bits vary
+    with RHS width, so the sub-gate pairing is only family-equal)."""
     import jax
 
     from algp_tpu.ops.kernels import KernelSpec
@@ -551,6 +555,47 @@ def test_factors_seed_chunked_matches_monolithic(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(fac_mono.LB),
                                np.asarray(fac_chunk.LB),
                                rtol=1e-5, atol=2e-6)
+
+
+def test_factors_seed_streamed_solve_family_follows_gate(rng, monkeypatch):
+    """The streamed B-assembly must pick its per-chunk solve by the SAME
+    global-count gate as _seed_solve: below COND_MATMUL_N the trisolve
+    (the family v_rows_at and the mesh seeds use there), above it the
+    explicit-inverse matmul.  A large explicit M (e.g. 2048) streams
+    from N ≈ 655k — below the gate — where the old hard-wired matmul
+    silently broke the 'identical per-row arithmetic' contract."""
+    import jax
+
+    from algp_tpu.ops import linalg as la_mod
+    from algp_tpu.ops.kernels import KernelSpec
+
+    spec = KernelSpec("rbf", ds=2)
+    params = spec.init_params(ls_spatial=2.0, outputscale=1.0, noise=0.1)
+    x = jnp.asarray(rng.uniform(0, 10, (150, 2)), jnp.float32)
+    z = x[lr.kcenter_indices(x, 24)]
+    calls = []
+    orig = la_mod.solve_triangular
+    monkeypatch.setattr(
+        la_mod, "solve_triangular",
+        lambda *a, **k: (calls.append(1), orig(*a, **k))[1],
+    )
+    monkeypatch.setattr(lr, "_SEED_CHUNK_BYTES", 0)
+    monkeypatch.setattr(lr, "_SEED_CHUNK", 64)
+    try:
+        lr.lowrank_factors_seed.clear_cache()
+        jax.clear_caches()
+        fac = lr.lowrank_factors_seed(spec, params, x, z)  # N=150 < gate
+        assert calls, "sub-gate streamed seed must use the trisolve family"
+        assert np.isfinite(np.asarray(fac.LB)).all()
+        calls.clear()
+        monkeypatch.setattr(acq, "COND_MATMUL_N", 1)
+        lr.lowrank_factors_seed.clear_cache()
+        jax.clear_caches()
+        lr.lowrank_factors_seed(spec, params, x, z)  # N=150 ≥ forced gate
+        assert not calls, "gated streamed seed must use the matmul family"
+    finally:
+        lr.lowrank_factors_seed.clear_cache()
+        jax.clear_caches()
 
 
 def test_plan_step_factors_matches_full_seed(rng):

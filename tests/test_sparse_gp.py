@@ -350,3 +350,40 @@ def test_kcenter_live_count_contract_enforced(rng):
     acq_lr.check_kcenter_m(
         jax.ShapeDtypeStruct((), jnp.int32), 8, "probe"
     )  # not int()-able -> silently skipped
+
+
+def test_sparse_fit_survives_duplicate_heavy_set(rng):
+    """Graceful degradation when the sampled set holds FEWER DISTINCT
+    points than the inducing count (heavily revisited campaigns): the
+    maximin chain duplicates live rows — span-equivalent to the best
+    available design (the distinct points) with the K_zz jitter keeping
+    the factor PD.  The fit must stay finite and predict like a fit run
+    with the distinct-point design (check_kcenter_m deliberately does
+    NOT reject this regime)."""
+    import jax
+
+    from algp_tpu.ops.kernels import KernelSpec
+
+    spec = KernelSpec("rbf", ds=2)
+    cfg = FitConfig(iters=40, restarts=2)
+    x10 = rng.uniform(0, 8, (10, 2)).astype(np.float32)  # 10 distinct
+    rep = rng.integers(0, 10, 40)  # 40 samples revisiting them
+    x = jnp.asarray(x10[rep])
+    f = np.sin(x10[:, 0]) + 0.3 * x10[:, 1]
+    y = jnp.asarray(f[rep] + 0.05 * rng.standard_normal(40), jnp.float32)
+    key = jax.random.PRNGKey(3)
+
+    res = sgp.fit_step_sparse(
+        spec, cfg, x, y, None, key, 0,
+        num_valid=jnp.asarray(40, jnp.int32), num_inducing=24,  # > 10
+    )
+    assert np.isfinite(float(res.nll))
+    m = sgp.SparseGP(spec, num_inducing=24, fit_config=cfg)
+    m.fit(x, y, key=key)  # k-center design over 10 distinct pts, m=24
+    mean, var = m.predict(jnp.asarray(x10))
+    assert np.isfinite(np.asarray(mean)).all()
+    assert np.isfinite(np.asarray(var)).all()
+    # the duplicated design spans the same space as the distinct one:
+    # predictions at the distinct points track the true function
+    resid = np.asarray(mean) - f
+    assert np.sqrt((resid**2).mean()) < 0.5 * np.std(f)
