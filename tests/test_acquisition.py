@@ -528,6 +528,58 @@ def test_path_set_argmax_per_sample_gates_on_sample_price():
         acq.path_set_argmax(scores4, sizes4, costs4, path_utility="bogus")
 
 
+def test_cond_solve_gate_uses_unpadded_count(monkeypatch):
+    """The solve-family gate (acquisition.cond_solve) must key on the
+    UNPADDED candidate count: greedy_select pads the candidate axis to a
+    256-multiple, and gating on the padded length would flip the
+    arithmetic family for the padded consumers of an episode whose true
+    count sits just below the threshold (the window where single-chip
+    fused steps — which see unpadded x — disagree with everything
+    padded).  With the threshold set INSIDE the window (n_valid=150 <
+    200 ≤ padded 256) the matmul family must NOT engage; nudged below
+    the true count it must."""
+    import jax
+
+    from algp_tpu.ops import linalg as la_mod
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0, 12, (150, 2))
+    spec = KernelSpec("rbf", ds=2)
+    params = spec.init_params(ls_spatial=3.0, outputscale=1.0, noise=0.15)
+    pilot = np.linspace(0, 149, 6).round().astype(np.int32)
+    calls = []
+    orig = la_mod.solve_triangular_matmul
+    monkeypatch.setattr(
+        la_mod, "solve_triangular_matmul",
+        lambda *a, **k: (calls.append(1), orig(*a, **k))[1],
+    )
+
+    def run():
+        return acq.greedy_select(
+            spec, params, jnp.asarray(x, jnp.float32),
+            jnp.full((150,), 0.15**2, jnp.float32),
+            jnp.asarray(pilot), rounds=5, num_pilot=6, strategy="mi",
+        )
+
+    try:
+        monkeypatch.setattr(acq, "COND_MATMUL_N", 200)  # inside the window
+        jax.clear_caches()
+        res_window = run()
+        assert not calls, (
+            "gate engaged on the PADDED length (256) though the true "
+            "candidate count (150) sits below the threshold"
+        )
+        monkeypatch.setattr(acq, "COND_MATMUL_N", 100)  # below the count
+        jax.clear_caches()
+        res_gated = run()
+        assert calls, "gate must engage once the true count crosses it"
+        np.testing.assert_array_equal(
+            np.asarray(res_window.selected), np.asarray(res_gated.selected)
+        )
+    finally:
+        jax.clear_caches()
+
+
 def test_conditioning_matmul_gate_preserves_selections(monkeypatch):
     """Forcing the ≥1M conditioning fast path (COND_MATMUL_N = 1, i.e.
     tri_inv matmul instead of the XLA trisolve in
