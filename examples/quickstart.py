@@ -204,3 +204,22 @@ cfg14 = dataclasses.replace(
 r14 = Agent(env14, cfg14).run()
 print(f"14. waypoints:    visited {r14.state.goal_i}/{len(goals)} goals, "
       f"RMSE {r14.rmse:.3f} (goal-conditioned enumeration, C11)")
+
+# 15. Exact mid-episode checkpoint / resume ----------------------------------
+# EpisodeState (samples, fitted params, RNG) is a tiny npz; selection is
+# a pure function of it, so the resumed run reproduces the uninterrupted
+# one sample-for-sample.
+import tempfile
+
+from algp_tpu.utils import checkpoint as ckpt
+
+env15a = FieldEnv(cfg.field, cfg.kernel)
+half = Agent(env15a, cfg).run(max_steps=3)           # interrupt after 3 steps
+path15 = os.path.join(tempfile.mkdtemp(), "episode.npz")
+ckpt.save(path15, half.state)
+env15b = FieldEnv(cfg.field, cfg.kernel)             # fresh process stand-in
+r15 = Agent(env15b, cfg).run(resume_from=ckpt.load(path15))
+full15 = Agent(FieldEnv(cfg.field, cfg.kernel), cfg).run()
+same = np.array_equal(r15.state.sampled_idx, full15.state.sampled_idx)
+print(f"15. resume:       interrupted@3 + resume ≡ uninterrupted: {same} "
+      f"({len(r15.state.sampled_idx)} samples, RMSE {r15.rmse:.3f})")
