@@ -310,9 +310,26 @@ class FieldEnv:
                 raise ValueError(f"value_cols {missing} not in table columns "
                                  f"{list(df.columns)}")
         else:
-            value_cols = ["height" if "height" in df.columns else df.columns[2]]
+            if "height" in df.columns:
+                value_cols = ["height"]
+            else:
+                # never guess: the old `df.columns[2]` fallback could
+                # silently pick a feat_* column as the ground truth —
+                # the same array then serves as BOTH the field and a GP
+                # input feature, and every RMSE/selection is nonsense
+                candidates = [
+                    c for c in df.columns
+                    if c not in ("row", "range")
+                    and not c.startswith("feat_")
+                ]
+                if len(candidates) != 1:
+                    raise ValueError(
+                        "table has no 'height' column and the value "
+                        "column is ambiguous — pass FieldConfig."
+                        f"value_cols (non-feature candidates: {candidates})"
+                    )
+                value_cols = candidates
         feat_cols = [c for c in df.columns if c.startswith("feat_")]
-        f = np.full(self.n, np.nan)
         feats = np.zeros((self.n, len(feat_cols)), np.float32)
         rows_v = df["row"].to_numpy()
         cols_v = df["range"].to_numpy()

@@ -30,7 +30,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import optax
 from jax import lax
 
 from algp_tpu.config import FitConfig, MLPSpec
@@ -52,9 +51,18 @@ def init_mlp(spec: MLPSpec, df: int, key: jax.Array) -> list:
     return layers
 
 
+_ACTIVATIONS = {"tanh": jnp.tanh, "relu": jax.nn.relu}
+
+
 def embed_features(spec: MLPSpec, mlp, feats: jax.Array) -> jax.Array:
     """φ(features): (n, df) → (n, dz)."""
-    act = jnp.tanh if spec.activation == "tanh" else jax.nn.relu
+    try:
+        act = _ACTIVATIONS[spec.activation]
+    except KeyError:
+        raise ValueError(
+            f"unknown MLPSpec.activation {spec.activation!r}; "
+            f"use one of {sorted(_ACTIVATIONS)}"
+        ) from None
     z = feats
     for i, (W, b) in enumerate(mlp):
         z = jnp.dot(z, W, precision=lax.Precision.HIGHEST) + b
@@ -118,35 +126,12 @@ def _deep_fit_jit(kspec, mspec, cfg, x, y, kinits, mlp0,
             nll = nll + 0.5 * mspec.weight_decay * wd
         return nll
 
-    opt = optax.adam(cfg.learning_rate)
-
+    # the shared one-restart optimizer loop (gp._opt_loop works over any
+    # parameter pytree): same scan/best-ever/non-finite-guard semantics,
+    # and FitConfig.optimizer is honored — the hand-rolled Adam loop this
+    # replaces silently ignored optimizer="lbfgs"
     def one_restart(kp0):
-        theta0 = (kp0, mlp0)
-
-        def step(carry, _):
-            theta, opt_state, best_nll, best = carry
-            nll, g = jax.value_and_grad(lambda t: loss(*t))(theta)
-            updates, opt_state = opt.update(g, opt_state, theta)
-            theta_new = optax.apply_updates(theta, updates)
-            better = nll < best_nll
-            best_nll = jnp.where(better, nll, best_nll)
-            best = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(better, a, b), theta, best
-            )
-            return (theta_new, opt_state, best_nll, best), nll
-
-        init = (theta0, opt.init(theta0), jnp.inf, theta0)
-        (theta_f, _, best_nll, best), trace = lax.scan(
-            step, init, None, length=cfg.iters
-        )
-        nll_f = loss(*theta_f)
-        better = nll_f < best_nll
-        best_nll = jnp.where(better, nll_f, best_nll)
-        best = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(better, a, b), theta_f, best
-        )
-        best_nll = jnp.where(jnp.isfinite(best_nll), best_nll, jnp.inf)
-        return best, best_nll, trace
+        return gp_mod._opt_loop(cfg, lambda t: loss(*t), (kp0, mlp0))
 
     best, best_nll, trace = jax.vmap(one_restart)(kinits)
     k = jnp.argmin(best_nll)

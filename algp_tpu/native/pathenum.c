@@ -255,6 +255,7 @@ int algp_enumerate_paths(
     g.goal = goal;
     g.harvest_cap = (int64_t)max_paths * 8;
 
+    int rc;
     int64_t cap = g.harvest_cap;
     g.out.cap = cap;
     g.out.arena_cap = cap * 64;
@@ -262,10 +263,22 @@ int algp_enumerate_paths(
     g.out.off = malloc(sizeof(int64_t) * cap);
     g.out.len = malloc(sizeof(int32_t) * cap);
     g.out.cost = malloc(sizeof(double) * cap);
-    /* longest possible path: every node visited once */
-    int64_t max_len = (int64_t)num_rows * num_cols + 2;
+    /* Longest possible path: every pushed node costs at least
+     * min(cs, rs), so depth ≤ budget / min_spacing + 1 (+ slack) —
+     * NOT the node count: row runs may re-traverse visited nodes
+     * (only headland switch targets are membership-checked, exactly
+     * as the Python engine), so on small grids with generous budgets
+     * a path can be longer than the grid (a 2×6 grid at budget 16
+     * reaches depth 17; the old nr·nc+2 bound overflowed the heap).
+     * Past 2^20 nodes the dedup key packing (end · 2^20 + len) would
+     * alias too — both bounds fail over to the Python engine. */
+    double min_sp = col_spacing < row_spacing ? col_spacing : row_spacing;
+    if (min_sp <= 0) { rc = -1; goto cleanup; }
+    double depth_bound = budget / min_sp + 4.0;
+    if (!(depth_bound < (double)(1 << 20))) { rc = -1; goto cleanup; }
+    int64_t max_len = (int64_t)depth_bound;
     g.stack = malloc(sizeof(int32_t) * max_len);
-    int rc = seen_init(&g.seen, cap * 4 + 7);
+    rc = seen_init(&g.seen, cap * 4 + 7);
     if (!g.out.arena || !g.out.off || !g.out.len || !g.out.cost
         || !g.stack || rc != 0) {
         rc = -1;

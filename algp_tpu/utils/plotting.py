@@ -48,11 +48,15 @@ def learning_curves(histories: dict[str, list[dict]], path: Optional[str] = None
     plt = _plt()
     fig, axes = plt.subplots(1, 2, figsize=(10, 3.6), constrained_layout=True)
     for name, hist in histories.items():
+        # each panel derives its x from the records carrying ITS metric —
+        # pairing rmse-filtered x with mean_var-filtered y crashed (or
+        # silently misaligned) on histories where the keys don't co-occur
         ns = [h["n_sampled"] for h in hist if "rmse" in h]
         rmse = [h["rmse"] for h in hist if "rmse" in h]
+        ns_mv = [h["n_sampled"] for h in hist if "mean_var" in h]
         mv = [h["mean_var"] for h in hist if "mean_var" in h]
         axes[0].plot(ns, rmse, marker="o", markersize=3, label=name)
-        axes[1].plot(ns, mv, marker="o", markersize=3, label=name)
+        axes[1].plot(ns_mv, mv, marker="o", markersize=3, label=name)
     axes[0].set_xlabel("samples collected"); axes[0].set_ylabel("RMSE")
     axes[1].set_xlabel("samples collected"); axes[1].set_ylabel("mean posterior var")
     axes[0].legend()

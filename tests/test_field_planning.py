@@ -304,6 +304,12 @@ def test_native_path_enumerator_matches_python(monkeypatch):
         (5, 5, 1.0, 1.0, 12, 100.0, 256),   # budget >> field
         (2, 30, 1.0, 1.0, 0, 3.0, 32),      # tiny budget
         (10, 10, 1.7, 0.9, 55, 14.3, 200),  # irrational-ish costs
+        # paths LONGER than the grid: a short-row field whose budget
+        # covers a full row round-trip re-traverses visited nodes, so
+        # path depth exceeds nr·nc (the old C stack bound — heap
+        # overflow regression, 2×6 @ budget 16 reaches depth 17 > 14)
+        (2, 6, 1.0, 1.0, 4, 16.0, 64),
+        (2, 8, 1.0, 1.0, 3, 30.0, 128),     # multiple round-trips
     ]
     for rows, cols, cs, rs, start, budget, mp in cases:
         env = FieldEnv(FieldConfig(
@@ -739,9 +745,17 @@ def test_native_enumerator_fuzz_parity(monkeypatch):
                 row_spacing=rs, seed=5,
             ))
             start = int(rng.integers(0, n))
-            # half the draws land EXACTLY on a k·spacing budget boundary
-            if rng.random() < 0.5:
+            # half the draws land EXACTLY on a k·spacing budget boundary;
+            # a quarter exceed the field's row round-trip so paths can
+            # RE-TRAVERSE visited nodes and grow LONGER than the grid
+            # (the regime whose depth overflowed the old C stack bound)
+            u = rng.random()
+            if u < 0.5:
                 budget = cs * int(rng.integers(1, 2 * cols + 2))
+            elif u < 0.75:
+                budget = float(rng.uniform(1.0, 3.0)) * (
+                    cs * cols + rs * rows
+                )
             else:
                 budget = float(rng.uniform(0.5, cs * cols + rs * rows))
             max_turns = int(rng.integers(0, 5))

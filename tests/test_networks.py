@@ -183,3 +183,30 @@ def test_weight_decay_shrinks_embedding_weights(rng):
     # the penalized objective includes the prior term, so the free fit's
     # raw nll must be <= the tight fit's penalized one minus its penalty
     assert wnorm(tight.mlp) < 0.9 * wnorm(free.mlp)
+
+
+def test_deep_fit_honors_optimizer_and_validates_activation(rng):
+    """fit_deep runs through gp._opt_loop: optimizer='lbfgs' must train
+    (it was silently ignored by the old hand-rolled Adam loop) and an
+    unknown optimizer/activation must raise instead of silently mapping
+    to a default."""
+    import pytest
+
+    x, y = make_nonlinear_feature_data(rng)
+    kspec = KernelSpec("rbf", "rbf", ds=2, df=1)
+    mspec = nets.MLPSpec(hidden=(8,), out=2)
+    res = nets.fit_deep(kspec, mspec, FitConfig(iters=30, restarts=1,
+                                                optimizer="lbfgs"),
+                        jnp.asarray(x), jnp.asarray(y),
+                        key=jax.random.PRNGKey(1))
+    assert np.isfinite(float(res.nll))
+    with pytest.raises(ValueError, match="unknown optimizer"):
+        nets.fit_deep(kspec, mspec, FitConfig(iters=5, optimizer="sgd"),
+                      jnp.asarray(x), jnp.asarray(y))
+    with pytest.raises(ValueError, match="activation"):
+        nets.embed_features(
+            nets.MLPSpec(activation="gelu"),
+            nets.init_mlp(nets.MLPSpec(activation="gelu"), 1,
+                          jax.random.PRNGKey(0)),
+            jnp.ones((4, 1), jnp.float32),
+        )

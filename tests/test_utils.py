@@ -202,3 +202,51 @@ def test_agent_resolves_auto_planner():
     env = FieldEnv(cfg.field, cfg.kernel)
     agent = Agent(env, cfg)
     assert agent._num_inducing == 0  # 1 000-point grid → exact planner
+
+
+def test_learning_curves_uneven_metric_keys(tmp_path):
+    """Histories where 'rmse' and 'mean_var' don't co-occur per record
+    (e.g. a goal_fallback or hard_cap record carrying only one) must
+    plot each panel against its OWN x — the shared-x version crashed
+    with a matplotlib dimension error."""
+    from algp_tpu.utils import plotting
+
+    hist = [
+        {"n_sampled": 10, "rmse": 1.0, "mean_var": 0.9},
+        {"n_sampled": 15, "rmse": 0.8},            # no mean_var
+        {"n_sampled": 20, "mean_var": 0.5},        # no rmse
+        {"n_sampled": 25, "rmse": 0.6, "mean_var": 0.4},
+    ]
+    plotting.learning_curves({"mi": hist}, path=str(tmp_path / "c.png"))
+    assert (tmp_path / "c.png").exists()
+
+
+def test_table_value_column_never_guessed(tmp_path):
+    """A table without a 'height' column must either have exactly one
+    non-feature candidate (used) or raise — the old fallback silently
+    took df.columns[2], which could be a feat_* column (the ground truth
+    then doubles as a GP input feature and every metric is nonsense)."""
+    import pandas as pd
+    import pytest
+
+    # ambiguous: two non-feature candidates -> error
+    amb = tmp_path / "amb.csv"
+    pd.DataFrame({
+        "row": [0, 0, 1], "range": [0, 1, 0],
+        "feat_a": [0.1, 0.2, 0.3],
+        "yield": [1.0, 2.0, 3.0], "width": [4.0, 5.0, 6.0],
+    }).to_csv(amb, index=False)
+    with pytest.raises(ValueError, match="value column is ambiguous"):
+        FieldEnv(FieldConfig(num_rows=2, num_cols=2, data_path=str(amb)))
+
+    # unambiguous: exactly one non-feature candidate -> used, never feat_*
+    ok = tmp_path / "ok.csv"
+    pd.DataFrame({
+        "row": [0, 0, 1, 1], "range": [0, 1, 0, 1],
+        "feat_a": [0.1, 0.2, 0.3, 0.4],
+        "yield": [1.0, 2.0, 3.0, 4.0],
+    }).to_csv(ok, index=False)
+    env = FieldEnv(FieldConfig(num_rows=2, num_cols=2, num_features=1,
+                               data_path=str(ok)))
+    # standardized 'yield' is strictly increasing across the 4 plots
+    assert np.all(np.diff(env.f) > 0)
