@@ -627,7 +627,7 @@ def fit_and_select(
     if x_pad.shape[0] != N:
         sel = SelectionResult(
             selected=sel.selected, post_var=sel.post_var[:N],
-            scores=sel.scores, basis=sel.basis[:, :N],
+            scores=sel.scores[:, :N], basis=sel.basis[:, :N],
         )
     return fit_res, sel
 

@@ -322,7 +322,7 @@ def lowrank_corrections_at(
     return F_rows, ZT_rows
 
 
-def _pilot_delete_lowrank(lr, pilot_idx, pilot_count, F, G, pdiag, num_pilot):
+def _pilot_delete_lowrank(lr, pilot_idx, pilot_count, F, G, pdiag):
     """Batch-remove the pilot block from the implicit precision
     (greedy-loop state update around `_lowrank_schur`)."""
     N = lr.VT.shape[0]
@@ -422,7 +422,7 @@ def _greedy_select_lowrank_jit(
     G0 = jnp.zeros((T, N), jnp.float32)
     if num_pilot:
         F0, G0, pdiag0 = _pilot_delete_lowrank(
-            lr, pilot_idx, pilot_count, F0, G0, pdiag0, num_pilot
+            lr, pilot_idx, pilot_count, F0, G0, pdiag0
         )
 
     n_scores = rounds if return_scores else 0
@@ -623,29 +623,6 @@ def lowrank_seed_with_z(
                                   use_pallas=use_pallas)
 
 
-@partial(jax.jit, static_argnames=("spec", "num_inducing", "min_noise",
-                                   "nv_mult", "use_pallas"))
-def lowrank_seed_episode(
-    spec: KernelSpec,
-    params: KernelParams,
-    x: jax.Array,
-    *,
-    num_inducing: int,
-    min_noise: float = 1e-3,
-    nv_mult: float = 1.0,
-    use_pallas: bool = False,
-) -> LowRankPrecision:
-    """`lowrank_precision_seed` with the candidate noise AND the k-center
-    inducing design derived INSIDE the program — the episode's per-refit
-    seed (one async dispatch; mirrors `acquisition.implicit_precision_seed`
-    dispatch economics)."""
-    base = jnp.maximum(jnp.exp(2.0 * params.log_noise), min_noise * min_noise)
-    nv = jnp.full((x.shape[0],), nv_mult, jnp.float32) * base
-    zidx = kcenter_indices(x, min(num_inducing, x.shape[0]))
-    return lowrank_precision_seed(spec, params, x, nv, x[zidx],
-                                  use_pallas=use_pallas)
-
-
 @partial(jax.jit, static_argnames=("spec", "min_noise", "nv_mult",
                                    "path_utility"))
 def plan_episode_step_lowrank(
@@ -739,7 +716,6 @@ def plan_episode_step_lowrank_factors(
     posterior metrics are design-independent and computed once;
     `ensemble=1` is the unchanged single-design path."""
     from algp_tpu.acquisition import (
-        _batch_pilot_condition,
         _pblk_finish,
         _pblk_lowrank_prior,
         _score_sets_gathered,
@@ -933,7 +909,7 @@ def fit_and_select_lowrank(
     if x_pad.shape[0] != N:
         sel = SelectionResult(
             selected=sel.selected, post_var=sel.post_var[:N],
-            scores=sel.scores, basis=sel.basis[:, :N],
+            scores=sel.scores[:, :N], basis=sel.basis[:, :N],
         )
     return fit_res, sel
 

@@ -242,6 +242,23 @@ class Agent:
         )
         self._max_samples = new_cap
 
+    def _pad_sampled_host(self, st: EpisodeState):
+        """Host-side padded sampled-set buffers (idx, noise_scale, y, m)
+        — THE padding convention (idx 0-fill, scale 1-fill, y 0-fill,
+        capacity grown) every consumer derives from, so the fused step,
+        the conditioning fallback, and the fit buffers can never
+        disagree on which slots are real."""
+        m = len(st.sampled_idx)
+        self._grow_capacity(m)
+        cap = self._max_samples
+        idx = np.zeros(cap, np.int64)
+        idx[:m] = st.sampled_idx
+        ns = np.ones(cap, np.float32)
+        ns[:m] = st.noise_scale
+        y = np.zeros(cap, np.float32)
+        y[:m] = st.y
+        return idx, ns, y, m
+
     def _padded_train(self, st: EpisodeState, raw: bool = False):
         """(x, y, noise_scale, num_valid) padded to the static capacity.
 
@@ -249,15 +266,7 @@ class Agent:
         trains the embedding itself); otherwise x comes from the
         effective (embedded) candidate matrix every other consumer uses.
         """
-        m = len(st.sampled_idx)
-        self._grow_capacity(m)
-        cap = self._max_samples
-        idx = np.zeros(cap, np.int64)
-        idx[:m] = st.sampled_idx
-        y = np.zeros(cap, np.float32)
-        y[:m] = st.y
-        ns = np.ones(cap, np.float32)
-        ns[:m] = st.noise_scale
+        idx, ns, y, m = self._pad_sampled_host(st)
         x_src = self.env.X if raw else self._Xdev
         x = x_src[jnp.asarray(idx)]
         return (
@@ -383,13 +392,10 @@ class Agent:
         occurrence).  The single source of the heteroscedastic
         conditioning convention for both the fused replan and the
         conditioning fallback."""
-        n_samp = len(st.sampled_idx)
-        self._grow_capacity(n_samp)
-        idx_np = np.zeros(self._max_samples, np.int32)
-        idx_np[:n_samp] = st.sampled_idx
+        idx, _, _, n_samp = self._pad_sampled_host(st)
         pnv = np.full(self._max_samples, 1.0, np.float32)
         pnv[:n_samp] = self._base_noise(st) * st.noise_scale
-        return (jnp.asarray(idx_np), jnp.asarray(n_samp, jnp.int32),
+        return (jnp.asarray(idx, jnp.int32), jnp.asarray(n_samp, jnp.int32),
                 jnp.asarray(pnv))
 
     def _noise_vec(self, st: EpisodeState) -> jnp.ndarray:
@@ -497,16 +503,8 @@ class Agent:
         `_padded_sampled` this never reads the fitted params (the fused
         step derives the noise model on device), so dispatching a step
         costs zero host→device syncs."""
-        n_samp = len(st.sampled_idx)
-        self._grow_capacity(n_samp)
-        cap = self._max_samples
-        idx_np = np.zeros(cap, np.int32)
-        idx_np[:n_samp] = st.sampled_idx
-        ns = np.ones(cap, np.float32)
-        ns[:n_samp] = st.noise_scale
-        y = np.zeros(cap, np.float32)
-        y[:n_samp] = st.y
-        return (jnp.asarray(idx_np), jnp.asarray(n_samp, jnp.int32),
+        idx, ns, y, n_samp = self._pad_sampled_host(st)
+        return (jnp.asarray(idx, jnp.int32), jnp.asarray(n_samp, jnp.int32),
                 jnp.asarray(ns), jnp.asarray(y))
 
     @property

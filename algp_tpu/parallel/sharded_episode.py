@@ -558,7 +558,6 @@ def _sharded_plan_jit(
 def _seed_args(strategy, lowrank, lr, W, N, mesh):
     if strategy != "mi":
         # unused placeholder strips (zero-size second axis keeps them free)
-        S = mesh.shape["grid"]
         z2 = jnp.zeros((N, 0), jnp.float32)
         a = jax.device_put(z2, NamedSharding(mesh, P("grid", None)))
         if lowrank:

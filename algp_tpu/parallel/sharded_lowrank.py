@@ -82,7 +82,7 @@ def sharded_greedy_select_mi_lowrank(
         res = acq.SelectionResult(
             selected=res.selected,
             post_var=res.post_var[:N],
-            scores=res.scores,
+            scores=res.scores[:, :N],
             basis=res.basis[:, :N],
         )
     return res

@@ -109,7 +109,7 @@ def sharded_greedy_select_mi(
         res = acq.SelectionResult(
             selected=res.selected,
             post_var=res.post_var[:N],
-            scores=res.scores,
+            scores=res.scores[:, :N],
             basis=res.basis[:, :N],
         )
     return res

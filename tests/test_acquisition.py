@@ -616,3 +616,64 @@ def test_conditioning_matmul_gate_preserves_selections(monkeypatch):
             np.testing.assert_array_equal(np.asarray(res.selected), sel_ref)
     finally:
         jax.clear_caches()  # don't leak gate-on executables to other tests
+
+
+def test_selection_fuzz_matches_oracle():
+    """Randomized fidelity sweep (the enumerator fuzz's analog for the
+    selection contract): device greedy selections — entropy AND mi —
+    must equal the f64 oracle index-for-index across random kernel
+    kinds, lengthscales, output scales, noise levels, feature dims,
+    pilot sets and candidate counts.  Random (jittered) point sets with
+    structured kernels are tie-free, so exact index equality is
+    well-posed (feature columns are drawn WITHIN a lengthscale of each
+    other — spread features collapse the product kernel to ~diagonal,
+    the all-ties regime where, like the symmetric grid, index equality
+    is ill-posed); the fixed-case oracle tests above pin known
+    geometries.  Every draw additionally asserts per-round
+    ε-optimality under the f64 oracle (the symmetric-field criterion)
+    as the score-level backstop."""
+    rng = np.random.default_rng(20260819)
+    for draw in range(8):
+        n = int(rng.integers(60, 140))
+        df = int(rng.choice([0, 2]))
+        spatial = str(rng.choice(["rbf", "matern32", "matern52"]))
+        ls = float(rng.uniform(1.5, 4.0))
+        lsf = float(rng.uniform(0.8, 2.0))
+        os_ = float(rng.uniform(0.5, 2.0))
+        noise = float(rng.uniform(0.05, 0.4))
+        rounds = int(rng.integers(8, 20))
+        npil = int(rng.integers(0, 7))
+        x = rng.uniform(0, 12, (n, 2 + df))
+        if df:
+            x[:, 2:] = rng.uniform(0, lsf, (n, df))
+        spec = (KernelSpec(spatial, "rbf", ds=2, df=2) if df
+                else KernelSpec(spatial, ds=2))
+        params = spec.init_params(ls_spatial=ls, ls_feature=lsf,
+                                  outputscale=os_, noise=noise)
+        K = oracle.gram(x, x, spatial_kind=spatial, ls_spatial=ls,
+                        ls_feature=lsf, outputscale=os_, ds=2)
+        nv = noise ** 2
+        pilot = rng.choice(n, size=npil, replace=False).astype(np.int32)
+        for strategy in ("entropy", "mi"):
+            res = acq.greedy_select(
+                spec, params, jnp.asarray(x, jnp.float32),
+                jnp.full((n,), nv, jnp.float32),
+                jnp.asarray(pilot), rounds=rounds, num_pilot=npil,
+                strategy=strategy,
+            )
+            if strategy == "entropy":
+                ref, _ = oracle.greedy_variance_selection(K, nv, rounds,
+                                                          pilot)
+            else:
+                ref, _ = oracle.greedy_mi_selection(K, nv, rounds, pilot)
+            case = (draw, strategy, spatial, df, n, ls, noise, npil)
+            np.testing.assert_array_equal(
+                np.asarray(res.selected), ref, err_msg=str(case)
+            )
+            # score-level backstop: every device pick is ε-optimal
+            # under the f64 oracle round-by-round
+            pairs = oracle.follow_selection(
+                K, nv, np.asarray(res.selected), pilot, strategy=strategy
+            )
+            for r, (chosen, best) in enumerate(pairs):
+                assert chosen >= best - 1e-4 * abs(best), (case, r)
