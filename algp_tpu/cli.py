@@ -257,21 +257,26 @@ def run_greedy(cfg: ExperimentConfig, runs: int, stream=None) -> list[dict]:
         if env.num_traits > 1:
             # multi-trait phenotyping: refit EVERY trait on the selected
             # plots as ONE batched program (traits × restarts × iters —
-            # models.gp.fit_multi), then per-trait posterior fields
+            # models.gp.fit_multi), then per-trait posterior fields.
+            # Uses spec_eff/X_eff so a --deep-hidden run evaluates the
+            # SAME model family as the headline RMSE (per-trait hypers
+            # over the shared embedding learned on the primary trait) —
+            # cfg.kernel/env.X here silently measured a plain stationary
+            # model instead.
             _, Y, _ = env.collect_traits(all_idx, "precise")
-            x_tr = env.X[jnp.asarray(all_idx)]
+            x_tr = X_eff[jnp.asarray(all_idx)]
             res_m = gp_mod.fit_multi(
-                cfg.kernel, cfg.fit, x_tr,
+                spec_eff, cfg.fit, x_tr,
                 jnp.asarray(Y, jnp.float32), key=key2,
             )
             means = []
             for t in range(env.num_traits):
                 rt = gp_mod.trait_result(res_m, t)
                 post_t = gp_mod.posterior(
-                    cfg.kernel, rt.params, x_tr,
+                    spec_eff, rt.params, x_tr,
                     jnp.asarray(Y[:, t], jnp.float32),
                 )
-                m_t, _ = gp_mod.predict(cfg.kernel, rt.params, post_t, env.X)
+                m_t, _ = gp_mod.predict(spec_eff, rt.params, post_t, X_eff)
                 means.append(np.asarray(m_t))
             rec["trait_rmse"] = env.rmse_traits(np.stack(means, axis=1))
             rec["trait_rmse_test"] = env.rmse_traits(
@@ -288,6 +293,21 @@ def main(argv=None) -> int:
     cfg = config_from_args(args)
 
     if args.mode == "greedy":
+        # greedy mode scores every candidate by an information criterion;
+        # the traversal baselines and the episode-only z-ensemble have no
+        # meaning here — fail clearly instead of deep in greedy_select
+        if cfg.acquisition.strategy not in ("mi", "entropy"):
+            raise SystemExit(
+                f"--mode greedy supports --strategy mi/entropy (got "
+                f"{cfg.acquisition.strategy!r}); 'uniform'/'naive' are "
+                f"traversal baselines of --mode episode"
+            )
+        if cfg.acquisition.mi_ensemble > 1:
+            raise SystemExit(
+                "--mi-ensemble is an episode-mode feature (the fused "
+                "path-scoring step averages K complement seeds); "
+                "--mode greedy runs a single k-center design"
+            )
         stream = open(args.metrics_jsonl, "w") if args.metrics_jsonl else None
         try:
             run_greedy(cfg, args.runs, stream)

@@ -47,10 +47,15 @@ def main() -> None:
 
     base = PRESETS[args.preset]
     if args.refit_iters is not None or args.refit_restarts is not None:
+        # 0 is a meaningful override (refit_iters=0 = full refits, the
+        # warm-vs-full A/B control arm) — never `or` these defaults in
         fitc = dataclasses.replace(
             base.fit,
-            refit_iters=args.refit_iters or base.fit.refit_iters,
-            refit_restarts=args.refit_restarts or base.fit.refit_restarts,
+            refit_iters=(base.fit.refit_iters if args.refit_iters is None
+                         else args.refit_iters),
+            refit_restarts=(base.fit.refit_restarts
+                            if args.refit_restarts is None
+                            else args.refit_restarts),
         )
         base = dataclasses.replace(base, fit=fitc)
 

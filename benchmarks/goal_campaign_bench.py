@@ -2,12 +2,18 @@
 
 Runs the 100×100 / ls-15 / budget-800 study protocol with MI planning
 twice per seed: FREE path enumeration vs an alternating-headland
-WAYPOINT schedule (goals marching up the field two rows per hop — each
-hop is one ~101-cost slice, so every goal is reachable and the step
-still has real route choices thanks to the goal-mode route-aware dedup
-key).  Records held-out RMSE, samples, goals reached, and wall per arm:
-the waypoint arm demonstrates the reference's directed-transect
-workflow at scale, and the free arm prices the coverage constraint.
+WAYPOINT schedule (goals marching up the field two rows per hop; each
+hop costs ≥ ~101, and the step still has real route choices thanks to
+the goal-mode route-aware dedup key).  The schedule deliberately
+carries 8 goals against a budget that affords 7 hops (8 × 101 > 800):
+the first 7 are reachable and the 8th is structurally past the budget,
+so the run also exercises the free-step FALLBACK exactly when the
+remaining slice drops below the hop cost — `goals_reached` = 7 and a
+nonzero `goal_fallbacks` count are the DESIGNED outcome, not noise
+(`goals_affordable` records the budget-feasible count).  Records
+held-out RMSE, samples, goals reached, and wall per arm: the waypoint
+arm demonstrates the reference's directed-transect workflow at scale,
+and the free arm prices the coverage constraint.
 
     python benchmarks/goal_campaign_bench.py [--seeds 3]
         [--json benchmarks/goal_campaign_rNN.json]
@@ -49,11 +55,14 @@ def main() -> None:
                              seed=seed)
         # pilot ends at index n-1 = (99, 99); goals march up the field
         # two rows per hop, alternating headlands — hop cost ≈ 101,
-        # inside the ~114 budget slice (800 / 7)
+        # inside the ~114 budget slice (800 / 7).  8 goals vs 7
+        # affordable hops BY DESIGN: the last goal forces the free-step
+        # fallback (see module docstring).
         goals = tuple(
             (nr - 3 - 2 * k) * nc + (0 if k % 2 == 0 else nc - 1)
             for k in range(8)
         )
+        goals_affordable = 7  # floor(800 / ~101-cost hop)
         for arm, wp in (("free", None), ("waypoints", goals)):
             cfg = ExperimentConfig(
                 kernel=KernelSpec("matern32", ds=2),
@@ -75,6 +84,7 @@ def main() -> None:
                 "n_sampled": int(len(result.state.sampled_idx)),
                 "steps": result.state.step,
                 "goals_reached": int(result.state.goal_i) if wp else None,
+                "goals_affordable": goals_affordable if wp else None,
                 "goal_fallbacks": sum(
                     1 for h in result.history
                     if h.get("phase") == "goal_fallback"

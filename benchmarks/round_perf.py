@@ -68,10 +68,23 @@ def run(cmd, env_extra=None, timeout=900, retries=0):
         env.update(env_extra)
     retried = 0
     for attempt in range(retries + 1):
-        p = subprocess.run(
-            cmd, cwd=REPO, env=env, capture_output=True, text=True,
-            timeout=timeout,
-        )
+        try:
+            p = subprocess.run(
+                cmd, cwd=REPO, env=env, capture_output=True, text=True,
+                timeout=timeout,
+            )
+        except subprocess.TimeoutExpired as e:
+            # a pool degradation episode (trivial ops observed at 150+ s)
+            # can push any bench past its timeout — record the failure in
+            # the artifact instead of crashing the whole ritual and
+            # discarding the results already collected
+            tail = (e.stdout or b"")
+            if isinstance(tail, bytes):
+                tail = tail.decode(errors="replace")
+            print(f"# TIMEOUT after {timeout}s: {' '.join(cmd[-4:])}",
+                  file=sys.stderr)
+            return -1, (tail.strip().splitlines()[-5:]
+                        + [f"TIMEOUT after {timeout}s"]), retried
         if p.returncode == 0 or attempt == retries:
             break
         if "RESOURCE_EXHAUSTED" not in (p.stderr or "") + (p.stdout or ""):
@@ -124,7 +137,14 @@ def main() -> None:
         """Run a JSON-line benchmark; record its parsed record (plus the
         transient-retry count, so a weather-assisted pass is visible)."""
         rc, lines, rt = run(cmd, timeout=timeout, retries=retries)
-        rec = json.loads(lines[-1]) if rc == 0 and lines else {"ok": False}
+        try:
+            rec = json.loads(lines[-1]) if rc == 0 and lines else {
+                "ok": False, "tail": lines[-3:],
+            }
+        except json.JSONDecodeError:
+            # keep the paper trail even if a stray final stdout line
+            # (warning, deprecation notice) shadows the JSON record
+            rec = {"ok": False, "raw_tail": lines[-3:]}
         if rt:
             rec["transient_retries"] = rt
         out[key] = rec

@@ -292,6 +292,18 @@ def test_cli_greedy_mode(capsys):
     assert np.isfinite(rec["final_rmse"])
 
 
+def test_cli_greedy_mode_rejects_baseline_strategies():
+    """--mode greedy scores candidates by an information criterion; the
+    traversal baselines and the episode-only z-ensemble must fail with a
+    clear message, not a deep ValueError inside greedy_select."""
+    with pytest.raises(SystemExit, match="traversal baselines"):
+        cli.main(["--mode", "greedy", "--strategy", "uniform",
+                  "--rows", "4", "--cols", "4"])
+    with pytest.raises(SystemExit, match="episode-mode feature"):
+        cli.main(["--mode", "greedy", "--strategy", "mi",
+                  "--mi-ensemble", "4", "--rows", "4", "--cols", "4"])
+
+
 def test_cli_preset_round_trip():
     args = cli.build_parser().parse_args(["--preset", "c4_mi"])
     cfg = cli.config_from_args(args)

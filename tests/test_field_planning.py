@@ -222,6 +222,28 @@ def test_cli_greedy_multi_trait(capsys):
     assert all(np.isfinite(rec["trait_rmse"]))
 
 
+def test_cli_greedy_multi_trait_deep_kernel(capsys):
+    """--deep-hidden + --num-traits: the per-trait refit must evaluate
+    the SAME model family as the headline RMSE (per-trait hypers over
+    the shared learned embedding), not silently fall back to the plain
+    stationary kernel over raw features (round-4 review finding)."""
+    from algp_tpu import cli
+
+    rc = cli.main([
+        "--strategy", "entropy", "--rows", "5", "--cols", "8",
+        "--features", "3", "--deep-hidden", "8", "--deep-out", "3",
+        "--acq-rounds", "6", "--num-pilot", "6", "--num-traits", "2",
+        "--iters", "10", "--restarts", "1", "--mode", "greedy",
+    ])
+    assert rc == 0
+    import json
+
+    out = capsys.readouterr().out.strip().splitlines()
+    rec = json.loads(out[-1])
+    assert len(rec["trait_rmse"]) == 2
+    assert all(np.isfinite(rec["trait_rmse"]))
+
+
 def test_rmse_traits_per_trait_observation_masks(tmp_path):
     """A plot with height but no width must not count its imputed width
     in trait-1's RMSE (self code-review round 2)."""
