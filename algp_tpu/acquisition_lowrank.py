@@ -362,6 +362,15 @@ def greedy_select_lowrank(
         coarse sub-grid, or any other design).  With z = x the selections
         coincide with the exact path.
 
+        A (K, M, dim) stack runs the z-ENSEMBLE: K independent complement
+        seeds (one per design variant), per-candidate MI scores averaged
+        across designs before every argmax — the flat-greedy analogue of
+        the fused episode step's `ensemble` mode (`AcquisitionConfig.
+        mi_ensemble`; since s_k = (d+nv)·pdiag_k, the average is
+        (d+nv)·mean_k pdiag_k).  The numerator conditioning is
+        design-independent and stays single.  2-D z is the unchanged
+        single-design path, bit-identical.
+
     All other arguments and the selection-fidelity conventions match
     `acquisition.greedy_select` — entropy needs no approximation at any N
     (its state is O(N·T)); use the exact entry for it.
@@ -415,22 +424,41 @@ def _greedy_select_lowrank_jit(
         taken0 = jnp.logical_or(taken0, taken_pilot)
         B0 = lax.dynamic_update_slice(B0, C, (0, 0))
 
-    lr = lowrank_precision_seed(spec, params, x, nv, z,
-                                use_pallas=use_pallas, n_valid=n_valid)
-    pdiag0 = lr.pdiag
-    F0 = jnp.zeros((N, T), jnp.float32)
-    G0 = jnp.zeros((T, N), jnp.float32)
-    if num_pilot:
-        F0, G0, pdiag0 = _pilot_delete_lowrank(
-            lr, pilot_idx, pilot_count, F0, G0, pdiag0
-        )
+    ens = z.ndim == 3  # (K, M, d): z-ensemble — K independent seeds
+    if ens:
+        K_ens = z.shape[0]
+        lrs = [
+            lowrank_precision_seed(spec, params, x, nv, z[k],
+                                   use_pallas=use_pallas, n_valid=n_valid)
+            for k in range(K_ens)
+        ]
+        lr = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *lrs)
+        pdiag0 = lr.pdiag  # (K, N)
+        F0 = jnp.zeros((K_ens, N, T), jnp.float32)
+        G0 = jnp.zeros((K_ens, T, N), jnp.float32)
+        if num_pilot:
+            F0, G0, pdiag0 = jax.vmap(
+                lambda l, F, G, p: _pilot_delete_lowrank(
+                    l, pilot_idx, pilot_count, F, G, p
+                )
+            )(lr, F0, G0, pdiag0)
+    else:
+        lr = lowrank_precision_seed(spec, params, x, nv, z,
+                                    use_pallas=use_pallas, n_valid=n_valid)
+        pdiag0 = lr.pdiag
+        F0 = jnp.zeros((N, T), jnp.float32)
+        G0 = jnp.zeros((T, N), jnp.float32)
+        if num_pilot:
+            F0, G0, pdiag0 = _pilot_delete_lowrank(
+                lr, pilot_idx, pilot_count, F0, G0, pdiag0
+            )
 
     n_scores = rounds if return_scores else 0
     scores0 = jnp.full((n_scores, N), -jnp.inf, jnp.float32)
 
     def body(r, state):
         B, d, F, G, pdiag, taken, sel, scores = state
-        s = (d + nv) * pdiag
+        s = (d + nv) * (jnp.mean(pdiag, axis=0) if ens else pdiag)
         s = jnp.where(taken, -jnp.inf, s)
         j = s.argmax().astype(jnp.int32)
         if return_scores:
@@ -438,14 +466,22 @@ def _greedy_select_lowrank_jit(
         t = num_pilot + r
         col = _posterior_col(spec, params, x, j, B)
         B, d = _condition(B, d, col, j, nv[j], t)
-        u0 = _precision_col(lr, j)
-        g_j = lax.dynamic_slice_in_dim(G, j, 1, axis=1)[:, 0]
-        u = u0 - jnp.dot(F, g_j, precision=_HIGH)
-        pjj = pdiag[j]
-        F = lax.dynamic_update_slice(F, u[:, None], (0, t))
-        G = lax.dynamic_update_slice(G, (u / pjj)[None, :], (t, 0))
-        pdiag = pdiag - (u * u) / pjj
-        pdiag = pdiag.at[j].set(1.0)
+
+        def upd(lr_k, F_k, G_k, pdiag_k):
+            u0 = _precision_col(lr_k, j)
+            g_j = lax.dynamic_slice_in_dim(G_k, j, 1, axis=1)[:, 0]
+            u = u0 - jnp.dot(F_k, g_j, precision=_HIGH)
+            pjj = pdiag_k[j]
+            F_k = lax.dynamic_update_slice(F_k, u[:, None], (0, t))
+            G_k = lax.dynamic_update_slice(G_k, (u / pjj)[None, :], (t, 0))
+            pdiag_k = pdiag_k - (u * u) / pjj
+            pdiag_k = pdiag_k.at[j].set(1.0)
+            return F_k, G_k, pdiag_k
+
+        if ens:
+            F, G, pdiag = jax.vmap(upd)(lr, F, G, pdiag)
+        else:
+            F, G, pdiag = upd(lr, F, G, pdiag)
         taken = taken.at[j].set(True)
         sel = lax.dynamic_update_slice(sel, j[None], (r,))
         return B, d, F, G, pdiag, taken, sel, scores

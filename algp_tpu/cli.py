@@ -214,16 +214,34 @@ def run_greedy(cfg: ExperimentConfig, runs: int, stream=None) -> list[dict]:
         from algp_tpu.config import resolve_num_inducing
 
         m_ind = resolve_num_inducing(cfg.acquisition.num_inducing, env.n)
+        K_ens = max(1, int(cfg.acquisition.mi_ensemble))
+        if K_ens > 1 and (cfg.acquisition.strategy != "mi" or not m_ind):
+            raise ValueError(
+                "mi_ensemble > 1 needs the low-rank planner "
+                "(num_inducing > 0 or auto above the crossover) — "
+                "the exact W seed has no design to vary"
+            )
         if cfg.acquisition.strategy == "mi" and m_ind:
             # large-grid MI: low-rank complement precision over a k-center
-            # inducing design (acquisition_lowrank)
+            # inducing design (acquisition_lowrank); --mi-ensemble K
+            # stacks K deterministic design variants (same start-point
+            # schedule as the episode's _lowrank_z) and averages scores
             from algp_tpu import acquisition_lowrank as acq_lr
 
-            zidx = acq_lr.kcenter_indices(X_eff, min(m_ind, env.n))
+            m_eff = min(m_ind, env.n)
+            if K_ens > 1:
+                z_arg = jnp.stack([
+                    X_eff[acq_lr.kcenter_indices(
+                        X_eff, m_eff, start=(j * env.n) // K_ens
+                    )]
+                    for j in range(K_ens)
+                ])
+            else:
+                z_arg = X_eff[acq_lr.kcenter_indices(X_eff, m_eff)]
             sel = acq_lr.greedy_select_lowrank(
                 spec_eff, res.params, X_eff,
                 jnp.full((env.n,), nv_base, jnp.float32),
-                jnp.asarray(s.indices, jnp.int32), X_eff[zidx],
+                jnp.asarray(s.indices, jnp.int32), z_arg,
                 rounds=cfg.acquisition.rounds, num_pilot=len(s.indices),
             )
         else:
@@ -294,19 +312,13 @@ def main(argv=None) -> int:
 
     if args.mode == "greedy":
         # greedy mode scores every candidate by an information criterion;
-        # the traversal baselines and the episode-only z-ensemble have no
-        # meaning here — fail clearly instead of deep in greedy_select
+        # the traversal baselines have no meaning here — fail clearly
+        # instead of deep in greedy_select
         if cfg.acquisition.strategy not in ("mi", "entropy"):
             raise SystemExit(
                 f"--mode greedy supports --strategy mi/entropy (got "
                 f"{cfg.acquisition.strategy!r}); 'uniform'/'naive' are "
                 f"traversal baselines of --mode episode"
-            )
-        if cfg.acquisition.mi_ensemble > 1:
-            raise SystemExit(
-                "--mi-ensemble is an episode-mode feature (the fused "
-                "path-scoring step averages K complement seeds); "
-                "--mode greedy runs a single k-center design"
             )
         stream = open(args.metrics_jsonl, "w") if args.metrics_jsonl else None
         try:

@@ -282,3 +282,37 @@ def sgpr_reference(K, zidx, y, noise_var, z_jitter=1e-6):
         + np.einsum("ij,ji->i", Kxz, np.linalg.solve(Sm, Kxz.T))
     )
     return float(nelbo), mean, var
+
+
+def greedy_mi_selection_lowrank_ensemble(
+    K, zidx_list, noise_var, rounds, pilot_idx=()
+):
+    """z-ENSEMBLE greedy MI, dense f64: one low-rank complement precision
+    per inducing design, per-candidate ratio scores AVERAGED across
+    designs before every argmax (f32 score resolution, min-index
+    tie-break) — the oracle for
+    acquisition_lowrank.greedy_select_lowrank with a (K, M, d) z stack.
+    The numerator conditioning is design-independent and shared.
+    """
+    N = K.shape[0]
+    nv = np.broadcast_to(np.asarray(noise_var, np.float64), (N,))
+    C = K.astype(np.float64).copy()
+    taken = np.zeros(N, bool)
+    Ps = [lowrank_precision(K, z, noise_var) for z in zidx_list]
+    for j in pilot_idx:
+        c = C[:, j] / np.sqrt(C[j, j] + nv[j])
+        C -= np.outer(c, c)
+        taken[j] = True
+        Ps = [_precision_delete(P, j) for P in Ps]
+    sel = []
+    for _ in range(rounds):
+        num = np.diag(C) + nv
+        score = num * np.mean([np.diag(P) for P in Ps], axis=0)
+        score[taken] = -np.inf
+        j = int(np.argmax(score.astype(np.float32)))
+        sel.append(j)
+        c = C[:, j] / np.sqrt(C[j, j] + nv[j])
+        C -= np.outer(c, c)
+        Ps = [_precision_delete(P, j) for P in Ps]
+        taken[j] = True
+    return np.array(sel)

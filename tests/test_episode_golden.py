@@ -294,14 +294,32 @@ def test_cli_greedy_mode(capsys):
 
 def test_cli_greedy_mode_rejects_baseline_strategies():
     """--mode greedy scores candidates by an information criterion; the
-    traversal baselines and the episode-only z-ensemble must fail with a
-    clear message, not a deep ValueError inside greedy_select."""
+    traversal baselines must fail with a clear message (not a deep
+    ValueError inside greedy_select), and --mi-ensemble without a
+    low-rank planner must fail the same way the episode does."""
     with pytest.raises(SystemExit, match="traversal baselines"):
         cli.main(["--mode", "greedy", "--strategy", "uniform",
                   "--rows", "4", "--cols", "4"])
-    with pytest.raises(SystemExit, match="episode-mode feature"):
+    # n=16 resolves to the exact planner -> no design to vary
+    with pytest.raises(ValueError, match="low-rank planner"):
         cli.main(["--mode", "greedy", "--strategy", "mi",
-                  "--mi-ensemble", "4", "--rows", "4", "--cols", "4"])
+                  "--mi-ensemble", "4", "--rows", "4", "--cols", "4",
+                  "--num-pilot", "4", "--iters", "5", "--restarts", "1"])
+
+
+def test_cli_greedy_mode_mi_ensemble(capsys):
+    """--mi-ensemble in greedy mode runs the z-ensemble flat loop
+    (K stacked complement seeds, averaged scores) end-to-end."""
+    rc = cli.main([
+        "--mode", "greedy", "--strategy", "mi", "--rows", "6",
+        "--cols", "10", "--num-inducing", "12", "--mi-ensemble", "3",
+        "--acq-rounds", "8", "--num-pilot", "6", "--iters", "10",
+        "--restarts", "1",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    rec = json.loads(out[-1])
+    assert rec["n_sampled"] == 6 + 8 and np.isfinite(rec["final_rmse"])
 
 
 def test_cli_preset_round_trip():

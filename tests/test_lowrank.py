@@ -763,3 +763,50 @@ def test_lowrank_selection_matches_oracle_under_matmul_seed(monkeypatch):
         np.testing.assert_array_equal(np.array(res.selected), sel_ref)
     finally:
         jax.clear_caches()
+
+
+def test_greedy_ensemble_identical_designs_match_single(rng):
+    """A (K, M, d) z stack of K COPIES of one design must select exactly
+    what the single-design path selects (the averaged score of identical
+    seeds is the single score up to last-ulp mean rounding)."""
+    spec, params, x, K, nv = setup_field(rng, n=200)
+    pilot = rng.choice(len(x), size=6, replace=False).astype(np.int32)
+    zidx = np.asarray(lr.kcenter_indices(jnp.asarray(x, jnp.float32), 50))
+    z = jnp.asarray(x[zidx], jnp.float32)
+    single = lr.greedy_select_lowrank(
+        spec, params, jnp.asarray(x, jnp.float32),
+        jnp.full((len(x),), nv, jnp.float32), jnp.asarray(pilot), z,
+        rounds=15, num_pilot=6,
+    )
+    ens = lr.greedy_select_lowrank(
+        spec, params, jnp.asarray(x, jnp.float32),
+        jnp.full((len(x),), nv, jnp.float32), jnp.asarray(pilot),
+        jnp.stack([z, z, z]), rounds=15, num_pilot=6,
+    )
+    np.testing.assert_array_equal(
+        np.array(ens.selected), np.array(single.selected)
+    )
+
+
+def test_greedy_ensemble_matches_f64_oracle(rng):
+    """K = 2 DISTINCT k-center design variants through the flat ensemble
+    loop vs the f64 ensemble oracle (averaged ratio scores): index-exact
+    — the flat-greedy analogue of the fused step's ensemble mode."""
+    spec, params, x, K, nv = setup_field(rng, n=220)
+    rounds = 16
+    pilot = rng.choice(len(x), size=5, replace=False).astype(np.int32)
+    xj = jnp.asarray(x, jnp.float32)
+    zidx = [
+        np.asarray(lr.kcenter_indices(xj, 55, start=s))
+        for s in (0, len(x) // 2)
+    ]
+    res = lr.greedy_select_lowrank(
+        spec, params, xj, jnp.full((len(x),), nv, jnp.float32),
+        jnp.asarray(pilot),
+        jnp.stack([jnp.asarray(x[zi], jnp.float32) for zi in zidx]),
+        rounds=rounds, num_pilot=5,
+    )
+    sel_ref = oracle.greedy_mi_selection_lowrank_ensemble(
+        K, zidx, nv, rounds, pilot
+    )
+    np.testing.assert_array_equal(np.array(res.selected), sel_ref)

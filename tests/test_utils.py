@@ -250,3 +250,24 @@ def test_table_value_column_never_guessed(tmp_path):
                                data_path=str(ok)))
     # standardized 'yield' is strictly increasing across the 4 plots
     assert np.all(np.diff(env.f) > 0)
+
+
+def test_round_perf_run_timeout_records_failure():
+    """A benchmark pushed past its timeout by a pool degradation episode
+    must come back as a recorded failure (rc=-1 + TIMEOUT tail line),
+    not an uncaught TimeoutExpired that discards the whole ritual's
+    already-collected results (round-4 review finding)."""
+    import importlib.util
+    import os
+    import sys
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks", "round_perf.py")
+    spec = importlib.util.spec_from_file_location("algp_round_perf_t", path)
+    rp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rp)
+    rc, lines, retried = rp.run(
+        [sys.executable, "-c", "import time; time.sleep(30)"], timeout=2,
+    )
+    assert rc == -1 and retried == 0
+    assert any("TIMEOUT" in ln for ln in lines)
