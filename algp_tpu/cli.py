@@ -369,6 +369,9 @@ def main(argv=None) -> int:
                 "n_sampled": len(result.state.sampled_idx),
                 "steps": result.state.step,
                 "mean_var": float(np.mean(result.var)),
+                # variance-field quality next to the RMSE headline
+                "nlpd_test": result.calibration["nlpd_test"],
+                "cov95_test": result.calibration["cov95_test"],
             })
             print(json.dumps(summaries[-1]))
             if args.checkpoint:

@@ -114,6 +114,11 @@ class EpisodeResult:
     var: np.ndarray  # final posterior variance over the grid
     rmse: float  # over all ground-truth cells
     rmse_test: float  # over the held-out split only (C14 headline eval)
+    # predictive-uncertainty calibration of the FINAL posterior
+    # (FieldEnv.calibration: nlpd/cov90/cov95 + *_test variants) — the
+    # variance-field companion to the RMSE headline; host f64, computed
+    # once at episode end so no fused step program changes
+    calibration: dict = dataclasses.field(default_factory=dict)
 
 
 class Agent:
@@ -1080,8 +1085,22 @@ class Agent:
                 step=st.step, phase="final",
                 final_fetch_s=round(time.perf_counter() - t0, 4),
             )
+        calib = self.env.calibration(mean, var)
+        calib.update(
+            {
+                k + "_test": val
+                for k, val in self.env.calibration(
+                    mean, var, test_only=True
+                ).items()
+            }
+        )
+        self.logger.log(
+            step=st.step, phase="calibration",
+            **{k: round(val, 6) for k, val in calib.items()},
+        )
         return EpisodeResult(
             state=st, history=self.logger.history,
             mean=mean, var=var, rmse=self.env.rmse(mean),
             rmse_test=self.env.rmse(mean, test_only=True),
+            calibration=calib,
         )

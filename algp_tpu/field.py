@@ -435,6 +435,38 @@ class FieldEnv:
         mask = self.test_mask if test_only else self.observed_mask
         return float(np.sqrt(np.mean((m[mask] - self.f[mask]) ** 2)))
 
+    def calibration(self, mean, var, test_only: bool = False) -> dict:
+        """Predictive-uncertainty calibration of a posterior (μ, σ²) field.
+
+        The reference's headline evaluation is RMSE of the mean (SURVEY.md
+        §2 C14), but a GP's product is a *distribution*; these companion
+        metrics score the variance field against the latent truth, masked
+        exactly like `rmse` (f64, host-side, computed once per episode):
+
+        - ``nlpd``: mean negative log predictive density of the truth
+          under N(μ, σ²) — the standard proper scoring rule
+          (lower is better; sharp AND calibrated minimizes it).
+        - ``cov90``/``cov95``: empirical fraction of truth cells inside
+          the central 90%/95% predictive interval (calibrated ≈ 0.90/0.95;
+          above = under-confident, below = over-confident).
+
+        σ² is floored at 1e-12 so fully-determined cells (e.g. sampled
+        under zero noise) cannot produce ±inf densities.
+        """
+        m = np.asarray(mean, np.float64)
+        v = np.maximum(np.asarray(var, np.float64), 1e-12)
+        mask = self.test_mask if test_only else self.observed_mask
+        d = m[mask] - self.f[mask]
+        vm = v[mask]
+        nlpd = 0.5 * np.mean(np.log(2.0 * np.pi * vm) + d * d / vm)
+        z = np.abs(d) / np.sqrt(vm)
+        return {
+            "nlpd": float(nlpd),
+            # central-interval half-widths: Φ⁻¹(0.95), Φ⁻¹(0.975)
+            "cov90": float(np.mean(z <= 1.6448536269514722)),
+            "cov95": float(np.mean(z <= 1.959963984540054)),
+        }
+
     def rmse_traits(self, means, test_only: bool = False) -> list[float]:
         """Per-trait RMSE of posterior mean fields `means` (n, T).
 

@@ -145,6 +145,10 @@ def main() -> None:
                 "seed": seed,
                 "final_rmse_test": round(result.rmse_test, 4),
                 "final_rmse": round(result.rmse, 4),
+                # predictive-uncertainty calibration of the final
+                # posterior (held-out split): NLPD + 95% coverage
+                "nlpd_test": round(result.calibration["nlpd_test"], 4),
+                "cov95_test": round(result.calibration["cov95_test"], 4),
                 "n_sampled": int(len(result.state.sampled_idx)),
                 "steps": result.state.step,
                 "wall_s": round(wall, 2),

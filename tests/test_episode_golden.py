@@ -351,9 +351,9 @@ def test_c10_table_episode_end_to_end(tmp_path):
     result = Agent(env, cfg).run(max_steps=6)
     assert len(result.history) > 1
     # held-out RMSE is logged every planning round and finite (the
-    # trailing "final" fetch record carries timing only)
+    # trailing "final" fetch / "calibration" records carry no RMSE)
     for h in result.history:
-        if h.get("phase") == "final":
+        if h.get("phase") in ("final", "calibration"):
             continue
         assert "rmse_test" in h and np.isfinite(h["rmse_test"])
     assert np.isfinite(result.rmse_test)
@@ -438,6 +438,8 @@ def test_c5_episode_incremental_posterior_refit_every_2():
     assert r_inc.rmse == pytest.approx(r_full.rmse, abs=1e-4)
     # the per-step logged metrics agree between the two posterior paths
     for ha, hb in zip(r_inc.history, r_full.history):
+        if "rmse" not in ha:  # trailing calibration record
+            continue
         assert ha["rmse"] == pytest.approx(hb["rmse"], abs=1e-4)
 
 

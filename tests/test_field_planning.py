@@ -811,3 +811,49 @@ def test_native_enumerator_fuzz_parity(monkeypatch):
                    [list(s) for s in b_py.node_seqs], case
             n_cases += 1
     assert n_cases == len(shapes) * 24
+
+
+def test_calibration_closed_forms(env):
+    """FieldEnv.calibration vs hand-computed Gaussian scoring formulas."""
+    n = env.n
+    # perfectly-centred posterior with constant variance c: NLPD is the
+    # entropy-like constant ½log(2πc) and every z-score is 0 ⇒ coverage 1
+    c = 0.25
+    calib = env.calibration(env.f.copy(), np.full(n, c))
+    assert calib["nlpd"] == pytest.approx(0.5 * np.log(2 * np.pi * c))
+    assert calib["cov90"] == 1.0 and calib["cov95"] == 1.0
+    # mean offset by exactly 1.8σ everywhere: inside the 95% interval
+    # (1.96σ) but outside the 90% one (1.645σ)
+    off = env.f + 1.8 * np.sqrt(c)
+    calib = env.calibration(off, np.full(n, c))
+    assert calib["cov90"] == 0.0 and calib["cov95"] == 1.0
+    assert calib["nlpd"] == pytest.approx(
+        0.5 * np.log(2 * np.pi * c) + 0.5 * 1.8**2
+    )
+    # random posterior vs direct per-cell normal log-density (f64 oracle)
+    rng = np.random.default_rng(0)
+    mean = env.f + rng.normal(size=n)
+    var = rng.uniform(0.1, 2.0, size=n)
+    calib = env.calibration(mean, var)
+    dens = 0.5 * (np.log(2 * np.pi * var) + (mean - env.f) ** 2 / var)
+    assert calib["nlpd"] == pytest.approx(float(dens.mean()), rel=1e-12)
+    z = np.abs(mean - env.f) / np.sqrt(var)
+    assert calib["cov95"] == pytest.approx(float(np.mean(z <= 1.959963984540054)))
+    # zero variance must not produce inf (floored)
+    calib = env.calibration(env.f.copy(), np.zeros(n))
+    assert np.isfinite(calib["nlpd"])
+
+
+def test_calibration_test_only_masks_to_held_out_split(env):
+    rng = np.random.default_rng(1)
+    mean = env.f + rng.normal(size=env.n)
+    var = rng.uniform(0.5, 1.5, size=env.n)
+    got = env.calibration(mean, var, test_only=True)
+    m = env.test_mask
+    d = mean[m] - env.f[m]
+    dens = 0.5 * (np.log(2 * np.pi * var[m]) + d**2 / var[m])
+    assert got["nlpd"] == pytest.approx(float(dens.mean()), rel=1e-12)
+    # differs from the all-cells figure on a random posterior
+    assert got["nlpd"] != pytest.approx(
+        env.calibration(mean, var)["nlpd"], rel=1e-6
+    )
