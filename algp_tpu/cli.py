@@ -26,6 +26,11 @@ from algp_tpu.ops.kernels import KernelSpec
 from algp_tpu.utils.metrics import MetricsLogger
 
 
+def _round4(v):
+    """4-digit rounding for summary JSON (None passes through)."""
+    return None if v is None else round(float(v), 4)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="algp_tpu",
@@ -369,9 +374,11 @@ def main(argv=None) -> int:
                 "n_sampled": len(result.state.sampled_idx),
                 "steps": result.state.step,
                 "mean_var": float(np.mean(result.var)),
-                # variance-field quality next to the RMSE headline
-                "nlpd_test": result.calibration["nlpd_test"],
-                "cov95_test": result.calibration["cov95_test"],
+                # variance-field quality next to the RMSE headline —
+                # rounded like strategy_curves.py; .get so a future
+                # calibration-less result degrades to null, not a crash
+                "nlpd_test": _round4(result.calibration.get("nlpd_test")),
+                "cov95_test": _round4(result.calibration.get("cov95_test")),
             })
             print(json.dumps(summaries[-1]))
             if args.checkpoint:

@@ -168,7 +168,8 @@ def _check_invariants(env: FieldEnv, cfg: ExperimentConfig, result) -> None:
     assert np.isfinite(result.mean).all() and np.isfinite(result.var).all()
     # final-posterior calibration metrics: always present, finite, and
     # the coverage fractions are probabilities
-    for key in ("nlpd", "cov90", "cov95", "nlpd_test", "cov95_test"):
+    for key in ("nlpd", "cov90", "cov95", "nlpd_test", "cov90_test",
+                "cov95_test"):
         assert np.isfinite(result.calibration[key]), key
     for key in ("cov90", "cov95", "cov90_test", "cov95_test"):
         assert 0.0 <= result.calibration[key] <= 1.0, key

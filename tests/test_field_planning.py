@@ -830,15 +830,20 @@ def test_calibration_closed_forms(env):
     assert calib["nlpd"] == pytest.approx(
         0.5 * np.log(2 * np.pi * c) + 0.5 * 1.8**2
     )
-    # random posterior vs direct per-cell normal log-density (f64 oracle)
+    # random posterior vs direct per-cell normal log-density (f64 oracle).
+    # calibration() scores observed cells only — mask the oracle the same
+    # way so the comparison stays population-correct even if the fixture
+    # ever gains a table-backed partial observed_mask.
     rng = np.random.default_rng(0)
     mean = env.f + rng.normal(size=n)
     var = rng.uniform(0.1, 2.0, size=n)
     calib = env.calibration(mean, var)
+    om = env.observed_mask
     dens = 0.5 * (np.log(2 * np.pi * var) + (mean - env.f) ** 2 / var)
-    assert calib["nlpd"] == pytest.approx(float(dens.mean()), rel=1e-12)
+    assert calib["nlpd"] == pytest.approx(float(dens[om].mean()), rel=1e-12)
     z = np.abs(mean - env.f) / np.sqrt(var)
-    assert calib["cov95"] == pytest.approx(float(np.mean(z <= 1.959963984540054)))
+    assert calib["cov95"] == pytest.approx(
+        float(np.mean(z[om] <= 1.959963984540054)))
     # zero variance must not produce inf (floored)
     calib = env.calibration(env.f.copy(), np.zeros(n))
     assert np.isfinite(calib["nlpd"])

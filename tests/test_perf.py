@@ -56,25 +56,47 @@ def test_episode_under_one_second():
         # host transfer = true device sync (block_until_ready can lie here)
         return float(np.asarray(nll)), np.asarray(sel)
 
+    def probe_s():
+        # dispatch-floor reading, same recipe as bench.py._probe_ms:
+        # tiny jitted reduce + scalar transfer, min over 3 warm reps
+        f = jax.jit(lambda a: jnp.sum(a * a))
+        x = jnp.arange(1024, dtype=jnp.float32)
+        float(np.asarray(f(x)))  # compile + connect
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(np.asarray(f(x)))
+            reps.append(time.perf_counter() - t0)
+        return float(min(reps))
+
     keys = jax.random.split(jax.random.PRNGKey(0), 4)
     run_forced(keys[0])  # compile
+    p0 = probe_s()
     times = []
     for k in keys[1:]:
         t0 = time.perf_counter()
         run_forced(k)
         times.append(time.perf_counter() - t0)
+    p1 = probe_s()
     med = float(np.median(times))
     assert med < 1.0, f"episode took {med * 1e3:.0f} ms (budget 1000 ms)"
-    # regression band: the honest pool band for this workload is
-    # 150-220 ms (benchmarks/README.md); 450 ms ≈ 2× its worst day.
-    # The 1 s north-star budget alone would let a 4-5× slowdown pass
-    # the only hardware perf gate (round-2 VERDICT weak #4).  min is
-    # used (not median) so a transient pool degradation episode cannot
-    # fail an honest build — a real 2× regression moves min too.
+    # Probe-normalized regression band (round-4 VERDICT weak #6): the
+    # honest workload band is 150-220 ms when the pool's dispatch floor
+    # reads ~27 ms, but the shared pool has degradation episodes — a
+    # fixed 450 ms band wide enough for those would let a genuine 2×
+    # regression (~320 ms) pass.  Instead the allowance scales with the
+    # measured pool health: 200 ms of device-work budget + 3× the probe
+    # reading of relay/pool overhead (healthy probe 27 ms → 281 ms band;
+    # a half-degraded 60 ms probe → 380 ms).  min over reps and min over
+    # the two probes so one transient spike cannot fail an honest build —
+    # a real regression moves the minimum too.
+    probe = min(p0, p1)
+    band = 0.20 + 3.0 * probe
     best = float(min(times))
-    assert best < 0.45, (
-        f"episode best-of-3 took {best * 1e3:.0f} ms — over the 450 ms "
-        f"regression band (pool band 150-220 ms; reps "
+    assert best < band, (
+        f"episode best-of-3 took {best * 1e3:.0f} ms — over the probe-"
+        f"normalized {band * 1e3:.0f} ms regression band (probes "
+        f"{[round(p0 * 1e3), round(p1 * 1e3)]} ms, healthy floor ~27; reps "
         f"{[round(t * 1e3) for t in times]})"
     )
 
