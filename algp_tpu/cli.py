@@ -43,7 +43,13 @@ def build_parser() -> argparse.ArgumentParser:
                    "'greedy': pure greedy selection over ALL grid "
                    "candidates for --acq-rounds rounds (configs 3-4, "
                    "teleporting sensor, no path constraints)")
-    p.add_argument("--strategy", choices=("mi", "entropy", "uniform", "naive"))
+    p.add_argument("--strategy",
+                   choices=("mi", "entropy", "uniform", "naive", "auto"),
+                   help="'auto' resolves to the measured-best arm for the "
+                   "grid size (config.resolve_strategy: MI at reference-"
+                   "scale grids <= ~2.5k, entropy through the exact-"
+                   "planner range <= 16k, yield-aware mi:per_sample at "
+                   "low-rank scales — see README decision table)")
     p.add_argument("--kernel", choices=("rbf", "matern32", "matern52"))
     p.add_argument("--feature-kernel", choices=("rbf", "matern32", "matern52"))
     p.add_argument("--rows", type=int, help="field rows")
@@ -103,6 +109,19 @@ def build_parser() -> argparse.ArgumentParser:
                    "force exact; unset = preset value or AUTO (exact "
                    "≤ 16k candidates, low-rank above the measured ~20k "
                    "crossover — config.resolve_num_inducing)")
+    p.add_argument("--lagged-refit", action="store_true", default=None,
+                   help="dispatch each refit AFTER the step's plan synced "
+                   "and consume it one plan later (EpisodeConfig."
+                   "lagged_refit): the refit program's device time "
+                   "overlaps the next step's host work instead of "
+                   "draining into the refit step's fused sync; plans at "
+                   "refit steps use one-refit-stale hyperparameters")
+    p.add_argument("--refit-iters", type=int,
+                   help="warm refits: optimizer steps per post-pilot "
+                   "refit (FitConfig.refit_iters; 0 = full refits)")
+    p.add_argument("--refit-restarts", type=int,
+                   help="warm refits: restart count per post-pilot refit "
+                   "(restart 0 starts from the incumbent params)")
     p.add_argument("--runs", type=int, default=1, help="independent episodes")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--metrics-jsonl", help="stream per-round metrics to file")
@@ -130,7 +149,9 @@ def config_from_args(args) -> ExperimentConfig:
         ds=kernel.ds, df=df,
     )
     fit = rep(fit, optimizer=args.optimizer, learning_rate=args.lr,
-              iters=args.iters, restarts=args.restarts)
+              iters=args.iters, restarts=args.restarts,
+              refit_iters=args.refit_iters,
+              refit_restarts=args.refit_restarts)
     acqc = rep(acqc, strategy=args.strategy, rounds=args.acq_rounds,
                num_inducing=args.num_inducing,
                path_utility=args.path_utility,
@@ -146,6 +167,7 @@ def config_from_args(args) -> ExperimentConfig:
     ep = rep(ep, budget=args.budget, num_pilot=args.num_pilot,
              samples_per_step=args.samples_per_step, seed=args.seed,
              modality=args.modality, min_cost_frac=args.min_cost_frac,
+             lagged_refit=args.lagged_refit,
              waypoint_goals=(tuple(int(g) for g in
                              args.waypoint_goals.split(","))
                              if args.waypoint_goals else None))
@@ -178,6 +200,13 @@ def run_greedy(cfg: ExperimentConfig, runs: int, stream=None) -> list[dict]:
     from algp_tpu.models import gp as gp_mod
     from algp_tpu.utils.metrics import MetricsLogger
 
+    from algp_tpu.config import resolve_strategy
+
+    # "auto" resolves against the grid size (no path economics in greedy
+    # mode, so the utility half of the rule does not apply)
+    strategy, _ = resolve_strategy(
+        cfg.acquisition.strategy, cfg.field.num_points
+    )
     summaries = []
     for run in range(runs):
         fieldc = dataclasses.replace(cfg.field, seed=cfg.field.seed + run)
@@ -220,13 +249,13 @@ def run_greedy(cfg: ExperimentConfig, runs: int, stream=None) -> list[dict]:
 
         m_ind = resolve_num_inducing(cfg.acquisition.num_inducing, env.n)
         K_ens = max(1, int(cfg.acquisition.mi_ensemble))
-        if K_ens > 1 and (cfg.acquisition.strategy != "mi" or not m_ind):
+        if K_ens > 1 and (strategy != "mi" or not m_ind):
             raise ValueError(
                 "mi_ensemble > 1 needs the low-rank planner "
                 "(num_inducing > 0 or auto above the crossover) — "
                 "the exact W seed has no design to vary"
             )
-        if cfg.acquisition.strategy == "mi" and m_ind:
+        if strategy == "mi" and m_ind:
             # large-grid MI: low-rank complement precision over a k-center
             # inducing design (acquisition_lowrank); --mi-ensemble K
             # stacks K deterministic design variants (same start-point
@@ -255,7 +284,7 @@ def run_greedy(cfg: ExperimentConfig, runs: int, stream=None) -> list[dict]:
                 jnp.full((env.n,), nv_base, jnp.float32),
                 jnp.asarray(s.indices, jnp.int32),
                 rounds=cfg.acquisition.rounds, num_pilot=len(s.indices),
-                strategy=cfg.acquisition.strategy,
+                strategy=strategy,
             )
         chosen = np.asarray(sel.selected)
         s2 = env.collect(chosen, "precise")
@@ -270,7 +299,7 @@ def run_greedy(cfg: ExperimentConfig, runs: int, stream=None) -> list[dict]:
         mean, var = gp_mod.predict(spec_eff, res2.params, post, X_eff)
         rec = {
             "run": run, "mode": "greedy",
-            "strategy": cfg.acquisition.strategy,
+            "strategy": strategy,
             "rounds": cfg.acquisition.rounds,
             "n_sampled": int(len(all_idx)),
             "final_rmse": env.rmse(np.asarray(mean)),
@@ -319,9 +348,9 @@ def main(argv=None) -> int:
         # greedy mode scores every candidate by an information criterion;
         # the traversal baselines have no meaning here — fail clearly
         # instead of deep in greedy_select
-        if cfg.acquisition.strategy not in ("mi", "entropy"):
+        if cfg.acquisition.strategy not in ("mi", "entropy", "auto"):
             raise SystemExit(
-                f"--mode greedy supports --strategy mi/entropy (got "
+                f"--mode greedy supports --strategy mi/entropy/auto (got "
                 f"{cfg.acquisition.strategy!r}); 'uniform'/'naive' are "
                 f"traversal baselines of --mode episode"
             )
@@ -379,6 +408,11 @@ def main(argv=None) -> int:
                 # calibration-less result degrades to null, not a crash
                 "nlpd_test": _round4(result.calibration.get("nlpd_test")),
                 "cov95_test": _round4(result.calibration.get("cov95_test")),
+                # multi-trait episodes: per-trait held-out RMSE of the
+                # final batched fit_multi posteriors (None otherwise)
+                **({"trait_rmse_test":
+                    [_round4(v) for v in result.trait_rmse_test]}
+                   if result.trait_rmse_test is not None else {}),
             })
             print(json.dumps(summaries[-1]))
             if args.checkpoint:

@@ -96,6 +96,39 @@ _LOWRANK_M_SMALL, _LOWRANK_M_LARGE = 1024, 512
 _LOWRANK_M_CAP_N = 1 << 19
 
 
+#: strategy="auto" crossover (resolve_strategy): at reference-scale grids
+#: (≲50×50) MI measured BETTER than entropy (40×40 paired study:
+#: mi−entropy −0.0232 ± 0.0097 significant — strategy_curves_r03_40x40_
+#: cpu.json); at the 10k exact-planner scale entropy wins
+#: (+0.0218 ± 0.0064 significant — strategy_curves_r03_10k.json); at
+#: low-rank scales the yield-aware mi:per_sample is at measured parity
+#: with entropy (100k n.s., 4M +0.029 ± 0.027 n.s.; z-ensemble closes the
+#: residual design sensitivity) and keeps the MI formulation's
+#: redundancy-awareness, so auto keeps the reference's headline strategy
+#: wherever it is not measurably worse.
+_MI_SMALL_MAX_N = 2500
+
+
+def resolve_strategy(
+    strategy: str, n: int, path_utility: str = "per_cost"
+) -> tuple:
+    """Resolve `AcquisitionConfig.strategy` against the candidate count:
+    "auto" picks the measured-best arm per scale (MI at reference-scale
+    grids ≤ ~2.5k, entropy through the exact-planner range ≤ 16k,
+    yield-aware mi:per_sample at low-rank scales — see the decision table
+    in README.md); any explicit strategy (and the configured path
+    utility) is honored unchanged.  Returns (strategy, path_utility).
+    The single source of strategy selection for the episode Agent and
+    the greedy CLI driver, mirroring `resolve_num_inducing`."""
+    if strategy != "auto":
+        return strategy, path_utility
+    if n <= _MI_SMALL_MAX_N:
+        return "mi", path_utility
+    if n <= _EXACT_MAX_N:
+        return "entropy", path_utility
+    return "mi", "per_sample"
+
+
 def resolve_num_inducing(num_inducing: Optional[int], n: int) -> int:
     """Resolve `AcquisitionConfig.num_inducing` against the candidate
     count: None = auto-select the MI planner (0 = exact implicit
@@ -117,7 +150,10 @@ def resolve_num_inducing(num_inducing: Optional[int], n: int) -> int:
 class AcquisitionConfig:
     """Greedy active-sampling (C6-C8)."""
 
-    strategy: str = "mi"  # "mi" | "entropy" | "uniform" | "naive"
+    # "mi" | "entropy" | "uniform" | "naive" | "auto" ("auto" resolves
+    # against the candidate count — resolve_strategy: the measured-best
+    # arm per scale; see the decision table in README.md)
+    strategy: str = "mi"
     rounds: int = 50  # BASELINE.json:9 — 50 greedy rounds
     # Low-rank complement precision for strategy="mi" at large N
     # (acquisition_lowrank): None = AUTO (resolve_num_inducing derives
@@ -247,6 +283,19 @@ class EpisodeConfig:
     # recompiles every step program (30 s–5 min each on a remote-compile
     # TPU plugin; the Agent warns when it happens).
     max_samples: Optional[int] = None
+    # LAGGED refits (round-4 VERDICT #1 / SURVEY §8c item 13): the refit
+    # dispatched at step t is CONSUMED one plan later — the plan at the
+    # refit step itself runs on the incumbent params (dispatched BEFORE
+    # the fit, so its sync never waits on the refit program), and the
+    # fit+seed device time overlaps the next step's host sense +
+    # enumeration instead of draining into the refit step's fused sync.
+    # Decision semantics change: plans at refit steps use one-refit-stale
+    # hyperparameters (the conditioning still sees every sample —
+    # only the kernel hypers lag).  Quality + per-step profiles measured
+    # in benchmarks/README.md (lagged-refit study).  Excluded for deep
+    # kernels (the refit re-embeds the candidate matrix — lagging would
+    # desync the embedding from the params consuming it).
+    lagged_refit: bool = False
     # hard_cap=True turns max_samples into a STOP condition: the episode
     # ends (as if the budget ran out) instead of growing the static
     # capacity when the next path's samples would not fit.  For presets
@@ -340,14 +389,19 @@ PRESETS: dict[str, ExperimentConfig] = {
     # regime — FITC field synthesis (synth_inducing) + inducing-point MI
     # complement precision (num_inducing); the exact machinery's N² seed
     # would need ~40 GB HBM here.
-    # (warm refits stay OFF here: over paired seeds one hard field lost
-    # 0.034 held-out RMSE at 60/2 and did not recover by 100/4 — this
-    # preset's FITC fit genuinely benefits from fresh full restarts)
+    # Warm refits at the RETUNED 100/3 schedule (round-5): the round-3
+    # rejection was schedule-specific — 60/2 loses 0.034 held-out RMSE on
+    # the hard seed-1 field (reproduced in the round-5 paired study,
+    # benchmarks/warmrefit_100k_r05.json) while 100/3 is n.s. over 5
+    # paired seeds (−0.0023 ± 0.0023; 2 seeds decision-identical) and
+    # cuts the after-refit plan drain 156.7 → 103.8 ms (steady 87.8 →
+    # 76.6 ms/step).
     "c5_100k": ExperimentConfig(
         kernel=KernelSpec(spatial_kind="matern32", ds=2, df=0),
         field=FieldConfig(num_rows=320, num_cols=320, true_ls_spatial=25.0,
                           synth_inducing=2048),
         acquisition=AcquisitionConfig(strategy="mi", num_inducing=1024),
+        fit=FitConfig(refit_iters=100, refit_restarts=3),
         episode=EpisodeConfig(num_pilot=128, budget=1280.0, num_waypoints=8,
                               samples_per_step=10, refit_every=4),
     ),

@@ -41,7 +41,9 @@ import jax.numpy as jnp
 
 from algp_tpu import acquisition as acq
 from algp_tpu import planning
-from algp_tpu.config import ExperimentConfig, resolve_num_inducing
+from algp_tpu.config import (
+    ExperimentConfig, resolve_num_inducing, resolve_strategy,
+)
 from algp_tpu.field import FieldEnv
 from algp_tpu.models import gp as gp_mod
 from algp_tpu.utils.checkpoint import EpisodeState
@@ -119,6 +121,11 @@ class EpisodeResult:
     # variance-field companion to the RMSE headline; host f64, computed
     # once at episode end so no fused step program changes
     calibration: dict = dataclasses.field(default_factory=dict)
+    # multi-trait envs: per-trait held-out/all-cells RMSE of the final
+    # batched fit_multi posteriors (trait 0 = the planning trait); None
+    # on single-trait episodes
+    trait_rmse: Optional[list] = None
+    trait_rmse_test: Optional[list] = None
 
 
 class Agent:
@@ -164,9 +171,25 @@ class Agent:
         self._num_inducing = resolve_num_inducing(
             cfg.acquisition.num_inducing, env.n
         )
+        # strategy="auto" resolves to the measured-best arm for this
+        # candidate count (config.resolve_strategy — MI at reference-scale
+        # grids, entropy through the exact-planner range, yield-aware
+        # mi:per_sample at low-rank scales); every consumer below reads
+        # the RESOLVED strategy/utility
+        self._strategy, self._path_utility = resolve_strategy(
+            cfg.acquisition.strategy, env.n, cfg.acquisition.path_utility
+        )
+        # multi-trait phenotyping (FieldConfig.num_traits / table
+        # value_cols): the episode PLANS on the designated trait 0 —
+        # informative coverage of the field is trait-agnostic for
+        # spatially-sampled traits, and the reference runs one trait per
+        # experiment — while every plot visit measures ALL traits
+        # (env.collect_traits); a final batched fit_multi produces
+        # per-trait posteriors + RMSE (EpisodeResult.trait_rmse)
+        self._multi_trait = env.num_traits > 1
         self._mi_ensemble = max(1, int(cfg.acquisition.mi_ensemble))
         if self._mi_ensemble > 1:
-            if cfg.acquisition.strategy == "mi" and not self._num_inducing:
+            if self._strategy == "mi" and not self._num_inducing:
                 raise ValueError(
                     "mi_ensemble > 1 needs the low-rank planner "
                     "(num_inducing > 0 or auto above the crossover) — "
@@ -195,11 +218,12 @@ class Agent:
         self._lr_cache = None  # (params, LowRankPrecision) — low-rank seed
         self._post_cache = None  # (params, n_samples, Posterior)
         self._step_post_var = None
-        if cfg.acquisition.strategy not in STRATEGIES:
+        if self._strategy not in STRATEGIES:
             raise ValueError(
-                f"unknown strategy {cfg.acquisition.strategy!r}; use {STRATEGIES}"
+                f"unknown strategy {cfg.acquisition.strategy!r}; use "
+                f"{STRATEGIES + ('auto',)}"
             )
-        if cfg.acquisition.path_utility not in acq.PATH_UTILITIES:
+        if self._path_utility not in acq.PATH_UTILITIES:
             raise ValueError(
                 f"unknown path_utility {cfg.acquisition.path_utility!r}; "
                 f"use {acq.PATH_UTILITIES}"
@@ -211,6 +235,12 @@ class Agent:
                 raise ValueError(
                     f"waypoint_goals outside the grid (n={env.n}): {bad}"
                 )
+        if cfg.episode.lagged_refit and cfg.deep is not None:
+            raise ValueError(
+                "lagged_refit and the deep feature kernel are not combined "
+                "(the refit re-embeds the candidate matrix — lagging would "
+                "desync the embedding from the params consuming it)"
+            )
         if cfg.fit.sparse_threshold:
             if cfg.fit.sparse_threshold < cfg.fit.sparse_inducing:
                 raise ValueError(
@@ -281,6 +311,17 @@ class Agent:
 
     # ------------------------------------------------------------ pilot
 
+    def _collect(self, idx, modality: str):
+        """env measurement at `idx`: (Sample, trait_rows) — trait_rows is
+        the (k, T) all-traits matrix on multi-trait envs (column 0 is the
+        Sample's y, the designated planning trait), else None."""
+        if self._multi_trait:
+            from algp_tpu.field import Sample
+
+            i, Y, scale = self.env.collect_traits(idx, modality)
+            return Sample(indices=i, y=Y[:, 0], noise_scale=scale), Y
+        return self.env.collect(idx, modality), None
+
     def pilot_survey(self) -> EpisodeState:
         """Uniformly spread pilot samples (precise modality), as the
         reference's initial survey pass."""
@@ -288,7 +329,7 @@ class Agent:
         idx = np.unique(
             np.linspace(0, self.env.n - 1, n_pilot).round().astype(np.int64)
         )
-        s = self.env.collect(idx, "precise")
+        s, Y = self._collect(idx, "precise")
         return EpisodeState(
             sampled_idx=s.indices,
             y=s.y,
@@ -296,16 +337,22 @@ class Agent:
             pose=int(s.indices[-1]),
             budget_left=self.cfg.episode.budget,
             step=0,
+            y_traits=Y,
         )
 
     # ------------------------------------------------------------ model
 
-    def fit_model(self, st: EpisodeState, base_key):
+    def fit_model(self, st: EpisodeState, base_key, lagged: bool = False):
         """Refit on the current (padded) training buffers.  The per-step
         key derivation (fold_in(base_key, st.step)) happens INSIDE the
         jitted fit program (gp.fit_step) so a refit is one async dispatch
         — a resumed run derives EXACTLY the keys the uninterrupted run
-        would (a split chain would diverge after resume)."""
+        would (a split chain would diverge after resume).
+
+        `lagged` (EpisodeConfig.lagged_refit): the result is stored as
+        `st.pending_params` — consumed by the plan AFTER next, so the fit
+        program (dispatched after this step's plan already synced) never
+        drains into the refit step's fused sync."""
         x, y, ns, m, _ = self._padded_train(st, raw=True)
         # warm refits (FitConfig.refit_iters/refit_restarts): every fit
         # AFTER the pilot fit starts restart 0 from the incumbent params
@@ -360,7 +407,10 @@ class Agent:
                 self.spec, self.cfg.fit, x, y, ns, base_key, st.step,
                 num_valid=m,
             )
-        st.params = res.params
+        if lagged:
+            st.pending_params = res.params
+        else:
+            st.params = res.params
         return res
 
     def _set_mlp(self, mlp):
@@ -609,7 +659,7 @@ class Agent:
         the conditioning pass the plan needs anyway.  uniform/naive plan
         host-side and read the metrics from `predict_field` (which keeps
         the incremental chol_append_row posterior between refits)."""
-        strat = self.cfg.acquisition.strategy
+        strat = self._strategy
         self._step_post_var = None  # caches for _sense('mixed')
         self._step_site_var = None
         # per-phase wall profile of this plan (host enumeration vs seed
@@ -699,7 +749,7 @@ class Agent:
         costs_d = jnp.asarray(costs)
         common = dict(min_noise=self.cfg.fit.min_noise,
                       nv_mult=self._nv_mult,
-                      path_utility=self.cfg.acquisition.path_utility)
+                      path_utility=self._path_utility)
         if self._use_device_metrics:
             if self.mesh is not None:
                 from algp_tpu.parallel import sharded_episode as sep
@@ -795,12 +845,15 @@ class Agent:
 
     def _sense(self, st: EpisodeState, sample_nodes: list):
         """Collect measurements along a path under the modality policy
-        (C5, BASELINE.json:11).  "mixed" spends the expensive sensor on the
-        single highest-posterior-variance site of the path and the cheap
-        sensor on the rest — the paper's two-modality phenotyping setup."""
+        (C5, BASELINE.json:11): (samples, trait_rows) — trait_rows is the
+        row-aligned all-traits matrix on multi-trait envs, else None.
+        "mixed" spends the expensive sensor on the single highest-
+        posterior-variance site of the path and the cheap sensor on the
+        rest — the paper's two-modality phenotyping setup."""
         policy = self.cfg.episode.modality
         if policy in ("precise", "cheap"):
-            return [self.env.collect(sample_nodes, policy)]
+            s, Y = self._collect(sample_nodes, policy)
+            return [s], Y
         if policy != "mixed":
             raise ValueError(f"unknown modality policy {policy!r}")
         site_var = getattr(self, "_step_site_var", None)
@@ -813,12 +866,16 @@ class Agent:
             pv = np.asarray(pvar)[np.asarray(sample_nodes)]
         best = int(np.argmax(pv))
         cheap_nodes = [n for i, n in enumerate(sample_nodes) if i != best]
-        out = [self.env.collect([sample_nodes[best]], "precise")]
+        s0, Y0 = self._collect([sample_nodes[best]], "precise")
+        out, Ys = [s0], [Y0]
         if cheap_nodes:
-            out.append(self.env.collect(cheap_nodes, "cheap"))
-        return out
+            s1, Y1 = self._collect(cheap_nodes, "cheap")
+            out.append(s1)
+            Ys.append(Y1)
+        Y = np.concatenate(Ys) if self._multi_trait else None
+        return out, Y
 
-    def _precision_seed(self, st: EpisodeState):
+    def _precision_seed(self, st: EpisodeState, params=None):
         """(W, WT) implicit complement-precision seed, cached per fitted
         params: P = WᵀW − F·ZTᵀ is never materialised (the dense N×N P
         costs 400 MB + a ~95 ms 2N³ seeding matmul at the 10k grid).  One
@@ -828,9 +885,14 @@ class Agent:
         inside each step's fused device program (acquisition.
         plan_episode_step → implicit_corrections) — exact w.r.t. W, so
         hundreds of deletes over a long episode cannot accumulate drift
-        (see the long-horizon drift test in tests/test_acquisition.py)."""
+        (see the long-horizon drift test in tests/test_acquisition.py).
+
+        `params` overrides the key/input (default `st.params`) — the
+        lagged-refit dispatch seeds for `st.pending_params` before any
+        plan consumes them."""
+        params = st.params if params is None else params
         cached = self._P_cache
-        if cached is None or cached[0] is not st.params:
+        if cached is None or cached[0] is not params:
             if self.mesh is not None:
                 # mesh episode: W built by the distributed strip
                 # factorization and KEPT rows-sharded across steps
@@ -839,16 +901,16 @@ class Agent:
                 from algp_tpu.parallel import sharded_episode as sep
 
                 W = sep.sharded_precision_seed(
-                    self.mesh, self.spec, st.params, self._mesh_x(),
+                    self.mesh, self.spec, params, self._mesh_x(),
                     min_noise=self.cfg.fit.min_noise, nv_mult=self._nv_mult,
                 )
                 WT = None
             else:
                 W, WT = acq.implicit_precision_seed(
-                    self.spec, st.params, self._Xdev,
+                    self.spec, params, self._Xdev,
                     min_noise=self.cfg.fit.min_noise, nv_mult=self._nv_mult,
                 )
-            self._P_cache = (st.params, W, WT)
+            self._P_cache = (params, W, WT)
         return self._P_cache[1], self._P_cache[2]
 
     def _lowrank_z(self):
@@ -892,14 +954,16 @@ class Agent:
                 self._z_cache = (self._Xdev, xs[zidx])
         return self._z_cache[1]
 
-    def _lowrank_seed(self, st: EpisodeState):
+    def _lowrank_seed(self, st: EpisodeState, params=None):
         """LowRankPrecision seed for large-N episode MI (the resolved
         `self._num_inducing` > 0), cached per fitted params —
         the O(N·M²) analogue of `_precision_seed`, dispatched async with
         the noise model derived on device and the episode-cached
-        k-center design."""
+        k-center design.  `params` overrides the key/input as in
+        `_precision_seed` (the lagged-refit dispatch path)."""
+        params = st.params if params is None else params
         cached = self._lr_cache
-        if cached is None or cached[0] is not st.params:
+        if cached is None or cached[0] is not params:
             from algp_tpu import acquisition_lowrank as acq_lr
 
             if self.mesh is not None:
@@ -908,7 +972,7 @@ class Agent:
                 from algp_tpu.parallel import sharded_episode as sep
 
                 lr = sep.sharded_lowrank_seed(
-                    self.mesh, self.spec, st.params, self._mesh_x(),
+                    self.mesh, self.spec, params, self._mesh_x(),
                     self._lowrank_z(),
                     min_noise=self.cfg.fit.min_noise, nv_mult=self._nv_mult,
                     n_valid=self.env.n,
@@ -920,7 +984,7 @@ class Agent:
                 z_all = self._lowrank_z()  # (K, M, d)
                 facs = [
                     acq_lr.lowrank_factors_seed(
-                        self.spec, st.params, self._Xdev, z_all[j],
+                        self.spec, params, self._Xdev, z_all[j],
                         min_noise=self.cfg.fit.min_noise,
                         nv_mult=self._nv_mult,
                         use_pallas=self.env.n >= 4096,
@@ -935,12 +999,24 @@ class Agent:
                 # reads ~3k precision rows, so the (N, M) V factor is
                 # never materialised (halves the 1M re-seed's traffic)
                 lr = acq_lr.lowrank_factors_seed(
-                    self.spec, st.params, self._Xdev, self._lowrank_z(),
+                    self.spec, params, self._Xdev, self._lowrank_z(),
                     min_noise=self.cfg.fit.min_noise, nv_mult=self._nv_mult,
                     use_pallas=self.env.n >= 4096,
                 )
-            self._lr_cache = (st.params, lr)
+            self._lr_cache = (params, lr)
         return self._lr_cache[1]
+
+    def _dispatch_refit_seed(self, st: EpisodeState, params=None):
+        """Dispatch the per-refit precision seed (async) for the given
+        params — the exact W/Wᵀ or the low-rank FITC factors, whichever
+        the resolved planner uses; a no-op for non-MI strategies (their
+        plans have no complement precision to seed)."""
+        if self._strategy != "mi":
+            return
+        if self._num_inducing:
+            self._lowrank_seed(st, params)
+        else:
+            self._precision_seed(st, params)
 
     # ------------------------------------------------------------ episode
 
@@ -996,6 +1072,7 @@ class Agent:
             fit_s=round(t_fit0, 4),
         )
 
+        capped = False
         while st.budget_left > 0 and st.step < max_steps:
             if bundle.empty:
                 break
@@ -1012,11 +1089,12 @@ class Agent:
                     n_sampled=len(st.sampled_idx),
                     budget_left=round(st.budget_left, 3),
                 )
+                capped = True
                 break
             st.step += 1
             nodes, cost, sample_nodes = bundle.nodes, bundle.cost, bundle.sites
             t0 = time.perf_counter()
-            samples = self._sense(st, sample_nodes)
+            samples, trait_rows = self._sense(st, sample_nodes)
             st.sampled_idx = np.concatenate(
                 [st.sampled_idx] + [s.indices for s in samples]
             )
@@ -1024,12 +1102,26 @@ class Agent:
             st.noise_scale = np.concatenate(
                 [st.noise_scale] + [s.noise_scale for s in samples]
             )
+            if trait_rows is not None:
+                st.y_traits = np.concatenate([st.y_traits, trait_rows])
             st.pose = int(nodes[-1])
             st.budget_left -= cost
             t_sense = time.perf_counter() - t0
 
+            refit_due = st.step % self.cfg.episode.refit_every == 0
             t0 = time.perf_counter()
-            if st.step % self.cfg.episode.refit_every == 0:
+            if ep.lagged_refit:
+                # LAGGED refits (EpisodeConfig.lagged_refit): adopt the
+                # refit dispatched at the PREVIOUS refit step — its fit +
+                # seed programs have had a full step's device+host work to
+                # complete, so this step's fused sync drains (at most)
+                # their remainder.  The seed caches were populated at
+                # dispatch time keyed by this params object — they hit;
+                # the other per-params caches auto-miss on identity.
+                if st.pending_params is not None:
+                    st.params = st.pending_params
+                    st.pending_params = None
+            elif refit_due:
                 self.fit_model(st, base_key)
                 self._P_cache = None  # params changed → re-seed precision
                 self._lr_cache = None
@@ -1039,12 +1131,7 @@ class Agent:
                 # device time instead of serializing it into the next
                 # step's sync (the 1M FITC re-seed is O(N·M²) — the
                 # largest single device op of a refit step)
-                strat = self.cfg.acquisition.strategy
-                if strat == "mi":
-                    if self._num_inducing:
-                        self._lowrank_seed(st)
-                    else:
-                        self._precision_seed(st)
+                self._dispatch_refit_seed(st)
             t_fit = time.perf_counter() - t0
             # keep rng states in the episode state so a checkpoint written
             # after this step resumes exactly (SURVEY.md §5) — saved
@@ -1059,6 +1146,16 @@ class Agent:
             bundle = self._plan_and_metrics(st)
             t_plan, carry_plan = carry_plan, time.perf_counter() - t0
             prof, carry_prof = carry_prof, getattr(self, "_plan_profile", {})
+            if ep.lagged_refit and refit_due:
+                # dispatch the refit AFTER the plan synced: the plan at
+                # the refit step runs on the incumbent params and never
+                # waits on the refit program; the fit + its seed execute
+                # while the host senses/enumerates the next step, and the
+                # result is adopted just before the plan after next
+                t0 = time.perf_counter()
+                self.fit_model(st, base_key, lagged=True)
+                self._dispatch_refit_seed(st, st.pending_params)
+                t_fit += time.perf_counter() - t0
             self.logger.log(
                 step=st.step, phase="plan",
                 n_sampled=len(st.sampled_idx),
@@ -1072,6 +1169,18 @@ class Agent:
                 **{k: round(v, 4) for k, v in prof.items()},
             )
 
+        if (
+            ep.lagged_refit and st.pending_params is not None
+            and (st.budget_left <= 0 or bundle.empty or capped)
+        ):
+            # the episode ENDED with a dispatched-but-unconsumed refit:
+            # adopt it for the final posterior (strictly fresher hypers;
+            # its seed is already cached).  Interrupted runs (max_steps)
+            # keep it pending instead, so a resumed run replays the
+            # uninterrupted adopt point exactly.
+            st.params = st.pending_params
+            st.pending_params = None
+            bundle.mean = bundle.var = None  # force a fresh final fetch
         mean, var = bundle.mean, bundle.var
         if mean is None:
             # device-metrics mode never shipped the field per step —
@@ -1098,9 +1207,47 @@ class Agent:
             step=st.step, phase="calibration",
             **{k: round(val, 6) for k, val in calib.items()},
         )
+        trait_rmse = trait_rmse_test = None
+        if self._multi_trait:
+            trait_rmse, trait_rmse_test = self._trait_posteriors(st)
+            self.logger.log(
+                step=st.step, phase="traits",
+                trait_rmse=[round(v, 6) for v in trait_rmse],
+                trait_rmse_test=[round(v, 6) for v in trait_rmse_test],
+            )
         return EpisodeResult(
             state=st, history=self.logger.history,
             mean=mean, var=var, rmse=self.env.rmse(mean),
             rmse_test=self.env.rmse(mean, test_only=True),
             calibration=calib,
+            trait_rmse=trait_rmse, trait_rmse_test=trait_rmse_test,
         )
+
+    def _trait_posteriors(self, st: EpisodeState):
+        """End-of-episode multi-trait evaluation: ONE batched fit_multi
+        over all traits sharing the campaign's plots (traits × restarts ×
+        iters in a single jitted program — models.gp.fit_multi), then a
+        per-trait posterior mean field and its RMSE vs each trait's own
+        observation mask (env.rmse_traits).  Runs once per episode on the
+        sampled set, so no per-step program changes; uses the effective
+        (possibly deep-embedded) spec/candidates the episode planned
+        with."""
+        x = self._Xdev[jnp.asarray(st.sampled_idx)]
+        Y = jnp.asarray(st.y_traits, jnp.float32)
+        ns = jnp.asarray(st.noise_scale, jnp.float32)
+        res = gp_mod.fit_multi(
+            self.spec, self.cfg.fit, x, Y, noise_scale=ns,
+            key=jax.random.PRNGKey(self.cfg.episode.seed),
+        )
+        means = []
+        for t in range(self.env.num_traits):
+            rt = gp_mod.trait_result(res, t)
+            post = gp_mod.posterior(
+                self.spec, rt.params, x, Y[:, t], noise_scale=ns,
+                min_noise=self.cfg.fit.min_noise, jitter=self.cfg.fit.jitter,
+            )
+            m_t, _ = gp_mod.predict(self.spec, rt.params, post, self._Xdev)
+            means.append(np.asarray(m_t))
+        M = np.stack(means, axis=1)
+        return (self.env.rmse_traits(M),
+                self.env.rmse_traits(M, test_only=True))

@@ -28,6 +28,14 @@ class EpisodeState:
     rng_state: Optional[dict] = None  # np.random.Generator bit state
     mlp: Optional[list] = None  # deep-kernel embedding weights [(W, b)…]
     goal_i: int = 0  # next EpisodeConfig.waypoint_goals entry to visit
+    # EpisodeConfig.lagged_refit: a refit result dispatched but not yet
+    # consumed by a plan (applied just before the NEXT plan).  Saved so a
+    # resumed run replays the apply point exactly.
+    pending_params: Optional[KernelParams] = None
+    # multi-trait envs (FieldConfig.num_traits > 1 / table value_cols):
+    # ALL traits measured at each visited plot, (n, T) with column 0 ==
+    # y (the designated planning trait).  None on single-trait episodes.
+    y_traits: Optional[np.ndarray] = None
 
 
 def save(path: str, state: EpisodeState) -> None:
@@ -46,6 +54,15 @@ def save(path: str, state: EpisodeState) -> None:
             p_ls_feature=np.asarray(state.params.log_ls_feature),
             p_outputscale=np.asarray(state.params.log_outputscale),
             p_noise=np.asarray(state.params.log_noise),
+        )
+    if state.y_traits is not None:
+        blobs["y_traits"] = state.y_traits
+    if state.pending_params is not None:
+        blobs.update(
+            q_ls_spatial=np.asarray(state.pending_params.log_ls_spatial),
+            q_ls_feature=np.asarray(state.pending_params.log_ls_feature),
+            q_outputscale=np.asarray(state.pending_params.log_outputscale),
+            q_noise=np.asarray(state.pending_params.log_noise),
         )
     if state.rng_state is not None:
         import json
@@ -73,6 +90,14 @@ def load(path: str) -> EpisodeState:
             log_outputscale=jnp.asarray(z["p_outputscale"]),
             log_noise=jnp.asarray(z["p_noise"]),
         )
+    pending = None
+    if "q_ls_spatial" in z:
+        pending = KernelParams(
+            log_ls_spatial=jnp.asarray(z["q_ls_spatial"]),
+            log_ls_feature=jnp.asarray(z["q_ls_feature"]),
+            log_outputscale=jnp.asarray(z["q_outputscale"]),
+            log_noise=jnp.asarray(z["q_noise"]),
+        )
     rng_state = None
     if "rng_state_json" in z:
         import json
@@ -96,4 +121,8 @@ def load(path: str) -> EpisodeState:
         mlp=mlp,
         # absent in pre-round-4 checkpoints — default to the first goal
         goal_i=int(z["goal_i"]) if "goal_i" in z.files else 0,
+        # absent in pre-round-5 checkpoints (and in synchronous-refit /
+        # single-trait runs respectively)
+        pending_params=pending,
+        y_traits=z["y_traits"] if "y_traits" in z.files else None,
     )

@@ -39,6 +39,11 @@ def main() -> None:
                     help="override FitConfig.refit_iters (warm refits)")
     ap.add_argument("--refit-restarts", type=int, default=None,
                     help="override FitConfig.refit_restarts (warm refits)")
+    ap.add_argument("--lagged-refit", action="store_true",
+                    help="EpisodeConfig.lagged_refit: dispatch each refit "
+                    "after its step's plan synced, consume it one plan "
+                    "later (the refit drain then lands TWO records after "
+                    "the fit record — see plan_ms_median_after_refit2)")
     args = ap.parse_args()
 
     from algp_tpu.config import PRESETS
@@ -58,6 +63,10 @@ def main() -> None:
                             else args.refit_restarts),
         )
         base = dataclasses.replace(base, fit=fitc)
+    if args.lagged_refit:
+        base = dataclasses.replace(
+            base, episode=dataclasses.replace(
+                base.episode, lagged_refit=True))
 
     def run(seed: int):
         fieldc = dataclasses.replace(base.field, seed=seed)
@@ -83,15 +92,27 @@ def main() -> None:
         v = [h[key] for h in (hist or result.history) if key in h]
         return round(1e3 * sorted(v)[len(v) // 2], 1) if v else None
 
-    # plans logged right AFTER a refit absorb the async fit+seed device
-    # time in their sync — split them out so the breakdown attributes it
+    # plan_s is attributed to the step the plan is FOR (one record after
+    # the body that ran it), so the plan that drains a refit's async
+    # fit+seed device time is the record right after the fit record
+    # (synchronous refits) or TWO records after (lagged refits: the plan
+    # at the refit step precedes the fit dispatch, and the drain lands on
+    # the NEXT body's plan) — split out both so the breakdown attributes
+    # the drain wherever the mode puts it
+    hist = result.history
+    fit_at = [h.get("fit_s", 0) > 0.001 for h in hist]
     after_refit = [
-        h for h_prev, h in zip(result.history[1:], result.history[2:])
-        if h_prev.get("fit_s", 0) > 0.001 and "plan_s" in h
+        h for i, h in enumerate(hist)
+        if i >= 1 and fit_at[i - 1] and "plan_s" in h
+    ]
+    after_refit2 = [
+        h for i, h in enumerate(hist)
+        if i >= 2 and fit_at[i - 2] and not fit_at[i - 1] and "plan_s" in h
     ]
     plain = [
-        h for h_prev, h in zip(result.history[1:], result.history[2:])
-        if h_prev.get("fit_s", 0) <= 0.001 and "plan_s" in h
+        h for i, h in enumerate(hist)
+        if i >= 2 and not fit_at[i - 1] and not fit_at[i - 2]
+        and "plan_s" in h
     ]
     final_fetch = [
         h["final_fetch_s"] for h in result.history if "final_fetch_s" in h
@@ -123,7 +144,9 @@ def main() -> None:
             "sense": med_ms("sense_s"),
         },
         "plan_ms_median_after_refit": med_ms("plan_s", after_refit),
+        "plan_ms_median_after_refit2": med_ms("plan_s", after_refit2),
         "plan_ms_median_plain": med_ms("plan_s", plain),
+        "lagged_refit": bool(args.lagged_refit),
         "rmse": round(result.rmse, 4),
         "rmse_test": round(result.rmse_test, 4),
     }

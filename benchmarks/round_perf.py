@@ -43,7 +43,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: pytest hardware gate (tests/test_perf.py::test_episode_ladder_budget,
 #: VERDICT r3 #8); 4M/long stay ritual-only for time.
 BUDGETS_MS = {"episode10k": 230.0, "episode20k": 130.0,
-              "episode100k": 250.0,
+              # 100k tightened for the round-5 warm-refit retune (100/3:
+              # steady 76.6 ms measured, quality n.s. over 5 paired
+              # seeds — benchmarks/warmrefit_100k_r05.json)
+              "episode100k": 200.0,
               # 1M/4M tightened for the round-4 explicit-inverse matmul
               # solves (steady 151/213 ms measured; keep the usual
               # ~2.3-2.6x pool-weather margin)

@@ -48,7 +48,12 @@ def main() -> None:
                     help="comma-separated strategies to sweep; a token "
                     "may carry a path-utility suffix, e.g. "
                     "'mi:per_sample' sweeps strategy=mi with the "
-                    "yield-aware cost model (acquisition.path_set_argmax)")
+                    "yield-aware cost model (acquisition.path_set_argmax), "
+                    "and '+'-separated refit modifiers: '+lagged' "
+                    "(EpisodeConfig.lagged_refit), '+warmIxR' "
+                    "(FitConfig.refit_iters=I/refit_restarts=R), "
+                    "'+fullrefit' (force refit_iters=0) — e.g. "
+                    "'mi+lagged,mi' is the paired lagged-vs-sync study")
     ap.add_argument("--max-samples", type=int, default=None,
                     help="pre-size EpisodeConfig.max_samples (static "
                     "buffer capacity): arms with different path "
@@ -81,14 +86,37 @@ def main() -> None:
     strategies = tuple(args.strategies.split(","))
 
     def parse_token(token):
-        """'mi' -> ('mi', 'per_cost'); 'mi:per_sample' -> the yield-aware
-        cost model (the token stays the record/summary key)."""
-        strategy, _, util = token.partition(":")
-        return strategy, util or "per_cost"
+        """'mi' -> ('mi', 'per_cost', ()); 'mi:per_sample' -> the
+        yield-aware cost model; '+'-suffixed refit modifiers ('lagged',
+        'warmIxR', 'fullrefit') ride along.  The full token stays the
+        record/summary key, so arms differing only in modifiers pair."""
+        head, *mods = token.split("+")
+        strategy, _, util = head.partition(":")
+        return strategy, util or "per_cost", tuple(mods)
+
+    def apply_mods(cfg, mods):
+        for mod in mods:
+            if mod == "lagged":
+                cfg = dataclasses.replace(
+                    cfg, episode=dataclasses.replace(
+                        cfg.episode, lagged_refit=True))
+            elif mod == "fullrefit":
+                cfg = dataclasses.replace(
+                    cfg, fit=dataclasses.replace(
+                        cfg.fit, refit_iters=0, refit_restarts=0))
+            elif mod.startswith("warm"):
+                iters, _, restarts = mod[4:].partition("x")
+                cfg = dataclasses.replace(
+                    cfg, fit=dataclasses.replace(
+                        cfg.fit, refit_iters=int(iters),
+                        refit_restarts=int(restarts)))
+            else:
+                raise SystemExit(f"unknown strategy-token modifier {mod!r}")
+        return cfg
 
     records = []
     for token in strategies:
-        strategy, path_utility = parse_token(token)
+        strategy, path_utility, mods = parse_token(token)
         for seed in range(args.seeds):
             if args.preset:
                 base = PRESETS[args.preset]
@@ -132,6 +160,7 @@ def main() -> None:
                                              if args.min_cost_frac
                                              is not None else {})),
                 )
+            cfg = apply_mods(cfg, mods)
             env = FieldEnv(fieldc, cfg.kernel)
             t0 = time.perf_counter()
             result = Agent(env, cfg).run(max_steps=args.max_steps)
@@ -212,6 +241,42 @@ def main() -> None:
             else:
                 sem = 0.0
             summary["paired_diffs"][f"{a}-{b}"] = {
+                "mean": round(float(d.mean()), 4),
+                "sem": round(sem, 4),
+                "significant": bool(
+                    sem > 0 and abs(float(d.mean())) > 2 * sem
+                ),
+            }
+    # calibration companions (round-4 VERDICT #6): the variance field is
+    # half of a GP's product — per-strategy NLPD (proper scoring rule)
+    # and 95% coverage of the final posterior, plus paired NLPD diffs so
+    # a strategy buying RMSE with a miscalibrated posterior is visible
+    calib = {
+        token: {
+            "nlpd_test_mean": round(float(np.mean(
+                [r["nlpd_test"] for r in records
+                 if r["strategy"] == token])), 4),
+            "cov95_test_mean": round(float(np.mean(
+                [r["cov95_test"] for r in records
+                 if r["strategy"] == token])), 4),
+        }
+        for token in strategies
+    }
+    summary["calibration"] = calib
+    nl = {
+        token: np.array([
+            r["nlpd_test"] for r in sorted(
+                (r for r in records if r["strategy"] == token),
+                key=lambda r: r["seed"])
+        ])
+        for token in strategies
+    }
+    summary["paired_nlpd_diffs"] = {}
+    for a, b in itertools.combinations(traversing, 2):
+        if len(nl[a]) == len(nl[b]) > 1:
+            d = nl[a] - nl[b]
+            sem = float(d.std(ddof=1) / np.sqrt(len(d)))
+            summary["paired_nlpd_diffs"][f"{a}-{b}"] = {
                 "mean": round(float(d.mean()), 4),
                 "sem": round(sem, 4),
                 "significant": bool(

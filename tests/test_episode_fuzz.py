@@ -85,6 +85,10 @@ def _draw(rng: np.random.Generator) -> ExperimentConfig:
         hard_cap=hard_cap,
         seed=int(rng.integers(0, 100)),
     )
+    # drawn AFTER the EpisodeConfig so the pre-round-5 draw stream (and
+    # thus every other axis of the existing draws) is unchanged
+    if rng.random() < 0.3:
+        episode = dataclasses.replace(episode, lagged_refit=True)
     return ExperimentConfig(
         kernel=KernelSpec(spatial, feature, ds=2, df=df),
         fit=fit,
@@ -138,6 +142,25 @@ def _directed() -> list:
             acquisition=AcquisitionConfig(strategy="mi", num_inducing=8,
                                           path_utility="per_sample"),
             episode=EpisodeConfig(waypoint_goals=(26,), **base_ep),
+        ),
+        # LAGGED refits × warm refits × exact MI, refitting every step —
+        # the maximum-pending-churn case (a pending result every body)
+        ExperimentConfig(
+            kernel=KernelSpec("matern32", ds=2),
+            fit=dataclasses.replace(fit, refit_iters=10, refit_restarts=1),
+            field=base_field,
+            acquisition=AcquisitionConfig(strategy="mi", num_inducing=0),
+            episode=EpisodeConfig(lagged_refit=True, refit_every=1,
+                                  **base_ep),
+        ),
+        # lagged refits × low-rank planner × device metrics × mixed
+        ExperimentConfig(
+            kernel=KernelSpec("rbf", ds=2),
+            fit=fit, field=base_field,
+            acquisition=AcquisitionConfig(strategy="mi", num_inducing=8),
+            episode=EpisodeConfig(lagged_refit=True, refit_every=2,
+                                  modality="mixed", device_metrics=True,
+                                  **base_ep),
         ),
     ]
 
@@ -225,3 +248,4 @@ def test_fuzz_draws_cover_the_surface():
     assert any(d.fit.refit_iters for d in _DRAWS), "no warm-refit draw"
     assert any(d.episode.hard_cap for d in _DRAWS)
     assert any(d.kernel.df > 0 for d in _DRAWS), "no composite-kernel draw"
+    assert any(d.episode.lagged_refit for d in _DRAWS), "no lagged-refit draw"
