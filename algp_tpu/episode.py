@@ -1028,6 +1028,21 @@ class Agent:
         ep = self.cfg.episode
         if resume_from is not None:
             st = resume_from
+            # multi-trait envs need the checkpoint's (n, T) trait buffer
+            # (the pilot rows' traits are unrecoverable after the fact) —
+            # fail at the boundary instead of a shape error mid-step
+            ckpt_traits = (
+                st.y_traits.shape[1] if st.y_traits is not None else 1
+            )
+            if self._multi_trait or ckpt_traits > 1:
+                if ckpt_traits != self.env.num_traits:
+                    raise ValueError(
+                        f"checkpoint/config trait mismatch: checkpoint has "
+                        f"{ckpt_traits} trait column(s), env has "
+                        f"{self.env.num_traits} (resume with the same "
+                        f"num_traits/value_cols the checkpoint was "
+                        f"written with)"
+                    )
             if st.rng_state is not None:
                 if "agent" in st.rng_state:
                     self.rng.bit_generator.state = st.rng_state["agent"]

@@ -89,7 +89,10 @@ def main() -> None:
     fit_s = [h["fit_s"] for h in result.history[1:] if "fit_s" in h]
 
     def med_ms(key, hist=None):
-        v = [h[key] for h in (hist or result.history) if key in h]
+        # hist=[] means "bucket is empty" → None, NOT the full history
+        # (a fallthrough here mislabels a global median as a bucket's)
+        src = result.history if hist is None else hist
+        v = [h[key] for h in src if key in h]
         return round(1e3 * sorted(v)[len(v) // 2], 1) if v else None
 
     # plan_s is attributed to the step the plan is FOR (one record after
@@ -101,13 +104,15 @@ def main() -> None:
     # the drain wherever the mode puts it
     hist = result.history
     fit_at = [h.get("fit_s", 0) > 0.001 for h in hist]
+    # record 0 is the PILOT fit — the plan(s) draining it measure the
+    # full pilot fit, not a warm refit, so both buckets start past it
     after_refit = [
         h for i, h in enumerate(hist)
-        if i >= 1 and fit_at[i - 1] and "plan_s" in h
+        if i >= 2 and fit_at[i - 1] and "plan_s" in h
     ]
     after_refit2 = [
         h for i, h in enumerate(hist)
-        if i >= 2 and fit_at[i - 2] and not fit_at[i - 1] and "plan_s" in h
+        if i >= 3 and fit_at[i - 2] and not fit_at[i - 1] and "plan_s" in h
     ]
     plain = [
         h for i, h in enumerate(hist)

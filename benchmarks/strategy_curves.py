@@ -61,6 +61,12 @@ def main() -> None:
                     "the capacity mid-episode recompiles every step "
                     "program; one explicit cap keeps the arms' panel "
                     "residency and step cost comparable too")
+    ap.add_argument("--num-traits", type=int, default=None,
+                    help="multi-trait fields (FieldConfig.num_traits): "
+                    "the episode plans on trait 0 and measures all "
+                    "traits per plot; records/summary gain per-trait "
+                    "held-out RMSE so transfer to NON-planning traits "
+                    "is measured per strategy")
     ap.add_argument("--mi-ensemble", type=int, default=None,
                     help="z-ensemble MI: average scores over K k-center "
                     "design variants (applies to mi arms)")
@@ -106,6 +112,10 @@ def main() -> None:
                         cfg.fit, refit_iters=0, refit_restarts=0))
             elif mod.startswith("warm"):
                 iters, _, restarts = mod[4:].partition("x")
+                if not (iters.isdigit() and restarts.isdigit()):
+                    raise SystemExit(
+                        f"malformed warm modifier {mod!r}: expected "
+                        f"'warm<iters>x<restarts>', e.g. 'mi+warm100x3'")
                 cfg = dataclasses.replace(
                     cfg, fit=dataclasses.replace(
                         cfg.fit, refit_iters=int(iters),
@@ -118,9 +128,13 @@ def main() -> None:
     for token in strategies:
         strategy, path_utility, mods = parse_token(token)
         for seed in range(args.seeds):
+            trait_kw = (
+                {"num_traits": args.num_traits} if args.num_traits else {}
+            )
             if args.preset:
                 base = PRESETS[args.preset]
-                fieldc = dataclasses.replace(base.field, seed=seed)
+                fieldc = dataclasses.replace(base.field, seed=seed,
+                                             **trait_kw)
                 cfg = dataclasses.replace(
                     base,
                     field=fieldc,
@@ -141,7 +155,8 @@ def main() -> None:
                 )
             else:
                 fieldc = FieldConfig(num_rows=args.rows, num_cols=args.cols,
-                                     true_ls_spatial=args.ls, seed=seed)
+                                     true_ls_spatial=args.ls, seed=seed,
+                                     **trait_kw)
                 cfg = ExperimentConfig(
                     kernel=KernelSpec("matern32", ds=2),
                     fit=FitConfig(iters=60, restarts=2),
@@ -183,6 +198,11 @@ def main() -> None:
                 "wall_s": round(wall, 2),
                 "curve": curve,
             }
+            if result.trait_rmse_test is not None:
+                # per-trait held-out RMSE (trait 0 = the planning trait)
+                rec["trait_rmse_test"] = [
+                    round(v, 4) for v in result.trait_rmse_test
+                ]
             records.append(rec)
             print(json.dumps({k: v for k, v in rec.items() if k != "curve"}))
 
@@ -283,6 +303,39 @@ def main() -> None:
                     sem > 0 and abs(float(d.mean())) > 2 * sem
                 ),
             }
+    # multi-trait transfer (round-5): planning happens on trait 0 only —
+    # per-trait means + paired diffs show whether informative coverage
+    # of the planning trait also serves the non-planning traits
+    if any("trait_rmse_test" in r for r in records):
+        tr = {
+            token: np.array([
+                r["trait_rmse_test"] for r in sorted(
+                    (r for r in records if r["strategy"] == token),
+                    key=lambda r: r["seed"])
+            ])
+            for token in strategies
+        }
+        summary["trait_rmse_test_mean"] = {
+            token: [round(float(v), 4) for v in vals.mean(axis=0)]
+            for token, vals in tr.items() if vals.size
+        }
+        summary["paired_trait_diffs"] = {}
+        for a, b in itertools.combinations(traversing, 2):
+            if len(tr[a]) == len(tr[b]) > 1:
+                d = tr[a] - tr[b]  # (seeds, traits)
+                sem = d.std(axis=0, ddof=1) / np.sqrt(len(d))
+                summary["paired_trait_diffs"][f"{a}-{b}"] = [
+                    {
+                        "trait": t,
+                        "mean": round(float(d[:, t].mean()), 4),
+                        "sem": round(float(sem[t]), 4),
+                        "significant": bool(
+                            sem[t] > 0
+                            and abs(float(d[:, t].mean())) > 2 * sem[t]
+                        ),
+                    }
+                    for t in range(d.shape[1])
+                ]
     summary["note"] = (
         "uniform teleports (no travel cost) — compare it only in the "
         "sample-matched view; the budget-matched view compares the "

@@ -7,10 +7,13 @@ and statistical shape (round-4 VERDICT missing #2 asked for a far more
 faithful fixture):
 
 - **RCBD genotype-block structure**: the field is split into replicate
-  blocks of consecutive rows; within each block every genotype is planted
-  once, in a block-randomized order, over CONTIGUOUS plot runs — the
-  spatial layout breeding trials actually use (genotype effects are
-  block-structured, not salt-and-pepper).
+  blocks of `n_genotypes` CONSECUTIVE plot runs (≈2.5 rows at the default
+  geometry — breeding trials block by contiguous area); within each block
+  every genotype is planted EXACTLY once, in a block-randomized order,
+  over contiguous `run_len`-plot runs — the spatial layout breeding
+  trials actually use (genotype effects are block-structured, not
+  salt-and-pepper).  At the default 25×40 geometry the 200 runs split
+  into exactly 10 complete replicate blocks.
 - **2-3 correlated traits**: plant height, canopy width, and stand count
   share the spatial fertility field and have correlated genotype effects
   (width's genotype effect is 0.6·height's + 0.4 own), so multi-trait
@@ -49,22 +52,29 @@ def make_table(rows: int, cols: int, seed: int = 0, n_genotypes: int = 20,
         )
     f /= max(f.std(), 1e-9)
 
-    # RCBD: each replicate block is a band of consecutive rows holding
-    # every genotype once on a contiguous run of `run_len` plots, in a
-    # per-block randomized order
+    # RCBD: a replicate block = `n_genotypes` consecutive plot runs
+    # (row-major, ≈2.5 rows at the default geometry); within each block
+    # every genotype is planted EXACTLY once, in a per-block randomized
+    # order, on a contiguous run of `run_len` plots.  Blocking by runs
+    # (not rows) is what makes the invariant exact: a row-aligned block
+    # whose run count != n_genotypes must either repeat or omit
+    # genotypes.  A truncated final block (total runs not a multiple of
+    # n_genotypes) holds a prefix of a fresh permutation — still
+    # duplicate-free.
     runs_per_row = max(1, cols // run_len)
-    rows_per_block = max(1, -(-n_genotypes // runs_per_row))
-    geno = np.zeros(n, np.int64)
-    for b0 in range(0, rows, rows_per_block):
+    total_runs = rows * runs_per_row
+    geno_of_run = np.empty(total_runs, np.int64)
+    for b0 in range(0, total_runs, n_genotypes):
         order = rng.permutation(n_genotypes)
-        slot = 0
-        for rr in range(b0, min(b0 + rows_per_block, rows)):
-            for run in range(runs_per_row):
-                g = order[slot % n_genotypes]
-                slot += 1
-                c_lo = run * run_len
-                c_hi = cols if run == runs_per_row - 1 else c_lo + run_len
-                geno[rr * cols + c_lo: rr * cols + c_hi] = g
+        m = min(n_genotypes, total_runs - b0)
+        geno_of_run[b0:b0 + m] = order[:m]
+    geno = np.zeros(n, np.int64)
+    for rr in range(rows):
+        for run in range(runs_per_row):
+            g = geno_of_run[rr * runs_per_row + run]
+            c_lo = run * run_len
+            c_hi = cols if run == runs_per_row - 1 else c_lo + run_len
+            geno[rr * cols + c_lo: rr * cols + c_hi] = g
 
     # correlated per-genotype effects: width tracks height genetics
     g_h = rng.normal(0, 0.8, n_genotypes)

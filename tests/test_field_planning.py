@@ -1,5 +1,7 @@
 """Field environment + path planning tests (C10, C11)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -79,6 +81,39 @@ def test_table_loader(tmp_path):
     assert env.X.shape == (24, 4)  # 2 spatial + 2 features
     assert abs(env.f.mean()) < 1e-9  # standardized
     assert env.f.std() == pytest.approx(1.0, rel=1e-6)
+
+
+def test_sample_fixture_rcbd_invariant():
+    """The shipped C10 fixture generator's advertised RCBD property must
+    actually hold: each replicate block of `n_genotypes` consecutive plot
+    runs plants every genotype EXACTLY once (round-5 review: the old
+    row-aligned blocking repeated 4 genotypes per block and omitted 12
+    from the truncated final block at the default geometry)."""
+    import importlib.util as ilu
+
+    spec = ilu.spec_from_file_location(
+        "make_sample_field",
+        os.path.join(os.path.dirname(__file__), "..", "data",
+                     "make_sample_field.py"))
+    msf = ilu.module_from_spec(spec)
+    spec.loader.exec_module(msf)
+    rows, cols, run_len, G = 25, 40, 5, 20
+    df = msf.make_table(rows, cols, seed=0, n_genotypes=G,
+                        run_len=run_len, plot_missing=0.0)
+    runs_per_row = cols // run_len
+    geno_of_run = np.full(rows * runs_per_row, -1, np.int64)
+    for _, rec in df.iterrows():
+        run = (int(rec["row"]) * runs_per_row
+               + min(int(rec["range"]) // run_len, runs_per_row - 1))
+        g = int(rec["genotype"])
+        assert geno_of_run[run] in (-1, g)  # one genotype per run
+        geno_of_run[run] = g
+    assert (geno_of_run >= 0).all()
+    total_runs = rows * runs_per_row
+    assert total_runs % G == 0  # default geometry: complete blocks only
+    for b0 in range(0, total_runs, G):
+        block = geno_of_run[b0:b0 + G]
+        assert sorted(block) == list(range(G)), f"block at run {b0}"
 
 
 def test_field_graph_structure(env):

@@ -94,6 +94,27 @@ def test_multitrait_resume_exactness(tmp_path):
     assert resumed.trait_rmse == pytest.approx(full.trait_rmse, abs=1e-6)
 
 
+def test_resume_trait_mismatch_rejected(tmp_path):
+    """A single-trait checkpoint cannot seed a multi-trait episode (the
+    pilot rows' traits are unrecoverable) and vice versa — the boundary
+    raises a clear error instead of a shape crash mid-step (round-5
+    review finding)."""
+    cfg1 = _cfg(1)
+    half = Agent(FieldEnv(cfg1.field, cfg1.kernel), cfg1).run(max_steps=1)
+    path = str(tmp_path / "st.npz")
+    ckpt.save(path, half.state)
+    cfg3 = _cfg(3)
+    agent3 = Agent(FieldEnv(cfg3.field, cfg3.kernel), cfg3)
+    with pytest.raises(ValueError, match="trait mismatch"):
+        agent3.run(resume_from=ckpt.load(path))
+    # and the reverse direction
+    half3 = Agent(FieldEnv(cfg3.field, cfg3.kernel), cfg3).run(max_steps=1)
+    ckpt.save(path, half3.state)
+    agent1 = Agent(FieldEnv(cfg1.field, cfg1.kernel), cfg1)
+    with pytest.raises(ValueError, match="trait mismatch"):
+        agent1.run(resume_from=ckpt.load(path))
+
+
 def test_multitrait_mesh_matches_single_chip():
     from algp_tpu.parallel import make_mesh
 
