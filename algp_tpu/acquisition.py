@@ -45,6 +45,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from algp_tpu.config import PATH_UTILITIES
 from algp_tpu.ops import linalg as la
 from algp_tpu.ops.gram import gram_pallas_with_noise
 from algp_tpu.ops.kernels import KernelParams, KernelSpec, gram, gram_diag
@@ -668,8 +669,6 @@ def _fit_and_select_jit(spec, fitcfg, x_train, y_train, x_pad, pilot_idx,
 #: enumeration's best by more than this factor are ineligible (they buy
 #: strictly less campaign data for the same budget).
 _PRICE_TOL = 1.25
-
-PATH_UTILITIES = ("per_cost", "per_sample")
 
 
 def path_set_argmax(

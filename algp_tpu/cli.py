@@ -202,15 +202,19 @@ def run_greedy(cfg: ExperimentConfig, runs: int, stream=None) -> list[dict]:
 
     from algp_tpu.config import resolve_strategy
 
-    # "auto" resolves against the grid size (no path economics in greedy
-    # mode, so the utility half of the rule does not apply)
-    strategy, _ = resolve_strategy(
-        cfg.acquisition.strategy, cfg.field.num_points
-    )
+    # "auto" resolves against the candidate count (no path economics in
+    # greedy mode, so the utility half of the rule does not apply);
+    # resolved from env.n — the same size source resolve_num_inducing
+    # uses below — so a field type whose candidate count differs from
+    # num_rows*num_cols can never straddle the crossover (seeds only
+    # differ between runs, so run 0's count is every run's count)
+    strategy = None
     summaries = []
     for run in range(runs):
         fieldc = dataclasses.replace(cfg.field, seed=cfg.field.seed + run)
         env = FieldEnv(fieldc, cfg.kernel)
+        if strategy is None:
+            strategy, _ = resolve_strategy(cfg.acquisition.strategy, env.n)
         log = MetricsLogger(stream)
         num_pilot = cfg.episode.num_pilot
         pilot = np.unique(

@@ -108,6 +108,12 @@ _LOWRANK_M_CAP_N = 1 << 19
 #: wherever it is not measurably worse.
 _MI_SMALL_MAX_N = 2500
 
+#: canonical path-utility names (acquisition.path_set_argmax's cost
+#: models) — validated HERE so a typo'd config fails identically on
+#: every branch of resolve_strategy (the auto/low-rank arm replaces the
+#: utility, which would otherwise skip the Agent's resolved-value check)
+PATH_UTILITIES = ("per_cost", "per_sample")
+
 
 def resolve_strategy(
     strategy: str, n: int, path_utility: str = "per_cost"
@@ -118,8 +124,15 @@ def resolve_strategy(
     yield-aware mi:per_sample at low-rank scales — see the decision table
     in README.md); any explicit strategy (and the configured path
     utility) is honored unchanged.  Returns (strategy, path_utility).
-    The single source of strategy selection for the episode Agent and
-    the greedy CLI driver, mirroring `resolve_num_inducing`."""
+    NOTE: at low-rank scales "auto" selects per_sample as part of the
+    measured-best ARM — the utility is the arm's, not the config's; pin
+    strategy="mi" explicitly to keep per_cost there.  The single source
+    of strategy selection for the episode Agent and the greedy CLI
+    driver, mirroring `resolve_num_inducing`."""
+    if path_utility not in PATH_UTILITIES:
+        raise ValueError(
+            f"unknown path_utility {path_utility!r}; use {PATH_UTILITIES}"
+        )
     if strategy != "auto":
         return strategy, path_utility
     if n <= _MI_SMALL_MAX_N:

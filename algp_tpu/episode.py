@@ -44,7 +44,7 @@ from algp_tpu import planning
 from algp_tpu.config import (
     ExperimentConfig, resolve_num_inducing, resolve_strategy,
 )
-from algp_tpu.field import FieldEnv
+from algp_tpu.field import FieldEnv, Sample
 from algp_tpu.models import gp as gp_mod
 from algp_tpu.utils.checkpoint import EpisodeState
 from algp_tpu.utils.metrics import MetricsLogger
@@ -316,8 +316,6 @@ class Agent:
         the (k, T) all-traits matrix on multi-trait envs (column 0 is the
         Sample's y, the designated planning trait), else None."""
         if self._multi_trait:
-            from algp_tpu.field import Sample
-
             i, Y, scale = self.env.collect_traits(idx, modality)
             return Sample(indices=i, y=Y[:, 0], noise_scale=scale), Y
         return self.env.collect(idx, modality), None

@@ -103,9 +103,15 @@ def main() -> None:
     # the NEXT body's plan) — split out both so the breakdown attributes
     # the drain wherever the mode puts it
     hist = result.history
+    lag = bool(args.lagged_refit)
     fit_at = [h.get("fit_s", 0) > 0.001 for h in hist]
     # record 0 is the PILOT fit — the plan(s) draining it measure the
-    # full pilot fit, not a warm refit, so both buckets start past it
+    # full pilot fit, not a warm refit, so both buckets start past it.
+    # after_refit2 (drain two records past the fit) only exists in
+    # lagged mode — in sync mode those records are ordinary plain plans
+    # and publishing them under a drain key would mislabel them (null
+    # there).  Conversely the plain bucket only needs the i-2 exclusion
+    # in lagged mode.
     after_refit = [
         h for i, h in enumerate(hist)
         if i >= 2 and fit_at[i - 1] and "plan_s" in h
@@ -113,10 +119,11 @@ def main() -> None:
     after_refit2 = [
         h for i, h in enumerate(hist)
         if i >= 3 and fit_at[i - 2] and not fit_at[i - 1] and "plan_s" in h
-    ]
+    ] if lag else None
     plain = [
         h for i, h in enumerate(hist)
-        if i >= 2 and not fit_at[i - 1] and not fit_at[i - 2]
+        if i >= 2 and not fit_at[i - 1]
+        and (not lag or (i >= 3 and not fit_at[i - 2]))
         and "plan_s" in h
     ]
     final_fetch = [
@@ -149,7 +156,9 @@ def main() -> None:
             "sense": med_ms("sense_s"),
         },
         "plan_ms_median_after_refit": med_ms("plan_s", after_refit),
-        "plan_ms_median_after_refit2": med_ms("plan_s", after_refit2),
+        "plan_ms_median_after_refit2": (
+            med_ms("plan_s", after_refit2) if lag else None
+        ),
         "plan_ms_median_plain": med_ms("plan_s", plain),
         "lagged_refit": bool(args.lagged_refit),
         "rmse": round(result.rmse, 4),

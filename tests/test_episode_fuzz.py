@@ -85,8 +85,11 @@ def _draw(rng: np.random.Generator) -> ExperimentConfig:
         hard_cap=hard_cap,
         seed=int(rng.integers(0, 100)),
     )
-    # drawn AFTER the EpisodeConfig so the pre-round-5 draw stream (and
-    # thus every other axis of the existing draws) is unchanged
+    # the field seed is drawn BEFORE the round-5 lagged draw so the
+    # pre-round-5 stream (and thus every other axis of the existing
+    # draws) is genuinely unchanged — the lagged Bernoulli is the LAST
+    # consumer of the generator
+    field_seed = int(rng.integers(0, 100))
     if rng.random() < 0.3:
         episode = dataclasses.replace(episode, lagged_refit=True)
     return ExperimentConfig(
@@ -97,7 +100,7 @@ def _draw(rng: np.random.Generator) -> ExperimentConfig:
             path_utility=path_utility, mi_ensemble=mi_ensemble,
         ),
         field=FieldConfig(num_rows=rows, num_cols=cols, num_features=df,
-                          seed=int(rng.integers(0, 100))),
+                          seed=field_seed),
         episode=episode,
     )
 

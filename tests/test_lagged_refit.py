@@ -92,6 +92,30 @@ def test_refit_step_plan_uses_incumbent_params():
     # synchronous run's — the interrupted lagged state holds the sync
     # run's params as PENDING, not applied
     assert r_lag.state.pending_params is not None
+    # value-level pin of the one-refit lag (would catch a regression
+    # that adopts the refit at dispatch time): after TWO lagged steps
+    # the applied params are exactly the step-1 refit — the params the
+    # sync run applied one step EARLIER.  Fit 1 sees identical data in
+    # both modes (both step-1 plans ran on the pilot fit), so equality
+    # is exact, not approximate.
+    r_lag2 = Agent(FieldEnv(lag.field, lag.kernel), lag).run(max_steps=2)
+    r_sync1 = Agent(FieldEnv(sync.field, sync.kernel), sync).run(
+        max_steps=1)
+    fields = ("log_ls_spatial", "log_ls_feature", "log_outputscale",
+              "log_noise")
+    for f in fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(r_lag2.state.params, f)),
+            np.asarray(getattr(r_sync1.state.params, f)), err_msg=f)
+    # ... and they differ from the sync run's step-2 refit (the params a
+    # non-lagging implementation would have applied before this plan)
+    r_sync2 = Agent(FieldEnv(sync.field, sync.kernel), sync).run(
+        max_steps=2)
+    assert any(
+        not np.array_equal(np.asarray(getattr(r_lag2.state.params, f)),
+                           np.asarray(getattr(r_sync2.state.params, f)))
+        for f in fields
+    ), "sync step-2 refit unexpectedly equals the step-1 refit"
 
 
 def test_lagged_refit_rejects_deep_kernel():
