@@ -295,3 +295,37 @@ def test_tpu_heteroscedastic_selection_equals_f64_oracle(strategy):
         sel_ref, _ = oracle.greedy_mi_selection(
             K, nv.astype(np.float64), 40, pilot)
     np.testing.assert_array_equal(sel_dev, sel_ref)
+
+
+def test_tpu_fit_multi_matches_individual_fits():
+    """The batched traits × restarts × iters fit program (`models.gp.
+    fit_multi` — the multi-trait episode's end-of-episode evaluator) ON
+    THE TPU vs T separate `fit()` calls sharing the same restart inits:
+    the nested-vmap batching must not move any trait's optimum.  The CPU
+    contract lives in tests/test_gp.py::test_fit_multi_traits_match_
+    individual_fits; this is its hardware pin — the batched path tiles
+    differently on the MXU, and round 5's multi-trait episodes score
+    every trait through it."""
+    from algp_tpu.config import FitConfig
+    from algp_tpu.models import gp as gp_mod
+
+    rng = np.random.default_rng(17)
+    n, T = 90, 3
+    spec = KernelSpec("rbf", ds=2)
+    x = jnp.asarray(rng.uniform(0, 10, (n, 2)), jnp.float32)
+    Y = jnp.asarray(rng.standard_normal((n, T)), jnp.float32)
+    cfg = FitConfig(iters=40, restarts=2)
+    key = jax.random.PRNGKey(5)
+    multi = gp_mod.fit_multi(spec, cfg, x, Y, key=key)
+    assert np.isfinite(np.asarray(multi.nll)).all()
+    for t in range(T):
+        single = gp_mod.fit(spec, cfg, x, Y[:, t], key=key)
+        rt = gp_mod.trait_result(multi, t)
+        np.testing.assert_allclose(
+            float(rt.nll), float(single.nll), rtol=5e-4, atol=5e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(rt.params.log_ls_spatial),
+            np.asarray(single.params.log_ls_spatial),
+            rtol=2e-3, atol=2e-3,
+        )
