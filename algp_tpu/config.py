@@ -105,7 +105,13 @@ _LOWRANK_M_CAP_N = 1 << 19
 #: with entropy (100k n.s., 4M +0.029 ± 0.027 n.s.; z-ensemble closes the
 #: residual design sensitivity) and keeps the MI formulation's
 #: redundancy-awareness, so auto keeps the reference's headline strategy
-#: wherever it is not measurably worse.
+#: wherever it is not measurably worse.  Fixture caveat: the ≤2.5k MI
+#: pick is measured on synthetic spatial grids; the c10 TABLE fixture
+#: (1000 plots, composite spatial×feature kernel, missing cells) lands
+#: on the entropy side (mi−entropy +0.0119 ± 0.0053, ~2.2 sem,
+#: strategy_curves_r05_c10.json) — the c10 preset pins strategy="mi"
+#: explicitly for reference parity, so auto's small-grid arm never
+#: governs it; see benchmarks/README.md round 5.
 _MI_SMALL_MAX_N = 2500
 
 #: canonical path-utility names (acquisition.path_set_argmax's cost

@@ -75,10 +75,21 @@ def main() -> None:
                     "enumeration's minimum path cost as a fraction of "
                     "the budget slice (default 0.5) - the floor on the "
                     "cheapest sample price a step can buy")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on the CPU backend (selections are "
+                    "backend-exact — tests/oracle.py — so quality "
+                    "numbers are valid either way; the r03 40x40 "
+                    "study was CPU-run).  NOTE: must be decided "
+                    "before any JAX device use; the JAX_PLATFORMS "
+                    "env var is ignored in this environment")
     ap.add_argument("--json", default=None)
     ap.add_argument("--plot", default=None,
                     help="write the held-out-RMSE-vs-samples figure here")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     import dataclasses
 
