@@ -81,6 +81,27 @@ def build_parser() -> argparse.ArgumentParser:
                    help="synthetic traits to phenotype (fit_multi batch)")
     p.add_argument("--value-cols",
                    help="comma-separated table value columns (multi-trait)")
+    p.add_argument("--trait-obs-frac", type=float,
+                   help="probability a SECONDARY trait is measured at a "
+                   "visited plot (FieldConfig.trait_obs_frac; trait 0 is "
+                   "always measured) — the expensive/destructive-assay "
+                   "regime where --multi-fit icm transfers the dense "
+                   "trait into the sparse ones")
+    p.add_argument("--trait-corr", type=float,
+                   help="cross-trait correlation of synthetic multi-trait "
+                   "fields (FieldConfig.trait_corr; equicorrelation mix "
+                   "of the independent GP draws — the ICM's generative "
+                   "family; trait 0 unchanged)")
+    p.add_argument("--multi-fit", choices=("independent", "icm"),
+                   help="multi-trait model family for the per-trait "
+                   "evaluation: 'independent' = batched per-trait exact "
+                   "GPs (fit_multi, default); 'icm' = coregionalized "
+                   "joint GP (models.coregional) fitting only genuinely "
+                   "observed (plot, trait) cells — transfers dense "
+                   "traits into sparse ones")
+    p.add_argument("--icm-rank", type=int,
+                   help="rank of the ICM trait-covariance factor A "
+                   "(B = A Aᵀ + diag κ; default 1)")
     p.add_argument("--deep-hidden",
                    help="deep feature kernel: comma-separated MLP hidden "
                    "widths (e.g. 16,16); enables joint MLL training of a "
@@ -151,7 +172,8 @@ def config_from_args(args) -> ExperimentConfig:
     fit = rep(fit, optimizer=args.optimizer, learning_rate=args.lr,
               iters=args.iters, restarts=args.restarts,
               refit_iters=args.refit_iters,
-              refit_restarts=args.refit_restarts)
+              refit_restarts=args.refit_restarts,
+              multi_fit=args.multi_fit, icm_rank=args.icm_rank)
     acqc = rep(acqc, strategy=args.strategy, rounds=args.acq_rounds,
                num_inducing=args.num_inducing,
                path_utility=args.path_utility,
@@ -161,7 +183,8 @@ def config_from_args(args) -> ExperimentConfig:
                 feature_warp=args.feature_warp,
                 cheap_noise_mult=args.cheap_noise_mult,
                 data_path=args.data_path, seed=args.seed,
-                num_traits=args.num_traits,
+                num_traits=args.num_traits, trait_corr=args.trait_corr,
+                trait_obs_frac=args.trait_obs_frac,
                 value_cols=(tuple(args.value_cols.split(","))
                             if args.value_cols else None))
     ep = rep(ep, budget=args.budget, num_pilot=args.num_pilot,
@@ -319,25 +342,19 @@ def run_greedy(cfg: ExperimentConfig, runs: int, stream=None) -> list[dict]:
             # over the shared embedding learned on the primary trait) —
             # cfg.kernel/env.X here silently measured a plain stationary
             # model instead.
-            _, Y, _ = env.collect_traits(all_idx, "precise")
-            x_tr = X_eff[jnp.asarray(all_idx)]
-            res_m = gp_mod.fit_multi(
-                spec_eff, cfg.fit, x_tr,
-                jnp.asarray(Y, jnp.float32), key=key2,
+            from algp_tpu.models.multifit import multitrait_mean_fields
+
+            _, Y, _, _ = env.collect_traits(all_idx, "precise")
+            # family dispatch (FitConfig.multi_fit): batched fit_multi,
+            # per-trait ragged fits under trait_obs_frac < 1 (NaN cells),
+            # or the coregionalized ICM over observed cells
+            M = multitrait_mean_fields(
+                spec_eff, cfg.fit, X_eff, all_idx, Y, None,
+                env.observed_traits, key2,
             )
-            means = []
-            for t in range(env.num_traits):
-                rt = gp_mod.trait_result(res_m, t)
-                post_t = gp_mod.posterior(
-                    spec_eff, rt.params, x_tr,
-                    jnp.asarray(Y[:, t], jnp.float32),
-                )
-                m_t, _ = gp_mod.predict(spec_eff, rt.params, post_t, X_eff)
-                means.append(np.asarray(m_t))
-            rec["trait_rmse"] = env.rmse_traits(np.stack(means, axis=1))
-            rec["trait_rmse_test"] = env.rmse_traits(
-                np.stack(means, axis=1), test_only=True
-            )
+            rec["multi_fit"] = cfg.fit.multi_fit
+            rec["trait_rmse"] = env.rmse_traits(M)
+            rec["trait_rmse_test"] = env.rmse_traits(M, test_only=True)
         log.log(**rec)
         summaries.append(rec)
         print(json.dumps(rec))

@@ -57,6 +57,21 @@ class FitConfig:
     # step's sync — at 1M it was most of the refit-step overhead.
     refit_iters: int = 0
     refit_restarts: int = 0
+    # Multi-trait model family for the end-of-episode / greedy-CLI
+    # per-trait evaluation (env.num_traits > 1):
+    #   "independent" — batched per-trait exact GPs (models.gp.fit_multi;
+    #                   the reference's one-trait-per-run family, default)
+    #   "icm"         — coregionalized joint GP (models.coregional):
+    #                   cov[f_t(x), f_s(x')] = B[t,s]·k(x,x') with a
+    #                   learnable T×T trait covariance B = A Aᵀ + diag κ
+    #                   (rank of A = icm_rank) and per-trait noise; fits
+    #                   ONLY genuinely observed (plot, trait) cells
+    #                   (table imputed cells are masked out), so
+    #                   densely-measured traits transfer into sparsely-
+    #                   measured ones — measured in
+    #                   benchmarks/coregional_study.py
+    multi_fit: str = "independent"
+    icm_rank: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -119,6 +134,10 @@ _MI_SMALL_MAX_N = 2500
 #: every branch of resolve_strategy (the auto/low-rank arm replaces the
 #: utility, which would otherwise skip the Agent's resolved-value check)
 PATH_UTILITIES = ("per_cost", "per_sample")
+
+#: canonical multi-trait model-family names (FitConfig.multi_fit) —
+#: validated at the episode Agent and the greedy CLI driver
+MULTI_FITS = ("independent", "icm")
 
 
 def resolve_strategy(
@@ -237,6 +256,25 @@ class FieldConfig:
     # fitted jointly by models.gp.fit_multi (one batched program)
     num_traits: int = 1
     value_cols: Optional[tuple] = None
+    # under-observation of SECONDARY traits (t ≥ 1) during collection:
+    # each visited plot measures trait 0 always (the cheap/dense planning
+    # trait — drone height) but measures each secondary trait only with
+    # probability trait_obs_frac (expensive/destructive assays — biomass).
+    # collect_traits returns the per-visit observation mask; unobserved
+    # cells are NaN in Y and excluded from every fit (the coregionalized
+    # multi_fit="icm" family transfers the dense trait into the sparse
+    # ones there — benchmarks/coregional_study.py).  1.0 = measure
+    # everything (bit-identical default; the Bernoulli draw is skipped so
+    # the env rng stream is unchanged).
+    trait_obs_frac: float = 1.0
+    # cross-trait correlation of SYNTHETIC multi-trait fields: ρ > 0 mixes
+    # the T independent GP draws through the Cholesky factor of the
+    # equicorrelation matrix (1 on the diagonal, ρ off it) — the exact
+    # generative family of the ICM (models.coregional) with B = R Rᵀ.
+    # Trait 0 (the planning trait) is unchanged by the mixing (the factor's
+    # first row is e₀).  0.0 = independent draws (bit-identical default);
+    # ignored for table data and single-trait fields.
+    trait_corr: float = 0.0
     # nonlinear feature→response structure for SYNTHETIC fields: "none"
     # draws truth from the stationary composite GP over the raw features
     # (a stationary feature kernel is then perfectly specified); "tanh"

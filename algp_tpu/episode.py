@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from algp_tpu import acquisition as acq
 from algp_tpu import planning
 from algp_tpu.config import (
-    ExperimentConfig, resolve_num_inducing, resolve_strategy,
+    MULTI_FITS, ExperimentConfig, resolve_num_inducing, resolve_strategy,
 )
 from algp_tpu.field import FieldEnv, Sample
 from algp_tpu.models import gp as gp_mod
@@ -187,6 +187,10 @@ class Agent:
         # (env.collect_traits); a final batched fit_multi produces
         # per-trait posteriors + RMSE (EpisodeResult.trait_rmse)
         self._multi_trait = env.num_traits > 1
+        if self._multi_trait and cfg.fit.multi_fit not in MULTI_FITS:
+            raise ValueError(
+                f"unknown multi_fit {cfg.fit.multi_fit!r}; use {MULTI_FITS}"
+            )
         self._mi_ensemble = max(1, int(cfg.acquisition.mi_ensemble))
         if self._mi_ensemble > 1:
             if self._strategy == "mi" and not self._num_inducing:
@@ -314,9 +318,12 @@ class Agent:
     def _collect(self, idx, modality: str):
         """env measurement at `idx`: (Sample, trait_rows) — trait_rows is
         the (k, T) all-traits matrix on multi-trait envs (column 0 is the
-        Sample's y, the designated planning trait), else None."""
+        Sample's y, the designated planning trait; under-observed
+        secondary-trait cells are NaN — FieldConfig.trait_obs_frac —
+        trait 0 is always measured, so planning is unaffected), else
+        None."""
         if self._multi_trait:
-            i, Y, scale = self.env.collect_traits(idx, modality)
+            i, Y, scale, _ = self.env.collect_traits(idx, modality)
             return Sample(indices=i, y=Y[:, 0], noise_scale=scale), Y
         return self.env.collect(idx, modality), None
 
@@ -844,7 +851,10 @@ class Agent:
     def _sense(self, st: EpisodeState, sample_nodes: list):
         """Collect measurements along a path under the modality policy
         (C5, BASELINE.json:11): (samples, trait_rows) — trait_rows is the
-        row-aligned all-traits matrix on multi-trait envs, else None.
+        row-aligned all-traits matrix on multi-trait envs, else None
+        (under-observed secondary-trait cells are NaN —
+        FieldConfig.trait_obs_frac; the NaN pattern IS the observation
+        mask, so no separate buffer travels through state/checkpoints).
         "mixed" spends the expensive sensor on the single highest-
         posterior-variance site of the path and the cheap sensor on the
         rest — the paper's two-modality phenotyping setup."""
@@ -1244,23 +1254,27 @@ class Agent:
         observation mask (env.rmse_traits).  Runs once per episode on the
         sampled set, so no per-step program changes; uses the effective
         (possibly deep-embedded) spec/candidates the episode planned
-        with."""
-        x = self._Xdev[jnp.asarray(st.sampled_idx)]
-        Y = jnp.asarray(st.y_traits, jnp.float32)
-        ns = jnp.asarray(st.noise_scale, jnp.float32)
-        res = gp_mod.fit_multi(
-            self.spec, self.cfg.fit, x, Y, noise_scale=ns,
-            key=jax.random.PRNGKey(self.cfg.episode.seed),
+        with.
+
+        FitConfig.multi_fit="icm" swaps the independent per-trait family
+        for the coregionalized joint GP (models.coregional): one nT×nT
+        system with a learnable trait covariance, fitted ONLY on genuinely
+        observed (plot, trait) cells (env.observed_traits — table imputed
+        cells are masked out instead of conditioned on), so
+        densely-measured traits transfer into sparsely-measured ones."""
+        from algp_tpu.models.multifit import multitrait_mean_fields
+
+        # NaN cells in the trait buffer = not measured at that visit
+        # (FieldConfig.trait_obs_frac under-observation); the NaN pattern
+        # IS the per-visit observation mask, so it survives
+        # checkpoint/resume for free.  multifit dispatches the family:
+        # batched fit_multi (bit-identical fully-observed default),
+        # per-trait ragged fits under partial observation, or the ICM.
+        M = multitrait_mean_fields(
+            self.spec, self.cfg.fit, self._Xdev,
+            np.asarray(st.sampled_idx), st.y_traits, st.noise_scale,
+            self.env.observed_traits,
+            jax.random.PRNGKey(self.cfg.episode.seed),
         )
-        means = []
-        for t in range(self.env.num_traits):
-            rt = gp_mod.trait_result(res, t)
-            post = gp_mod.posterior(
-                self.spec, rt.params, x, Y[:, t], noise_scale=ns,
-                min_noise=self.cfg.fit.min_noise, jitter=self.cfg.fit.jitter,
-            )
-            m_t, _ = gp_mod.predict(self.spec, rt.params, post, self._Xdev)
-            means.append(np.asarray(m_t))
-        M = np.stack(means, axis=1)
         return (self.env.rmse_traits(M),
                 self.env.rmse_traits(M, test_only=True))

@@ -199,6 +199,21 @@ class FieldEnv:
         # recompute-and-retry on a transient pool OOM is exact.
         def draw_and_fetch():
             td = draw()
+            if T > 1 and cfg.trait_corr:
+                # cross-trait correlation (FieldConfig.trait_corr): mix the
+                # T independent draws through the Cholesky factor of the
+                # equicorrelation matrix — exactly the ICM generative
+                # family (models.coregional) with B = R Rᵀ.  The factor's
+                # first row is e₀, so trait 0 (the planning trait) is
+                # unchanged by the mixing.
+                if not (0.0 <= cfg.trait_corr < 1.0):
+                    raise ValueError(
+                        f"trait_corr must be in [0, 1) (got {cfg.trait_corr})"
+                    )
+                Rho = np.full((T, T), cfg.trait_corr, np.float64)
+                np.fill_diagonal(Rho, 1.0)
+                Rt = np.linalg.cholesky(Rho).T.astype(np.float32)
+                td = td @ jnp.asarray(Rt)
             return td, np.asarray(td, dtype=np.float64)
 
         traits_dev, traits = _retry_transient_oom(
@@ -406,9 +421,19 @@ class FieldEnv:
         return self.traits.shape[1]
 
     def collect_traits(self, indices, modality: str = "precise"):
-        """Noisy measurements of ALL traits at `indices`: (idx, Y, scale)
-        with Y of shape (k, T) — phenotyping measures several traits per
-        plot visit; the batched `models.gp.fit_multi` consumes Y whole."""
+        """Noisy measurements of ALL traits at `indices`:
+        (idx, Y, scale, obs) with Y of shape (k, T) — phenotyping measures
+        several traits per plot visit; the batched `models.gp.fit_multi`
+        consumes Y whole.
+
+        `obs` (k, T) bool is the per-visit observation mask: all True by
+        default; with FieldConfig.trait_obs_frac < 1 each SECONDARY trait
+        (t ≥ 1) is measured only with that probability (trait 0 — the
+        planning trait — always is), and unobserved Y cells are NaN so an
+        accidental unmasked use fails loudly instead of silently fitting
+        fabricated data.  The Bernoulli draw rides the env rng stream
+        (checkpointed ⇒ resume-exact) and is skipped entirely at the 1.0
+        default, so existing streams keep their bits."""
         idx = np.asarray(indices, np.int64).ravel()
         std = self.noise_std(modality)
         Y = self.traits[idx] + std * self._rng.standard_normal(
@@ -419,7 +444,19 @@ class FieldEnv:
             1.0 if modality == "precise" else self.cfg.cheap_noise_mult**2,
             np.float64,
         )
-        return idx, Y, scale
+        frac = self.cfg.trait_obs_frac
+        obs = np.ones((len(idx), self.num_traits), bool)
+        if self.num_traits > 1 and frac < 1.0:
+            if not 0.0 < frac <= 1.0:
+                raise ValueError(
+                    f"trait_obs_frac must be in (0, 1] (got {frac})"
+                )
+            obs[:, 1:] = (
+                self._rng.uniform(size=(len(idx), self.num_traits - 1))
+                < frac
+            )
+            Y = np.where(obs, Y, np.nan)
+        return idx, Y, scale, obs
 
     # ------------------------------------------------------------- metrics
 

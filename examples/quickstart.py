@@ -73,7 +73,7 @@ print(f"5. episode:       RMSE {result.history[0]['rmse']:.3f} → "
 from algp_tpu.models import gp as gp_mod
 
 env6 = FieldEnv(FieldConfig(num_rows=8, num_cols=10, num_traits=3, seed=6))
-idx6, Y6, _ = env6.collect_traits(np.arange(0, env6.n, 2), "precise")
+idx6, Y6, _, _ = env6.collect_traits(np.arange(0, env6.n, 2), "precise")
 res6 = gp_mod.fit_multi(
     KernelSpec("rbf", ds=2), FitConfig(iters=60, restarts=2),
     env6.X[jnp.asarray(idx6)], jnp.asarray(Y6, jnp.float32),
@@ -223,3 +223,26 @@ full15 = Agent(FieldEnv(cfg.field, cfg.kernel), cfg).run()
 same = np.array_equal(r15.state.sampled_idx, full15.state.sampled_idx)
 print(f"15. resume:       interrupted@3 + resume ≡ uninterrupted: {same} "
       f"({len(r15.state.sampled_idx)} samples, RMSE {r15.rmse:.3f})")
+
+# 16. Coregionalized multi-trait GP (ICM, beyond the reference) --------------
+# correlated traits, secondary trait observed at only a fraction of
+# plots: the learnable trait covariance B transfers the dense trait's
+# information into the sparse one (benchmarks/coregional_study.py —
+# sparse-trait RMSE 0.63→0.42 at 20% observation, paired-significant).
+from algp_tpu.models import coregional as icm
+
+env16 = FieldEnv(FieldConfig(num_rows=8, num_cols=10, num_traits=2,
+                             trait_corr=0.9, seed=16))
+idx16, Y16, _, _ = env16.collect_traits(np.arange(0, env16.n, 2), "precise")
+mask16 = np.ones_like(Y16, bool)
+mask16[::3, 1] = False                               # trait 1 under-observed
+mean16, _, res16 = icm.fit_predict_icm(
+    KernelSpec("rbf", ds=2), FitConfig(iters=60, restarts=2),
+    env16.X[jnp.asarray(idx16)], jnp.asarray(Y16, jnp.float32), env16.X,
+    jnp.asarray(mask16), rank=1,
+)
+B16 = np.asarray(icm.trait_cov(res16.params))
+corr16 = B16[0, 1] / np.sqrt(B16[0, 0] * B16[1, 1])
+print(f"16. ICM:          fitted cross-trait corr {corr16:.2f} "
+      f"(true 0.9), per-trait RMSE "
+      f"{[round(v, 3) for v in env16.rmse_traits(np.asarray(mean16))]}")

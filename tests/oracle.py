@@ -316,3 +316,67 @@ def greedy_mi_selection_lowrank_ensemble(
         Ps = [_precision_delete(P, j) for P in Ps]
         taken[j] = True
     return np.array(sel)
+
+
+# ----------------------- coregionalized (ICM) GP ---------------------------
+
+
+def _icm_system(Kx, B, noise_var_t, mask=None, noise_scale=None, jitter=0.0):
+    """Dense f64 sub-system over OBSERVED (plot, trait) cells only.
+
+    Flattening is plot-major (entry m = i·T + t), matching
+    models.coregional: kron(Kx, B)[m, m'] = Kx[i, j]·B[t, s].  Returns
+    (C_sub, flat_mask).  Where the device path identity-pads masked
+    entries, the oracle DROPS them — equality of the two likelihoods is
+    exactly the identity-padding contract.
+    """
+    n = Kx.shape[0]
+    T = B.shape[0]
+    C = np.kron(np.asarray(Kx, np.float64), np.asarray(B, np.float64))
+    ns = np.ones(n) if noise_scale is None else np.asarray(noise_scale, np.float64)
+    nv = (ns[:, None] * np.asarray(noise_var_t, np.float64)[None, :]).reshape(-1)
+    C = C + np.diag(nv + jitter)
+    mf = (
+        np.ones((n, T), bool) if mask is None else np.asarray(mask, bool)
+    ).reshape(-1)
+    return C[np.ix_(mf, mf)], mf
+
+
+def icm_nll(Kx, B, Y, noise_var_t, mask=None, noise_scale=None, jitter=0.0):
+    """Joint ICM negative log marginal likelihood over observed cells.
+
+    Kx: (n, n) shared kernel Gram (no noise); B: (T, T) trait covariance;
+    Y: (n, T); noise_var_t: (T,) per-trait noise variance; mask: (n, T)
+    bool observation mask; noise_scale: (n,) per-plot variance multiplier.
+    """
+    C, mf = _icm_system(Kx, B, noise_var_t, mask, noise_scale, jitter)
+    y = np.asarray(Y, np.float64).reshape(-1)[mf]
+    return nll(C, y)
+
+
+def icm_posterior(Kx, Kc, k_diag, B, Y, noise_var_t, mask=None,
+                  noise_scale=None, jitter=0.0):
+    """Per-trait posterior (means, vars) at test points, each (N, T).
+
+    Kc: (n, N) cross-Gram train→test (no outputscale beyond what Kx/Kc
+    carry); k_diag: (N,) prior diag of the shared kernel at test points.
+    """
+    n = Kx.shape[0]
+    T = B.shape[0]
+    C, mf = _icm_system(Kx, B, noise_var_t, mask, noise_scale, jitter)
+    y = np.asarray(Y, np.float64).reshape(-1)[mf]
+    L = np.linalg.cholesky(C)
+    alpha = sla.cho_solve((L, True), y)
+    N = Kc.shape[1]
+    means = np.zeros((N, T))
+    vars_ = np.zeros((N, T))
+    Bf = np.asarray(B, np.float64)
+    for t in range(T):
+        # flattened cross-covariance rows (i, s) → trait t at test points
+        cross = np.kron(np.asarray(Kc, np.float64), Bf[:, t : t + 1])[mf]
+        means[:, t] = cross.T @ alpha
+        V = sla.solve_triangular(L, cross, lower=True)
+        vars_[:, t] = Bf[t, t] * np.asarray(k_diag, np.float64) - np.sum(
+            V * V, axis=0
+        )
+    return means, vars_

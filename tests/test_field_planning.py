@@ -193,7 +193,7 @@ def test_multi_trait_synthetic_field():
     assert env.traits.shape == (48, 3)
     assert env.num_traits == 3
     np.testing.assert_array_equal(env.traits[:, 0], env.f)
-    idx, Y, scale = env.collect_traits([1, 5, 9], "cheap")
+    idx, Y, scale, obs = env.collect_traits([1, 5, 9], "cheap")
     assert Y.shape == (3, 3) and (scale > 1).all()
     r = env.rmse_traits(np.zeros((48, 3)))
     assert len(r) == 3 and all(np.isfinite(r))
@@ -229,7 +229,7 @@ def test_multi_trait_table_and_fit_multi(tmp_path):
     from algp_tpu.config import FitConfig
     from algp_tpu.ops.kernels import KernelSpec
 
-    idx, Y, _ = env.collect_traits(np.arange(0, 30, 2), "precise")
+    idx, Y, _, _ = env.collect_traits(np.arange(0, 30, 2), "precise")
     spec = KernelSpec("rbf", ds=2)
     res = gp_mod.fit_multi(
         spec, FitConfig(iters=30, restarts=2),

@@ -329,3 +329,60 @@ def test_tpu_fit_multi_matches_individual_fits():
             np.asarray(single.params.log_ls_spatial),
             rtol=2e-3, atol=2e-3,
         )
+
+
+def test_tpu_icm_matches_f64_oracle():
+    """Coregionalized multi-trait GP ON THE TPU vs the f64 oracle: the
+    joint nT×nT kron system's f32 Cholesky + the per-trait posterior.
+    This seed family (dense structured covariances at f32) is exactly
+    where TPU-only breakage has appeared before (the k-center K_zz NaN
+    class), so it gets its own hardware pin."""
+    from algp_tpu.models import coregional as icm_mod
+
+    rng = np.random.default_rng(41)
+    n, T = 48, 3
+    x = rng.uniform(0, 10, (n, 2)).astype(np.float32)
+    xs = rng.uniform(0, 10, (30, 2)).astype(np.float32)
+    A = rng.standard_normal((T, 2)) * 0.6
+    B = A @ A.T + np.diag(rng.uniform(0.3, 0.8, T))
+    nv_t = rng.uniform(0.01, 0.05, T)
+    Kx = oracle.gram(x.astype(np.float64), x.astype(np.float64),
+                     spatial_kind="rbf", ds=2, ls_spatial=2.0)
+    C = np.kron(Kx, B) + np.diag(np.tile(nv_t, n))
+    Y = (np.linalg.cholesky(C + 1e-10 * np.eye(n * T))
+         @ rng.standard_normal(n * T)).reshape(n, T)
+    mask = rng.uniform(size=(n, T)) > 0.3
+    mask[:, 0] = True
+    mask[0] = True
+
+    spec = KernelSpec("rbf", ds=2, df=0)
+    kp = spec.init_params(ls_spatial=2.0, outputscale=1.0, noise=0.1)
+    kappa = np.full(T, -12.0)
+    Af = np.linalg.cholesky(B - np.diag(np.exp(kappa)))
+    params = icm_mod.ICMParams(
+        kernel=kp,
+        coreg_a=jnp.asarray(Af, jnp.float32),
+        log_coreg_kappa=jnp.asarray(kappa, jnp.float32),
+        log_noise_t=jnp.asarray(0.5 * np.log(nv_t), jnp.float32),
+    )
+    Bdev = np.asarray(icm_mod.trait_cov(params), np.float64)
+    got_nll = float(icm_mod.neg_mll_icm(
+        spec, params, jnp.asarray(x), jnp.asarray(Y, jnp.float32),
+        jnp.asarray(mask), min_noise=1e-4, jitter=0.0,
+    ))
+    want_nll = oracle.icm_nll(Kx, Bdev, Y, nv_t, mask)
+    assert got_nll == pytest.approx(want_nll, rel=5e-4, abs=5e-3)
+
+    post = icm_mod.posterior_icm(
+        spec, params, jnp.asarray(x), jnp.asarray(Y, jnp.float32),
+        jnp.asarray(mask), min_noise=1e-4, jitter=0.0,
+    )
+    mean, var = icm_mod.predict_icm(spec, params, post, jnp.asarray(xs))
+    mean, var = np.asarray(mean), np.asarray(var)  # forces completion
+    Kc = oracle.gram(x.astype(np.float64), xs.astype(np.float64),
+                     spatial_kind="rbf", ds=2, ls_spatial=2.0)
+    want_m, want_v = oracle.icm_posterior(
+        Kx, Kc, np.ones(len(xs)), Bdev, Y, nv_t, mask
+    )
+    np.testing.assert_allclose(mean, want_m, atol=2e-3)
+    np.testing.assert_allclose(var, want_v, atol=2e-3)

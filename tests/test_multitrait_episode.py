@@ -155,3 +155,132 @@ def _table_value_cols(path):
     df = pd.read_csv(path)
     return [c for c in df.columns
             if c not in ("row", "range") and not c.startswith("feat_")]
+
+
+def test_trait_corr_mixing_and_planning_trait_unchanged():
+    """FieldConfig.trait_corr mixes the synthetic trait draws through the
+    equicorrelation Cholesky factor: trait 0 is unchanged (its factor row
+    is e0 — the planning stream keeps its bits) and secondary traits gain
+    the requested correlation with it."""
+    cfg0 = _cfg(3)
+    cfgc = dataclasses.replace(
+        cfg0, field=dataclasses.replace(cfg0.field, trait_corr=0.8)
+    )
+    env0 = FieldEnv(cfg0.field, cfg0.kernel)
+    envc = FieldEnv(cfgc.field, cfgc.kernel)
+    np.testing.assert_array_equal(env0.traits[:, 0], envc.traits[:, 0])
+    for t in (1, 2):
+        r0 = np.corrcoef(env0.traits[:, 0], env0.traits[:, t])[0, 1]
+        rc = np.corrcoef(envc.traits[:, 0], envc.traits[:, t])[0, 1]
+        assert rc > max(r0, 0.5), (t, r0, rc)
+    bad = dataclasses.replace(
+        cfg0, field=dataclasses.replace(cfg0.field, trait_corr=1.5)
+    )
+    with pytest.raises(ValueError, match="trait_corr"):
+        FieldEnv(bad.field, bad.kernel)
+
+
+def test_multitrait_episode_icm_family():
+    """FitConfig.multi_fit='icm' swaps the end-of-episode per-trait family
+    for the coregionalized joint GP: same planning decisions (the swap
+    only touches the final evaluation), finite per-trait RMSE, and on a
+    correlated field the ICM must not be worse than independent fits
+    (same sampled plots, all traits fully observed — parity regime)."""
+    base = _cfg(2)
+    base = dataclasses.replace(
+        base, field=dataclasses.replace(base.field, trait_corr=0.9)
+    )
+    ind = Agent(FieldEnv(base.field, base.kernel), base).run()
+    cfg_icm = dataclasses.replace(
+        base, fit=dataclasses.replace(base.fit, multi_fit="icm")
+    )
+    icm = Agent(FieldEnv(cfg_icm.field, cfg_icm.kernel), cfg_icm).run()
+    np.testing.assert_array_equal(
+        ind.state.sampled_idx, icm.state.sampled_idx
+    )
+    assert np.isfinite(icm.trait_rmse).all()
+    assert np.isfinite(icm.trait_rmse_test).all()
+    # full observation + correlated truth: ICM is at worst ~neutral
+    assert np.mean(icm.trait_rmse_test) < np.mean(ind.trait_rmse_test) * 1.15
+
+
+def test_multi_fit_validated():
+    cfg = _cfg(2)
+    cfg = dataclasses.replace(
+        cfg, fit=dataclasses.replace(cfg.fit, multi_fit="bogus")
+    )
+    with pytest.raises(ValueError, match="multi_fit"):
+        Agent(FieldEnv(cfg.field, cfg.kernel), cfg)
+
+
+def test_trait_obs_frac_under_observation():
+    """FieldConfig.trait_obs_frac < 1: secondary traits are measured at
+    only a fraction of visited plots — trait 0 always measured, NaN marks
+    the skipped cells (the mask IS the NaN pattern), and the episode's
+    final per-trait evaluation handles partial buffers in BOTH families
+    (ragged independent fits; masked ICM)."""
+    base = _cfg(3)
+    cfgf = dataclasses.replace(
+        base,
+        field=dataclasses.replace(base.field, trait_corr=0.8,
+                                  trait_obs_frac=0.4),
+    )
+    env = FieldEnv(cfgf.field, cfgf.kernel)
+    idx, Y, scale, obs = env.collect_traits(np.arange(0, env.n, 3))
+    assert obs[:, 0].all() and not obs[:, 1:].all()
+    np.testing.assert_array_equal(np.isnan(Y), ~obs)
+    assert 0.1 < obs[:, 1:].mean() < 0.8
+
+    # independent family: ragged per-trait fallback
+    r_ind = Agent(FieldEnv(cfgf.field, cfgf.kernel), cfgf).run()
+    assert np.isfinite(r_ind.trait_rmse_test).all()
+    assert np.isnan(r_ind.state.y_traits[:, 1:]).any()
+    assert not np.isnan(r_ind.state.y_traits[:, 0]).any()
+    # ICM family on the same campaign
+    cfg_icm = dataclasses.replace(
+        cfgf, fit=dataclasses.replace(cfgf.fit, multi_fit="icm")
+    )
+    r_icm = Agent(FieldEnv(cfg_icm.field, cfg_icm.kernel), cfg_icm).run()
+    np.testing.assert_array_equal(
+        r_ind.state.sampled_idx, r_icm.state.sampled_idx
+    )
+    assert np.isfinite(r_icm.trait_rmse_test).all()
+
+
+def test_trait_obs_frac_resume_exact(tmp_path):
+    """The NaN observation pattern must survive checkpoint/resume: a
+    resumed under-observed campaign reproduces the uninterrupted one
+    cell-for-cell (env rng state carries the Bernoulli stream)."""
+    base = _cfg(2)
+    cfgf = dataclasses.replace(
+        base,
+        field=dataclasses.replace(base.field, trait_obs_frac=0.5),
+        fit=dataclasses.replace(base.fit, multi_fit="icm"),
+    )
+    full = Agent(FieldEnv(cfgf.field, cfgf.kernel), cfgf).run()
+    half = Agent(FieldEnv(cfgf.field, cfgf.kernel), cfgf).run(max_steps=2)
+    path = str(tmp_path / "uo.npz")
+    ckpt.save(path, half.state)
+    resumed = Agent(FieldEnv(cfgf.field, cfgf.kernel), cfgf).run(
+        resume_from=ckpt.load(path))
+    np.testing.assert_array_equal(
+        resumed.state.sampled_idx, full.state.sampled_idx)
+    np.testing.assert_array_equal(
+        np.isnan(resumed.state.y_traits), np.isnan(full.state.y_traits))
+    np.testing.assert_array_equal(
+        np.nan_to_num(resumed.state.y_traits),
+        np.nan_to_num(full.state.y_traits))
+    assert resumed.trait_rmse == pytest.approx(full.trait_rmse, abs=1e-6)
+
+
+def test_trait_obs_frac_default_stream_unchanged():
+    """trait_obs_frac=1.0 must not consume extra rng draws: the trait
+    measurement stream keeps its bits vs a config without the field."""
+    base = _cfg(2)
+    env_a = FieldEnv(base.field, base.kernel)
+    env_b = FieldEnv(
+        dataclasses.replace(base.field, trait_obs_frac=1.0), base.kernel
+    )
+    _, Ya, _, _ = env_a.collect_traits([1, 5, 9])
+    _, Yb, _, _ = env_b.collect_traits([1, 5, 9])
+    np.testing.assert_array_equal(Ya, Yb)
