@@ -85,6 +85,18 @@ class FieldEnv:
     """
 
     def __init__(self, cfg: FieldConfig, spec: Optional[KernelSpec] = None):
+        # validate pure-config ranges BEFORE any synthesis — a bad value
+        # must not fail only after the (potentially ~13 GB / minutes-of-
+        # remote-compile) field draw, or silently no-op past a gate
+        if not 0.0 <= cfg.trait_corr < 1.0:
+            raise ValueError(
+                f"trait_corr must be in [0, 1) (got {cfg.trait_corr})"
+            )
+        if not 0.0 < cfg.trait_obs_frac <= 1.0:
+            raise ValueError(
+                f"trait_obs_frac must be in (0, 1] (got "
+                f"{cfg.trait_obs_frac})"
+            )
         self.cfg = cfg
         self.num_rows = cfg.num_rows
         self.num_cols = cfg.num_cols
@@ -205,11 +217,8 @@ class FieldEnv:
                 # equicorrelation matrix — exactly the ICM generative
                 # family (models.coregional) with B = R Rᵀ.  The factor's
                 # first row is e₀, so trait 0 (the planning trait) is
-                # unchanged by the mixing.
-                if not (0.0 <= cfg.trait_corr < 1.0):
-                    raise ValueError(
-                        f"trait_corr must be in [0, 1) (got {cfg.trait_corr})"
-                    )
+                # unchanged by the mixing.  (Range validated at env
+                # construction, BEFORE the expensive synthesis.)
                 Rho = np.full((T, T), cfg.trait_corr, np.float64)
                 np.fill_diagonal(Rho, 1.0)
                 Rt = np.linalg.cholesky(Rho).T.astype(np.float32)
@@ -447,10 +456,7 @@ class FieldEnv:
         frac = self.cfg.trait_obs_frac
         obs = np.ones((len(idx), self.num_traits), bool)
         if self.num_traits > 1 and frac < 1.0:
-            if not 0.0 < frac <= 1.0:
-                raise ValueError(
-                    f"trait_obs_frac must be in (0, 1] (got {frac})"
-                )
+            # range validated at env construction (__init__)
             obs[:, 1:] = (
                 self._rng.uniform(size=(len(idx), self.num_traits - 1))
                 < frac

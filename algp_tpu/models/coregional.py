@@ -196,6 +196,19 @@ def make_icm_inits(
     k_kernel, k_coreg = jax.random.split(key)
     cfg_os1 = dataclasses.replace(cfg, init_outputscale=1.0)
     kernel_inits = gp_mod.make_restart_inits(spec, cfg_os1, k_kernel)
+    # the fit stop-gradients log_outputscale/log_noise, so whatever a
+    # restart STARTS with is where it stays — pin both to the restart-0
+    # values across ALL restarts (make_restart_inits perturbs every
+    # leaf), otherwise a winning perturbed restart would carry a random
+    # frozen outputscale and B's diagonal would no longer read as the
+    # per-trait signal variance
+    kernel_inits = dataclasses.replace(
+        kernel_inits,
+        log_outputscale=jnp.zeros_like(kernel_inits.log_outputscale),
+        log_noise=jnp.full_like(
+            kernel_inits.log_noise, jnp.log(cfg.init_noise)
+        ),
+    )
 
     a0 = jnp.full((T, rank), 0.3 / np.sqrt(rank), jnp.float32)
     lk0 = jnp.full((T,), jnp.log(0.5), jnp.float32)
@@ -361,6 +374,26 @@ def posterior_icm(
     )
 
 
+@partial(jax.jit, static_argnames=("spec",))
+def predict_icm_mean(
+    spec: KernelSpec,
+    params: ICMParams,
+    post: ICMPosterior,
+    x_test: jax.Array,
+) -> jax.Array:
+    """Per-trait posterior MEANS at `x_test`, (N, T) — one (n, N)
+    cross-Gram + one matmul for every trait at once:
+    μ[j, t] = Σ_{i,s} k(x_i, x*_j)·B[s, t]·α[i, s] = (K_cᵀ (α_mat B))[j, t].
+    The variance path (predict_icm) additionally runs one (nT, N)
+    panel-blocked trisolve PER TRAIT — skip it when only means are
+    consumed (the end-of-episode RMSE evaluation)."""
+    n = post.x.shape[0]
+    T = post.B.shape[0]
+    Kc = gram(spec, params.kernel, post.x, x_test)  # (n, N)
+    amat = post.alpha.reshape(n, T)
+    return Kc.T @ (amat @ post.B)  # (N, T)
+
+
 @partial(jax.jit, static_argnames=("spec", "block"))
 def predict_icm(
     spec: KernelSpec,
@@ -372,11 +405,10 @@ def predict_icm(
 ) -> tuple[jax.Array, jax.Array]:
     """Per-trait posterior mean and variance at `x_test`: (N, T) each.
 
-    Means for ALL traits cost one (n, N) cross-Gram + one matmul:
-    μ[j, t] = Σ_{i,s} k(x_i, x*_j)·B[s, t]·α[i, s] = (K_cᵀ (α_mat B))[j, t].
-    Variances run one panel-blocked (nT, N) trisolve per trait (T is a
-    handful; chunk the test axis at the call site for ≥100k-point grids —
-    V is materialized at nT·N floats per trait).
+    Means as in `predict_icm_mean`.  Variances run one panel-blocked
+    (nT, N) trisolve per trait (T is a handful; chunk the test axis at
+    the call site for ≥100k-point grids — V is materialized at nT·N
+    floats per trait).
     """
     n = post.x.shape[0]
     T = post.B.shape[0]
@@ -409,12 +441,18 @@ def fit_predict_icm(
     *,
     rank: int = 1,
     test_chunk: int = 65536,
-) -> tuple[jax.Array, jax.Array, ICMFitResult]:
+    compute_var: bool = True,
+) -> tuple[jax.Array, Optional[jax.Array], ICMFitResult]:
     """fit_icm + posterior + per-trait prediction, chunking the test axis
-    so the (nT, N)-per-trait trisolve buffers stay bounded on big grids
-    (every chunk shares one compiled program; the last is zero-padded to
-    the chunk size and trimmed — bit-identical per column, matmul/trisolve
-    columns are independent)."""
+    so the per-chunk buffers stay bounded on big grids (every chunk
+    shares one compiled program; the last is zero-padded to the chunk
+    size and trimmed — bit-identical per column, matmul/trisolve columns
+    are independent).
+
+    compute_var=False skips the T per-trait (nT, chunk) trisolves and
+    returns (means, None, res) — the right call when only mean fields
+    are consumed (the end-of-episode RMSE evaluation): the variance pass
+    dominates the eval cost and its transients scale with nT·chunk·T."""
     res = fit_icm(
         spec, cfg, x, Y, obs_mask, noise_scale, key, rank=rank
     )
@@ -423,8 +461,14 @@ def fit_predict_icm(
         min_noise=cfg.min_noise, jitter=cfg.jitter,
     )
     N = x_test.shape[0]
+
+    def one(chunk):
+        if compute_var:
+            return predict_icm(spec, res.params, post, chunk)
+        return predict_icm_mean(spec, res.params, post, chunk), None
+
     if N <= test_chunk:
-        mean, var = predict_icm(spec, res.params, post, x_test)
+        mean, var = one(x_test)
         return mean, var, res
     means, vars_ = [], []
     for s in range(0, N, test_chunk):
@@ -434,9 +478,11 @@ def fit_predict_icm(
             chunk = jnp.concatenate(
                 [chunk, jnp.zeros((pad, x_test.shape[1]), x_test.dtype)]
             )
-        m, v = predict_icm(spec, res.params, post, chunk)
+        m, v = one(chunk)
         if pad:
-            m, v = m[:-pad], v[:-pad]
+            m = m[:-pad]
+            v = v[:-pad] if v is not None else None
         means.append(m)
         vars_.append(v)
-    return jnp.concatenate(means), jnp.concatenate(vars_), res
+    var = jnp.concatenate(vars_) if compute_var else None
+    return jnp.concatenate(means), var, res

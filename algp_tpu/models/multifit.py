@@ -64,21 +64,41 @@ def multitrait_mean_fields(
         from algp_tpu.models import coregional as icm_mod
 
         obs = jnp.asarray(obs_visit & observed_traits[idx])
+        # compute_var=False: only mean fields are consumed here — the
+        # variance pass would add T (nT, chunk) trisolves per chunk for
+        # nothing (and its transients matter at ≥100k-point grids)
         mean, _, _ = icm_mod.fit_predict_icm(
             spec, fitcfg, x, Y, X_all, obs, noise_scale=ns, key=key,
-            rank=fitcfg.icm_rank,
+            rank=fitcfg.icm_rank, compute_var=False,
         )
         return np.asarray(mean)
     if fitcfg.multi_fit != "independent":
+        from algp_tpu.config import MULTI_FITS
+
         raise ValueError(
-            f"unknown multi_fit {fitcfg.multi_fit!r}; "
-            "use 'independent' or 'icm'"
+            f"unknown multi_fit {fitcfg.multi_fit!r}; use {MULTI_FITS}"
         )
 
     if not obs_visit.all():
         means = []
         for t in range(T):
             sub = np.flatnonzero(obs_visit[:, t])
+            if len(sub) < 2:
+                # a campaign can legitimately end with (almost) no
+                # observations of a rarely-measured trait — the
+                # independent fit then returns the (near-)prior mean
+                # field, which would silently score as a fitted model.
+                # Warn loudly; the ICM family handles this case by
+                # transferring the correlated dense traits instead.
+                import warnings
+
+                warnings.warn(
+                    f"trait {t} has only {len(sub)} observed cell(s); "
+                    "its independent posterior is (near-)prior — "
+                    "consider multi_fit='icm', which transfers "
+                    "correlated traits",
+                    RuntimeWarning,
+                )
             xs = X_all[jnp.asarray(idx[sub])]
             ys = jnp.asarray(Y_np[sub, t], jnp.float32)
             nss = (

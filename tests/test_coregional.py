@@ -261,3 +261,44 @@ def test_icm_chunked_predict_equals_monolithic(rng):
     )
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_icm_inits_pin_kernel_scale_across_all_restarts(rng):
+    """The fit freezes kernel log_outputscale/log_noise by stop-gradient,
+    so every restart must START at the canonical values (0, log
+    init_noise) — a perturbed frozen outputscale would silently rescale B
+    on whichever restart wins (review finding)."""
+    cfg = FitConfig(iters=5, restarts=4, perturb=0.7)
+    inits = icm.make_icm_inits(KernelSpec("rbf", ds=2, df=0), cfg, 3, 2,
+                               jax.random.PRNGKey(9))
+    np.testing.assert_array_equal(
+        np.asarray(inits.kernel.log_outputscale), np.zeros(4)
+    )
+    np.testing.assert_allclose(
+        np.asarray(inits.kernel.log_noise),
+        np.full(4, np.log(cfg.init_noise)), rtol=1e-6,
+    )
+    # the coregional/lengthscale leaves DO perturb (restart diversity)
+    assert np.ptp(np.asarray(inits.coreg_a), axis=0).max() > 0
+    assert np.ptp(np.asarray(inits.kernel.log_ls_spatial)) > 0
+
+
+def test_icm_mean_only_predict_matches_full(rng):
+    x, Y, mask, _, _ = _setup(rng, n=16, T=2)
+    xs = rng.uniform(0.0, 6.0, size=(37, 2)).astype(np.float32)
+    spec = KernelSpec("rbf", ds=2, df=0)
+    cfg = FitConfig(iters=20, restarts=1)
+    args = (spec, cfg, jnp.asarray(x), jnp.asarray(Y), jnp.asarray(xs),
+            jnp.asarray(mask))
+    m1, v1, _ = icm.fit_predict_icm(*args, key=jax.random.PRNGKey(0))
+    m2, v2, _ = icm.fit_predict_icm(
+        *args, key=jax.random.PRNGKey(0), compute_var=False
+    )
+    assert v2 is None and v1 is not None
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    # chunked mean-only path too
+    m3, v3, _ = icm.fit_predict_icm(
+        *args, key=jax.random.PRNGKey(0), compute_var=False, test_chunk=16
+    )
+    assert v3 is None
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m3))

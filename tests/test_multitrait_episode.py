@@ -284,3 +284,43 @@ def test_trait_obs_frac_default_stream_unchanged():
     _, Ya, _, _ = env_a.collect_traits([1, 5, 9])
     _, Yb, _, _ = env_b.collect_traits([1, 5, 9])
     np.testing.assert_array_equal(Ya, Yb)
+
+
+def test_trait_obs_frac_validated_at_construction():
+    """Out-of-range trait_obs_frac/trait_corr must fail at ENV
+    CONSTRUCTION (pure config), not after an expensive synthesis or —
+    worse — silently no-op past the `frac < 1` gate (review finding:
+    --trait-obs-frac 25 read as percent used to run with full
+    observation while the record claimed under-observation)."""
+    base = _cfg(2)
+    for frac in (25.0, 0.0, -0.1):
+        bad = dataclasses.replace(
+            base, field=dataclasses.replace(base.field, trait_obs_frac=frac)
+        )
+        with pytest.raises(ValueError, match="trait_obs_frac"):
+            FieldEnv(bad.field, bad.kernel)
+
+
+def test_zero_observation_trait_warns():
+    """The ragged independent fallback warns when a trait ends with < 2
+    observed cells (its posterior is the prior — a silently
+    legitimate-looking RMSE otherwise; review finding)."""
+    import warnings
+
+    import jax as _jax
+
+    from algp_tpu.models.multifit import multitrait_mean_fields
+
+    base = _cfg(2)
+    env = FieldEnv(base.field, base.kernel)
+    idx = np.arange(0, env.n, 4)
+    _, Y, ns, _ = env.collect_traits(idx)
+    Y[:, 1] = np.nan  # trait 1 never measured
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        M = multitrait_mean_fields(
+            base.kernel, base.fit, env.X, idx, Y, ns,
+            env.observed_traits, _jax.random.PRNGKey(0),
+        )
+    assert any("observed cell" in str(x.message) for x in w)
+    assert M.shape == (env.n, 2)
