@@ -28,7 +28,8 @@ handful of compiled programs regardless of round count.
     python benchmarks/icm_planning_study.py [--seeds 10] [--cpu]
         [--json benchmarks/icm_planning_rNN.json]
 
-Prints one JSON line per (seed, arm) and a paired summary.
+Prints one JSON line per seed (all three arms' fields) and a paired
+summary.
 """
 
 from __future__ import annotations
@@ -88,7 +89,9 @@ def main() -> None:
         """One greedy campaign; returns (final per-trait test RMSE,
         realized secondary-trait observation fraction)."""
         n = env.n
-        d = env.X.shape[1]
+        X_np = np.asarray(env.X)  # ONE whole-field fetch per arm —
+        # per-plot device reads would pay the ~27 ms relay floor each
+        d = X_np.shape[1]
         xpad = np.zeros((cap, d), np.float32)
         Ypad = np.zeros((cap, T), np.float32)
         mpad = np.zeros((cap, T), bool)
@@ -96,7 +99,7 @@ def main() -> None:
         visited = np.zeros(n, bool)
 
         def ingest(slot, i):
-            xpad[slot] = np.asarray(env.X[i])
+            xpad[slot] = X_np[i]
             Ypad[slot] = np.where(miss[i], Y_all[i], 0.0)
             mpad[slot] = miss[i]
             nspad[slot] = ns_all[i]
@@ -155,21 +158,23 @@ def main() -> None:
     for seed in range(args.seeds):
         fieldc = FieldConfig(
             num_rows=args.rows, num_cols=args.cols, true_ls_spatial=6.0,
-            num_traits=T, trait_corr=args.trait_corr, seed=seed,
+            num_traits=T, trait_corr=args.trait_corr,
+            trait_obs_frac=args.obs_frac, seed=seed,
         )
         env = FieldEnv(fieldc, spec)
-        # pre-draw EVERYTHING per plot so arms pair exactly: measurement
-        # noise (one collect over the whole grid) and secondary-trait
-        # missingness (per-plot Bernoulli, trait 0 always observed)
-        _, Y_all, ns_all, _ = env.collect_traits(
+        if cap > env.n:
+            raise ValueError(
+                f"pilot+picks = {cap} exceeds the {env.n}-plot grid"
+            )
+        # pre-draw EVERYTHING per plot so arms pair exactly: ONE collect
+        # over the whole grid fixes the measurement noise AND the
+        # per-plot secondary-trait missingness (the env's own
+        # trait_obs_frac machinery — trait 0 always observed) regardless
+        # of which order an arm visits plots in
+        _, Y_all, ns_all, miss = env.collect_traits(
             np.arange(env.n), "precise"
         )
-        miss_rng = np.random.default_rng(7000 + seed)
-        miss = np.ones((env.n, T), bool)
-        if T > 1:
-            miss[:, 1:] = (
-                miss_rng.uniform(size=(env.n, T - 1)) < args.obs_frac
-            )
+        miss = np.asarray(miss, bool)
         pilot_rng = np.random.default_rng(1000 + seed)
         pilot_idx = np.sort(
             pilot_rng.choice(env.n, args.pilot, replace=False)
@@ -188,7 +193,7 @@ def main() -> None:
         print(json.dumps(rec), flush=True)
 
     summary = {
-        "picks": args.picks, "pilot": args.pilot,
+        "seeds": len(records), "picks": args.picks, "pilot": args.pilot,
         "obs_frac": args.obs_frac, "trait_corr": args.trait_corr,
         "traits": T,
     }

@@ -302,3 +302,103 @@ def test_icm_mean_only_predict_matches_full(rng):
     )
     assert v3 is None
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m3))
+
+
+def test_icm_oracle_fuzz():
+    """Randomized ICM ≡ f64-oracle contract (the repo's fuzz-suite style
+    for the newest model family): random n/T/d, kernel kind, lengthscale,
+    trait covariance, observation-mask pattern, heteroscedastic
+    noise_scale, and num_valid padding — every draw must match
+    `oracle.icm_nll` and `oracle.icm_posterior` on the dense sub-problem
+    over observed (plot, trait) cells (the identity-padding contract)."""
+    master = np.random.default_rng(20260819)
+    for draw in range(8):
+        rng = np.random.default_rng(int(master.integers(2**31)))
+        n = int(rng.integers(8, 26))
+        T = int(rng.integers(1, 5))
+        d = int(rng.integers(1, 4))
+        kind = str(rng.choice(["rbf", "matern32", "matern52"]))
+        ls = float(rng.uniform(0.9, 2.5))
+        rank = int(rng.integers(1, T + 1))
+        A = rng.standard_normal((T, rank)) * 0.6
+        B = A @ A.T + np.diag(rng.uniform(0.3, 0.8, T))
+        nv_t = rng.uniform(0.01, 0.05, T)
+        x = rng.uniform(0.0, 6.0, size=(n, d)).astype(np.float32)
+        C64 = np.kron(
+            oracle.gram(x.astype(np.float64), x.astype(np.float64),
+                        spatial_kind=kind, ds=d, ls_spatial=ls),
+            B,
+        ) + np.diag(np.tile(nv_t, n))
+        Y = (np.linalg.cholesky(C64 + 1e-10 * np.eye(n * T))
+             @ rng.standard_normal(n * T)).reshape(n, T).astype(np.float32)
+        mask = rng.uniform(size=(n, T)) > rng.uniform(0.0, 0.5)
+        mask[0, 0] = True  # at least one observed cell
+        ns = (rng.uniform(0.5, 3.0, n).astype(np.float32)
+              if draw % 2 else None)
+        spec = KernelSpec(kind, ds=d, df=0)
+        kp = spec.init_params(ls_spatial=ls, outputscale=1.0, noise=0.1)
+        Lb = np.linalg.cholesky(B - np.diag(np.full(T, np.exp(-12.0))))
+        params = icm.ICMParams(
+            kernel=kp,
+            coreg_a=jnp.asarray(Lb, jnp.float32),
+            log_coreg_kappa=jnp.full((T,), -12.0, jnp.float32),
+            log_noise_t=jnp.asarray(0.5 * np.log(nv_t), jnp.float32),
+        )
+        Bdev = np.asarray(icm.trait_cov(params), np.float64)
+
+        # optionally pad with junk rows behind num_valid
+        pad = int(rng.integers(0, 5)) if draw % 3 == 0 else 0
+        if pad:
+            xj = rng.uniform(0.0, 6.0, size=(pad, d)).astype(np.float32)
+            xp = np.concatenate([x, xj])
+            Yp = np.concatenate(
+                [Y, rng.standard_normal((pad, T)).astype(np.float32)]
+            )
+            mp = np.concatenate([mask, np.ones((pad, T), bool)])
+            nsp = (np.concatenate([ns, np.ones(pad, np.float32)])
+                   if ns is not None else None)
+            nv_arg = jnp.asarray(n, jnp.int32)
+        else:
+            xp, Yp, mp, nsp, nv_arg = x, Y, mask, ns, None
+
+        got_nll = float(icm.neg_mll_icm(
+            spec, params, jnp.asarray(xp), jnp.asarray(Yp),
+            jnp.asarray(mp),
+            None if nsp is None else jnp.asarray(nsp),
+            min_noise=1e-4, jitter=0.0, num_valid=nv_arg,
+        ))
+        Kx = oracle.gram(x.astype(np.float64), x.astype(np.float64),
+                         spatial_kind=kind, ds=d, ls_spatial=ls)
+        want_nll = oracle.icm_nll(Kx, Bdev, Y, nv_t, mask, ns)
+        assert got_nll == pytest.approx(want_nll, rel=3e-4, abs=3e-3), (
+            f"draw {draw}: n={n} T={T} d={d} {kind}"
+        )
+
+        N = int(rng.integers(5, 13))
+        xs = rng.uniform(0.0, 6.0, size=(N, d)).astype(np.float32)
+        post = icm.posterior_icm(
+            spec, params, jnp.asarray(xp), jnp.asarray(Yp),
+            jnp.asarray(mp),
+            None if nsp is None else jnp.asarray(nsp),
+            min_noise=1e-4, jitter=0.0, num_valid=nv_arg,
+        )
+        mean, var = icm.predict_icm(spec, params, post, jnp.asarray(xs))
+        Kc = oracle.gram(x.astype(np.float64), xs.astype(np.float64),
+                         spatial_kind=kind, ds=d, ls_spatial=ls)
+        want_m, want_v = oracle.icm_posterior(
+            Kx, Kc, np.ones(N), Bdev, Y, nv_t, mask, ns
+        )
+        np.testing.assert_allclose(
+            np.asarray(mean), want_m, rtol=0, atol=1e-3,
+            err_msg=f"draw {draw} mean",
+        )
+        np.testing.assert_allclose(
+            np.asarray(var), want_v, rtol=0, atol=1e-3,
+            err_msg=f"draw {draw} var",
+        )
+        # the mean-only fast path agrees with the full predict
+        m2 = icm.predict_icm_mean(spec, params, post, jnp.asarray(xs))
+        np.testing.assert_allclose(
+            np.asarray(m2), np.asarray(mean), rtol=0, atol=1e-6,
+            err_msg=f"draw {draw} mean-only",
+        )
