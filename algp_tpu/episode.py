@@ -1275,6 +1275,7 @@ class Agent:
             np.asarray(st.sampled_idx), st.y_traits, st.noise_scale,
             self.env.observed_traits,
             jax.random.PRNGKey(self.cfg.episode.seed),
+            mesh=self.mesh,
         )
         return (self.env.rmse_traits(M),
                 self.env.rmse_traits(M, test_only=True))

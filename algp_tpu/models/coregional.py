@@ -279,6 +279,29 @@ def _fit_icm_jit(spec, cfg, x, Y, obs_mask, noise_scale, inits,
     )
 
 
+def _shard_restart_inputs(mesh, inits, *arrays):
+    """DP over restarts: shard the restart-leading init pytree across the
+    mesh's 'restarts' axis and replicate the (tiny) training buffers —
+    the ICM analog of parallel.sharded.sharded_fit.  Each device subset
+    runs its restarts locally; the only cross-device traffic is the final
+    NLL argmin.  Falls back to replication when the restart count does
+    not divide the axis (e.g. 3 restarts on a 2-wide axis)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    r_axis = mesh.shape.get("restarts", 1)
+    n_restarts = int(inits.coreg_a.shape[0])
+    spec_r = (
+        P("restarts") if r_axis > 1 and n_restarts % r_axis == 0 else P()
+    )
+    shard = NamedSharding(mesh, spec_r)
+    inits = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, shard), inits
+    )
+    out = [None if a is None else jax.device_put(a, rep) for a in arrays]
+    return (inits, *out)
+
+
 def fit_icm(
     spec: KernelSpec,
     cfg: FitConfig,
@@ -290,6 +313,7 @@ def fit_icm(
     *,
     rank: int = 1,
     num_valid: Optional[jax.Array] = None,
+    mesh=None,
 ) -> ICMFitResult:
     """Multi-restart joint MLL fit of the ICM.  One jitted program
     (vmap over `cfg.restarts` inits × scan over `cfg.iters` steps through
@@ -300,9 +324,18 @@ def fit_icm(
                plot i (the table loader's `observed_traits`); None = all.
     rank     : r of B = A Aᵀ + diag(κ); rank 1 is the classic ICM and is
                usually enough for a handful of correlated traits.
+    mesh     : optional jax.sharding.Mesh with a 'restarts' axis — the
+               restart batch shards across it (DP, exactly like the exact
+               GP's parallel.sharded.sharded_fit); None = single device.
     """
     T = Y.shape[1]
     inits = make_icm_inits(spec, cfg, T, rank, key)
+    if mesh is not None:
+        inits, x, Y, obs_mask, noise_scale, num_valid = (
+            _shard_restart_inputs(
+                mesh, inits, x, Y, obs_mask, noise_scale, num_valid
+            )
+        )
     return _fit_icm_jit(
         spec, cfg, x, Y, obs_mask, noise_scale, inits,
         obs_mask is not None, noise_scale is not None,
@@ -442,6 +475,7 @@ def fit_predict_icm(
     rank: int = 1,
     test_chunk: int = 65536,
     compute_var: bool = True,
+    mesh=None,
 ) -> tuple[jax.Array, Optional[jax.Array], ICMFitResult]:
     """fit_icm + posterior + per-trait prediction, chunking the test axis
     so the per-chunk buffers stay bounded on big grids (every chunk
@@ -452,9 +486,13 @@ def fit_predict_icm(
     compute_var=False skips the T per-trait (nT, chunk) trisolves and
     returns (means, None, res) — the right call when only mean fields
     are consumed (the end-of-episode RMSE evaluation): the variance pass
-    dominates the eval cost and its transients scale with nT·chunk·T."""
+    dominates the eval cost and its transients scale with nT·chunk·T.
+
+    mesh shards the fit's restart batch across the mesh's 'restarts'
+    axis (see fit_icm); posterior/prediction run replicated (they are a
+    single factorization + matmuls on the final parameters)."""
     res = fit_icm(
-        spec, cfg, x, Y, obs_mask, noise_scale, key, rank=rank
+        spec, cfg, x, Y, obs_mask, noise_scale, key, rank=rank, mesh=mesh
     )
     post = posterior_icm(
         spec, res.params, x, Y, obs_mask, noise_scale,

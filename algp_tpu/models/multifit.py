@@ -40,6 +40,7 @@ def multitrait_mean_fields(
     noise_scale: Optional[np.ndarray],
     observed_traits: np.ndarray,
     key: jax.Array,
+    mesh=None,
 ) -> np.ndarray:
     """Per-trait posterior mean fields, (N, T) host array.
 
@@ -48,6 +49,12 @@ def multitrait_mean_fields(
     Y_raw          : (n, T) measured traits; NaN = not measured that visit
     noise_scale    : (n,) heteroscedastic variance multipliers or None
     observed_traits: (N, T) ground-truth observation mask (env)
+    mesh           : optional device mesh — the ICM family shards its
+                     restart batch over the mesh's 'restarts' axis (the
+                     mesh episode's end-of-episode evaluation); the
+                     independent families run replicated (fit_multi is
+                     already one batched program; the ragged fallback is
+                     a host loop).
     """
     obs_visit = ~np.isnan(Y_raw)
     Y_np = np.nan_to_num(Y_raw, nan=0.0)
@@ -69,7 +76,7 @@ def multitrait_mean_fields(
         # nothing (and its transients matter at ≥100k-point grids)
         mean, _, _ = icm_mod.fit_predict_icm(
             spec, fitcfg, x, Y, X_all, obs, noise_scale=ns, key=key,
-            rank=fitcfg.icm_rank, compute_var=False,
+            rank=fitcfg.icm_rank, compute_var=False, mesh=mesh,
         )
         return np.asarray(mean)
     if fitcfg.multi_fit != "independent":

@@ -4,6 +4,7 @@ from algp_tpu.parallel import sharded_mi as sharded_mi  # noqa: F401
 from algp_tpu.parallel.sharded import (  # noqa: F401
     make_mesh,
     sharded_fit,
+    sharded_fit_icm,
     sharded_training_step,
 )
 from algp_tpu.parallel.sharded_mi import (  # noqa: F401

@@ -87,6 +87,31 @@ def sharded_fit(
     )
 
 
+def sharded_fit_icm(
+    mesh: Mesh,
+    spec: KernelSpec,
+    cfg: FitConfig,
+    x: jax.Array,
+    Y: jax.Array,
+    obs_mask=None,
+    noise_scale=None,
+    key=None,
+    *,
+    rank: int = 1,
+):
+    """Multi-restart coregionalized (ICM) fit with restarts sharded
+    across the mesh — the multi-trait family's analog of `sharded_fit`.
+    The (n, T) trait buffer and masks are replicated (tiny); only the
+    restart-leading init pytree shards, so each device subset optimizes
+    its restarts locally and the final NLL argmin is the one collective.
+    """
+    from algp_tpu.models import coregional as icm_mod
+
+    return icm_mod.fit_icm(
+        spec, cfg, x, Y, obs_mask, noise_scale, key, rank=rank, mesh=mesh
+    )
+
+
 def sharded_greedy_select(
     mesh: Mesh,
     spec: KernelSpec,

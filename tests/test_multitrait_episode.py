@@ -129,6 +129,34 @@ def test_multitrait_mesh_matches_single_chip():
     assert meshed.trait_rmse == pytest.approx(single.trait_rmse, abs=1e-5)
 
 
+def test_multitrait_icm_mesh_matches_single_chip():
+    """The ICM family over the mesh: the end-of-episode coregionalized
+    fit shards its restart batch across the mesh's 'restarts' axis
+    (models.coregional.fit_icm mesh path via multifit) — decisions AND
+    per-trait RMSE must match the single-chip ICM episode, including
+    under trait under-observation (the transfer regime the ICM exists
+    for)."""
+    from algp_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+    cfg = _cfg(3)
+    cfg = dataclasses.replace(
+        cfg,
+        fit=dataclasses.replace(cfg.fit, multi_fit="icm"),
+        field=dataclasses.replace(cfg.field, trait_corr=0.8,
+                                  trait_obs_frac=0.5),
+    )
+    single = Agent(FieldEnv(cfg.field, cfg.kernel), cfg).run()
+    mesh = make_mesh(len(jax.devices()))
+    meshed = Agent(FieldEnv(cfg.field, cfg.kernel), cfg, mesh=mesh).run()
+    np.testing.assert_array_equal(
+        single.state.sampled_idx, meshed.state.sampled_idx)
+    assert meshed.trait_rmse == pytest.approx(single.trait_rmse, abs=1e-5)
+    assert meshed.trait_rmse_test == pytest.approx(
+        single.trait_rmse_test, abs=1e-5)
+
+
 def test_multitrait_table_episode():
     """c10_table with explicit value_cols: the table loader's multi-trait
     columns reach the episode loop (per-trait masks included)."""

@@ -41,6 +41,39 @@ def test_sharded_fit_matches_single_device(rng):
     assert int(res_s.best_restart) == int(res_1.best_restart)
 
 
+def test_sharded_fit_icm_matches_single_device(rng):
+    """The coregionalized (ICM) multi-restart fit sharded over the
+    'restarts' mesh axis must reproduce the single-device fit — same
+    per-restart NLLs, same winning restart — including under a
+    per-(plot, trait) observation mask; a restart count that does not
+    divide the axis falls back to replication and must still match."""
+    from algp_tpu.models import coregional as icm
+    from algp_tpu.parallel import sharded_fit_icm
+
+    spec = KernelSpec("rbf", ds=2)
+    n, T = 48, 3
+    x = jnp.asarray(rng.uniform(0, 10, (n, 2)), jnp.float32)
+    Y = jnp.asarray(rng.standard_normal((n, T)), jnp.float32)
+    obs = jnp.asarray(rng.uniform(size=(n, T)) < 0.7)
+    key = jax.random.PRNGKey(1)
+    mesh = make_mesh(8)
+    for restarts in (4, 3):  # 3 does not divide the 2-wide restarts axis
+        cfg = FitConfig(iters=25, restarts=restarts)
+        r_1 = icm.fit_icm(spec, cfg, x, Y, obs, key=key, rank=1)
+        r_s = sharded_fit_icm(mesh, spec, cfg, x, Y, obs, key=key, rank=1)
+        np.testing.assert_allclose(
+            np.asarray(r_s.all_nlls), np.asarray(r_1.all_nlls),
+            rtol=1e-4, atol=1e-4,
+        )
+        assert int(r_s.best_restart) == int(r_1.best_restart)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(r_s.params),
+            jax.tree_util.tree_leaves(r_1.params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+
 def test_sharded_greedy_matches_single_device(rng):
     spec = KernelSpec("rbf", ds=2)
     params = spec.init_params(ls_spatial=2.0, noise=0.1)
